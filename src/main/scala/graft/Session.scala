@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place where engine SparkSessions are configured.
+  *
+  * Scale notes (local[N] here, 1000-executor cluster in production):
+  *   - `spark.sql.shuffle.partitions` is sized to the local core count; on a
+  *     real cluster AQE coalesces post-shuffle partitions anyway.
+  *   - AQE is left ON (Spark 4 default): runtime skew-join splitting and
+  *     partition coalescing are exactly what we want at 100 TB.
+  *   - `nanosAsLong`: the synthetic `events` table carries parquet
+  *     TIMESTAMP(NANOS), which Spark cannot represent natively; we read it as
+  *     Long and convert to micros in [[Tables.load]].
+  */
+object Session {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators over the synthetic TPC-H-ish tables.
+  *
+  * The reference (`FigureTechnologies/event-stream`) has no joins or
+  * aggregations (SURVEY.md §2.5/§2.6 — ABSENT); these are the built-in Spark
+  * capabilities our engine inherits and exposes over its views. Exact math
+  * discipline: monetary/quantity doubles are cast to DECIMAL(18,2) before
+  * aggregation (associative, order-independent) and back to DOUBLE at the end
+  * so results hash-match the DuckDB oracle bit-for-bit.
+  */
+object Relational extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** sum(decimal-cast) rendered back as double: exact and associative. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val q1Pricing = GQuery(
+    "q1_agg_pricing",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" < lit("1998-09-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(($"l_extendedprice" * ($"l_discount" - 1) * -1)
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (l_discount - 1) * -1 AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  /** Star join: small dims are broadcast (Catalyst auto-broadcasts under the
+    * threshold; explicit hint keeps the plan shuffle-free for the dim side
+    * even at 100 TB fact scale).
+    */
+  val q2JoinRevenue = GQuery(
+    "q2_join_revenue_by_nation",
+    (s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      ord
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          dsum($"o_totalprice").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name"""))
+
+  /** Predicate + projection pushdown to the parquet scan (SURVEY §2.3 P1/P2:
+    * the reference's skip-empty and event-type filters). `.explain` must show
+    * PushedFilters on event_type/value.
+    */
+  val q3Filter = GQuery(
+    "q3_filter_events",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .filter($"event_type" === "purchase" && $"value" > 100.0)
+        .select($"event_id", $"user_id", $"value")
+    },
+    Some("""
+      SELECT event_id, user_id, value
+      FROM events
+      WHERE event_type = 'purchase' AND value > 100.0"""))
+
+  /** Large-fact join lineitem x orders: both sides shuffle-partitioned on the
+    * join key; at 100 TB this is the plan you want (no broadcast possible),
+    * with AQE handling skew.
+    */
+  val q4BigJoin = GQuery(
+    "q4_join_lineitem_orders",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .filter($"o_orderstatus" === "O")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum($"l_extendedprice").as("sum_price"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'O'
+      GROUP BY o_orderpriority"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin)
+}
