@@ -23,6 +23,12 @@ object Session {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The reference is null-lenient everywhere (decode/cast failures → null
+      // or a default, never a query failure) — non-ANSI mode mirrors that.
+      .config("spark.sql.ansi.enabled", "false")
+      // Kotlin `associate` keeps the LAST value on duplicate map keys
+      // (`models/Extensions.kt:188`); match it for attribute maps.
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
 
