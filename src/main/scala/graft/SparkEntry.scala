@@ -8,7 +8,11 @@ object SparkEntry {
   /** All operator packs, each a set of (Spark impl, DuckDB oracle) pairs. */
   def packs: Seq[QueryPack] = Seq(
     graft.queries.Relational,
-    graft.queries.Blocks)
+    graft.queries.Blocks,
+    graft.queries.Windows,
+    graft.queries.Text,
+    graft.queries.Dedup,
+    graft.queries.Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

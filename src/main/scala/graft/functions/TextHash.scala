@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text/hash primitives shared by the dedup, text-analysis and
+  * similarity packs.
+  *
+  * Every function here is (a) a built-in-only Column expression (whole-stage
+  * codegen, no UDFs on the hot path) and (b) *bit-reproducible in ANSI SQL*,
+  * so the DuckDB oracle can recompute identical values — the correctness gate
+  * then checks real content, not just row counts. That rules out Spark's
+  * murmur3 `hash()` (engine-specific); we use an explicit 31-base polynomial
+  * rolling hash mod 1e9+7 (the classic Rabin–Karp construction) everywhere.
+  *
+  * Scale notes: all per-document work is per-row array math — embarrassingly
+  * parallel, no shuffle, no data skew sensitivity. The quadratic candidate
+  * generation lives in the pack queries (inverted-index / LSH-band joins),
+  * not here.
+  */
+object TextHash {
+
+  val Mod = 1000000007L // prime modulus for the rolling hash
+
+  /** Whitespace tokens — `\S+` extraction (identical semantics in RE2/Java,
+    * no empty-token edge cases unlike split()).
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** BPE-ish lexer tokens: word runs or single punctuation marks. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
+
+  /** Characters (including newlines — `(?s).`). */
+  def chars(text: Column): Column =
+    regexp_extract_all(text, lit("(?s)."), lit(0))
+
+  /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) % Mod.
+    * DuckDB equivalent: [[sqlPolyHash]].
+    */
+  def polyHash(text: Column): Column =
+    aggregate(chars(text), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % Mod)
+
+  /** DuckDB SQL rendering of [[polyHash]] over expression `e`. */
+  def sqlPolyHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(regexp_extract_all($e, '(?s).'), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(a, c) -> (a * 31 + c) % $Mod)"
+
+  /** Distinct word 3-gram shingles as strings ("w1 w2 w3"). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB SQL for [[shingles3]] over a token-list expression `t`. */
+  def sqlShingles3(t: String): String =
+    s"CASE WHEN len($t) >= 3 THEN list_distinct(list_transform(" +
+      s"range(1, len($t) - 1), i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2])) " +
+      s"ELSE [] END"
+
+  /** MinHash signature (k values) over an array of shingle hashes:
+    * sig_i = min over shingles s of (a_i·s + b_i) mod Mod, a_i = 2i+1,
+    * b_i = 7919·(i+1). Standard universal-hash minwise scheme (Broder '97).
+    */
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      coalesce(
+        array_min(transform(shingleHashes,
+          s => ((lit(2) * i + 1) * s + lit(7919L) * (i + 1)) % Mod)),
+        lit(Mod))) // empty shingle set → sentinel Mod
+
+  /** DuckDB SQL for [[minhashSig]] over a BIGINT-list expression `hs`. */
+  def sqlMinhashSig(hs: String, k: Int): String =
+    s"list_transform(range(0, $k), i -> COALESCE(list_min(" +
+      s"list_transform($hs, s -> ((2*i + 1) * s + 7919 * (i + 1)) % $Mod)), $Mod))"
+
+  /** 32-bit SimHash over token hashes: bit j of the result is set iff
+    * sum over tokens of ±1 (sign of token-hash bit j) is positive.
+    * Pure array math — one pass over tokens, no explode.
+    */
+  def simhash32(tokenHashes: Column): Column = {
+    val acc = aggregate(
+      tokenHashes,
+      array_repeat(lit(0L), 32),
+      (a, h) => zip_with(a,
+        transform(sequence(lit(0), lit(31)),
+          j => (h / floor(pow(lit(2), j)).cast("long")).cast("long") % 2 * 2 - 1),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(acc, sequence(lit(0), lit(31)),
+        (s, j) => when(s > 0, floor(pow(lit(2), j)).cast("long")).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** DuckDB SQL for [[simhash32]] over a BIGINT-list expression `hs`. */
+  def sqlSimhash32(hs: String): String = {
+    val acc = s"list_reduce(list_prepend(list_transform(range(0, 32), j -> CAST(0 AS BIGINT)), " +
+      s"list_transform($hs, h -> list_transform(range(0, 32), " +
+      s"j -> (h // CAST(floor(pow(2, j)) AS BIGINT)) % 2 * 2 - 1))), " +
+      s"(a, b) -> list_transform(range(1, 33), i -> a[i] + b[i]))"
+    s"CAST(list_sum(list_transform(list_zip($acc, range(0, 32)), " +
+      s"x -> CASE WHEN x[1] > 0 THEN CAST(floor(pow(2, x[2])) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+  }
+
+  // === quantized vector math (similarity / embedding dedup) ==========
+
+  /** Quantize a float vector to BIGINTs at 1e4 scale. All downstream sums of
+    * products stay < 2^53, so even double-based engines compute them EXACTLY
+    * and the oracle comparison is bit-stable (no float-association drift).
+    */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 10000).cast("long"))
+
+  def sqlQuantize(e: String): String =
+    s"list_transform($e, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def sqlDotQ(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+
+  /** Cosine similarity on quantized vectors: exact integer dot / sqrt norms.
+    * sqrt and division are correctly-rounded IEEE ops on identical integer
+    * inputs → identical doubles in any engine.
+    */
+  def cosQ(a: Column, b: Column): Column =
+    dotQ(a, b) / (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+}

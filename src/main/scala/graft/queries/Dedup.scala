@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import graft.functions.TextHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators over `documents` / `embeddings` — the core
+  * large-corpus cleaning toolkit: exact hashing, n-gram Jaccard with an
+  * inverted-index join, MinHash+LSH banding, SimHash, and embedding-cosine
+  * near-dup.
+  *
+  * Scale design (the 100 TB story):
+  *   - exact dedup is a single hash-shuffle groupBy — linear, skew-free
+  *     (SHA-256 keys are uniform);
+  *   - candidate generation for near-dup NEVER does the O(n²) cross join:
+  *     pairs come from co-occurrence joins (shared shingle / shared LSH
+  *     band), which shuffle on uniform hash keys. The pair-scoring join is
+  *     then bounded by true-candidate counts;
+  *   - per-doc signatures (minhash/simhash) are one-pass array math — no
+  *     shuffle, no state.
+  * Determinism: every hash is the shared rolling-hash family from
+  * [[graft.functions.TextHash]], reproduced exactly in the DuckDB oracles.
+  */
+object Dedup extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Exact dedup: SHA-256 content hash, keeper = min doc_id per group. */
+  val exact = GQuery(
+    "dd1_exact_hash_dedup",
+    (s, dir) => docs(s, dir)
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(
+        min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies")),
+    Some("""
+      SELECT sha256(text) AS text_hash,
+             MIN(doc_id) AS keeper_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY 1"""))
+
+  /** N-gram Jaccard near-dup: distinct word-3-gram shingles, inverted-index
+    * join on shared shingles, exact integer Jaccard. Top-20 pairs by
+    * similarity (deterministic tie-break) so output size is stable.
+    */
+  val ngramJaccard = GQuery(
+    "dd2_ngram_jaccard_pairs",
+    (s, dir) => {
+      val d = docs(s, dir).select(
+        col("doc_id"),
+        shingles3(tokens(col("text"))).as("sh"))
+      val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      val inv = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("common"))
+        .select(
+          col("doc_a"), col("doc_b"),
+          (col("common").cast("double") /
+            (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
+      val rk = row_number().over(
+        Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")))
+      pairs.withColumn("rk", rk).filter(col("rk") <= 20)
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, ${sqlShingles3("regexp_extract_all(text, '\\S+')")} AS sh
+        FROM documents),
+      sized AS (SELECT doc_id, sh, len(sh) AS n FROM d),
+      inv AS (SELECT doc_id, n, unnest(sh) AS shingle FROM sized),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+               COUNT(*) AS common
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      scored AS (
+        SELECT doc_a, doc_b,
+               CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+        FROM pairs)
+      SELECT doc_a, doc_b, jaccard,
+             row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rk
+      FROM scored QUALIFY rk <= 20"""))
+
+  /** MinHash signatures (k=16) — per-doc one-pass array math. Output is the
+    * flattened (doc_id, sig_index, minhash) so the oracle hash-compare works
+    * on scalar columns.
+    */
+  val minhash = GQuery(
+    "dd3_minhash_signatures",
+    (s, dir) => docs(s, dir)
+      .select(
+        col("doc_id"),
+        posexplode(minhashSig(
+          transform(shingles3(tokens(col("text"))), sh => polyHash(sh)), 16))
+          .as(Seq("sig_index", "minhash"))),
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               list_transform(${sqlShingles3("regexp_extract_all(text, '\\S+')")},
+                              sh -> ${sqlPolyHash("sh")}) AS hs
+        FROM documents),
+      sig AS (SELECT doc_id, ${sqlMinhashSig("hs", 16)} AS sig FROM d)
+      SELECT doc_id,
+             CAST(unnest(range(0, 16)) AS INT) AS sig_index,
+             unnest(sig) AS minhash
+      FROM sig"""))
+
+  /** MinHash + LSH banding (4 bands × 4 rows): candidate pairs sharing ≥1
+    * band, scored by signature agreement. The band key is a rolling hash of
+    * the 4 minhash values — co-occurrence join, never a cross join.
+    */
+  val lshCandidates = GQuery(
+    "dd4_minhash_lsh_pairs",
+    (s, dir) => {
+      val sig = docs(s, dir).select(
+        col("doc_id"),
+        minhashSig(
+          transform(shingles3(tokens(col("text"))), sh => polyHash(sh)), 16)
+          .as("sig"))
+      val bands = sig.select(
+        col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)), b =>
+          aggregate(slice(col("sig"), b * 4 + 1, lit(4)), lit(0L),
+            (acc, v) => (acc * 31 + v) % Mod)))
+          .as(Seq("band", "band_hash")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .distinct()
+      cand.select(
+        col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / 16.0)
+          .as("sig_agreement"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               list_transform(${sqlShingles3("regexp_extract_all(text, '\\S+')")},
+                              sh -> ${sqlPolyHash("sh")}) AS hs
+        FROM documents),
+      sig AS (SELECT doc_id, ${sqlMinhashSig("hs", 16)} AS sig FROM d),
+      bands AS (
+        SELECT doc_id, sig, unnest(range(0, 4)) AS band,
+               unnest(list_transform(range(0, 4), b ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+                             (acc, v) -> (acc * 31 + v) % $Mod))) AS band_hash
+        FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2]))
+                  AS DOUBLE) / 16.0 AS sig_agreement
+      FROM cand"""))
+
+  /** SimHash (32-bit) per document — Hamming-space near-dup primitive. */
+  val simhash = GQuery(
+    "dd5_simhash",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      simhash32(transform(tokens(col("text")), t => polyHash(t))).as("simhash")),
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(text, '\\S+'),
+                              t -> ${sqlPolyHash("t")}) AS hs
+        FROM documents)
+      SELECT doc_id, ${sqlSimhash32("hs")} AS simhash FROM d"""))
+
+  /** Embedding-cosine near-dup: top-20 most similar embedding pairs via
+    * exact quantized integer math (see [[graft.functions.TextHash.quantize]]).
+    * At scale the pair source becomes the LSH/IVF candidate join; the scoring
+    * math is unchanged.
+    */
+  val cosinePairs = GQuery(
+    "dd6_embedding_cosine_pairs",
+    (s, dir) => {
+      val q = emb(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("norm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+      val pairs = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (dotQ(col("a.qv"), col("b.qv")) / (col("a.norm") * col("b.norm")))
+            .as("cosine"))
+      val rk = row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_a"), col("vec_b")))
+      pairs.withColumn("rk", rk).filter(col("rk") <= 20)
+    },
+    Some(s"""
+      WITH q0 AS (
+        SELECT vec_id, ${sqlQuantize("embedding")} AS qv
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, qv, sqrt(CAST(${sqlDotQ("qv", "qv")} AS DOUBLE)) AS norm
+        FROM q0),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(${sqlDotQ("a.qv", "b.qv")} AS DOUBLE) / (a.norm * b.norm)
+                 AS cosine
+        FROM q a JOIN q b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cosine,
+             row_number() OVER (ORDER BY cosine DESC, vec_a, vec_b) AS rk
+      FROM pairs QUALIFY rk <= 20"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs)
+}

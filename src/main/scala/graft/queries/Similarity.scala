@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import graft.functions.TextHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table: brute-force cosine top-k
+  * as the exact baseline, and an IVF-style partitioned variant as the scale
+  * path.
+  *
+  * Scale design: the query set is small and BROADCAST — the corpus side
+  * streams through executors with zero shuffle of the big table; top-k is a
+  * per-query partial aggregation (window over query_id). The IVF variant
+  * joins on the coarse cell key first (here the `label` column as the
+  * inverted list id), cutting scored candidates by the cell fan-out — the
+  * classic recall/throughput trade.
+  * Math: exact quantized integer dot products ([[graft.functions.TextHash]])
+  * so ranking is bit-deterministic and oracle-checkable.
+  */
+object Similarity extends QueryPack {
+
+  private val K = 5
+  private val NQueries = 10
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("norm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+
+  private val sqlQuantized = s"""
+      SELECT vec_id, label, qv,
+             sqrt(CAST(${sqlDotQ("qv", "qv")} AS DOUBLE)) AS norm
+      FROM (SELECT vec_id, label, ${sqlQuantize("embedding")} AS qv
+            FROM embeddings)"""
+
+  /** Brute-force exact cosine top-k for the first NQueries vectors. */
+  val knnBrute = GQuery(
+    "sim1_knn_bruteforce",
+    (s, dir) => {
+      val q = quantized(s, dir)
+      val queries = q.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("norm").as("q_norm"))
+      val scored = q.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm"))).as("cosine"))
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id")))
+      scored.withColumn("rank", rk).filter(col("rank") <= K)
+    },
+    Some(s"""
+      WITH q AS ($sqlQuantized),
+      queries AS (
+        SELECT vec_id AS query_id, qv AS q_qv, norm AS q_norm
+        FROM q WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm)
+                 AS cosine
+        FROM q c JOIN queries ON c.vec_id <> query_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored QUALIFY rank <= $K"""))
+
+  /** IVF-style ANN: probe only the query's own coarse cell (`label` as the
+    * inverted-list id). Same scoring math; candidate set shrinks by the
+    * number of cells.
+    */
+  val knnIvf = GQuery(
+    "sim2_knn_ivf_label",
+    (s, dir) => {
+      val q = quantized(s, dir)
+      val queries = q.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("qv").as("q_qv"), col("norm").as("q_norm"))
+      val scored = q.join(broadcast(queries),
+          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm"))).as("cosine"))
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id")))
+      scored.withColumn("rank", rk).filter(col("rank") <= K)
+    },
+    Some(s"""
+      WITH q AS ($sqlQuantized),
+      queries AS (
+        SELECT vec_id AS query_id, label AS q_label, qv AS q_qv, norm AS q_norm
+        FROM q WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm)
+                 AS cosine
+        FROM q c JOIN queries ON c.label = q_label AND c.vec_id <> query_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored QUALIFY rank <= $K"""))
+
+  /** Range search: all corpus vectors within cosine ≥ 0.5 of each query —
+    * the thresholded variant (near-duplicate retrieval shape).
+    */
+  val rangeSearch = GQuery(
+    "sim3_range_search",
+    (s, dir) => {
+      val q = quantized(s, dir)
+      val queries = q.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("norm").as("q_norm"))
+      q.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm"))).as("cosine"))
+        .filter(col("cosine") >= 0.5)
+    },
+    Some(s"""
+      WITH q AS ($sqlQuantized),
+      queries AS (
+        SELECT vec_id AS query_id, qv AS q_qv, norm AS q_norm
+        FROM q WHERE vec_id < $NQueries)
+      SELECT query_id, c.vec_id AS neighbor_id,
+             CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm)
+               AS cosine
+      FROM q c JOIN queries ON c.vec_id <> query_id
+      WHERE CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm) >= 0.5"""))
+
+  override def queries: Seq[GQuery] = Seq(knnBrute, knnIvf, rangeSearch)
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import graft.functions.TextHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (language-ID, quality scoring, token counting, document
+  * fingerprinting). All pure Column/HOF expressions (codegen'd, per-row,
+  * shuffle-free until the final aggregate), with bit-exact DuckDB oracles via
+  * the shared [[graft.functions.TextHash]] constructions.
+  */
+object Text extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Token counting: whitespace tokens + BPE-ish lexer tokens + chars. */
+  val tokenCounts = GQuery(
+    "tx1_token_counts",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured")),
+    Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+             len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_measured
+      FROM documents"""))
+
+  /** Quality scoring: structural ratios every pretraining filter starts from
+    * (cf. Gopher/C4 heuristics — length, mean word length, punctuation and
+    * stopword ratios). Ratios are double divisions of exact integers →
+    * deterministic across engines.
+    */
+  val quality = GQuery(
+    "tx2_quality_scores",
+    (s, dir) => {
+      val t = size(tokens(col("text"))).cast("double")
+      val stop = size(filter(tokens(col("text")),
+        w => lower(w).isin("the", "a", "of", "and", "to", "in", "is", "on"))).cast("double")
+      val punct = size(regexp_extract_all(col("text"), lit("[\\.,;:!\\?]"), lit(0))).cast("double")
+      docs(s, dir).select(
+        col("doc_id"),
+        t.cast("long").as("n_tokens"),
+        (length(col("text")).cast("double") / t).as("mean_token_len"),
+        (stop / t).as("stopword_ratio"),
+        (punct / length(col("text")).cast("double")).as("punct_ratio"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens,
+             CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\S+'))
+               AS mean_token_len,
+             CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                    w -> lower(w) IN ('the','a','of','and','to','in','is','on')))
+                  AS DOUBLE) / len(regexp_extract_all(text, '\S+'))
+               AS stopword_ratio,
+             CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio
+      FROM documents"""))
+
+  /** Language-ID: marker-stopword voting with a fixed priority tie-break —
+    * the classic cheap n-gram/stopword heuristic, deterministic in SQL.
+    */
+  val langId = GQuery(
+    "tx3_lang_id",
+    (s, dir) => {
+      def score(words: String*) =
+        size(filter(tokens(col("text")), w => lower(w).isin(words: _*)))
+      val en = score("the", "and", "of", "to", "a", "is")
+      val de = score("der", "die", "und", "ist", "das", "nicht")
+      val es = score("el", "la", "que", "los", "una", "es")
+      val fr = score("le", "les", "des", "et", "une", "est")
+      docs(s, dir).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        en.cast("long").as("s_en"),
+        when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr").as("predicted_lang"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+          len(list_filter(regexp_extract_all(text, '\S+'),
+              w -> lower(w) IN ('the','and','of','to','a','is'))) AS s_en,
+          len(list_filter(regexp_extract_all(text, '\S+'),
+              w -> lower(w) IN ('der','die','und','ist','das','nicht'))) AS s_de,
+          len(list_filter(regexp_extract_all(text, '\S+'),
+              w -> lower(w) IN ('el','la','que','los','una','es'))) AS s_es,
+          len(list_filter(regexp_extract_all(text, '\S+'),
+              w -> lower(w) IN ('le','les','des','et','une','est'))) AS s_fr
+        FROM documents)
+      SELECT doc_id, labeled_lang, s_en,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM scored"""))
+
+  /** Document fingerprinting: 31-base rolling hash of the full text plus a
+    * word-shingle count — the primitive under content-defined dedup.
+    */
+  val fingerprint = GQuery(
+    "tx4_fingerprints",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      polyHash(col("text")).as("fingerprint"),
+      size(shingles3(tokens(col("text")))).cast("long").as("n_shingles")),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+               ${sqlPolyHash("text")} AS fingerprint
+        FROM documents)
+      SELECT doc_id, fingerprint,
+             CAST(len(${sqlShingles3("toks")}) AS BIGINT) AS n_shingles
+      FROM t"""))
+
+  /** Per-language corpus rollup — the summary a data pipeline reports. */
+  val corpusStats = GQuery(
+    "tx5_corpus_stats",
+    (s, dir) => docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars")),
+    Some("""
+      SELECT lang, source, COUNT(*) AS n_docs,
+             SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+             SUM(n_chars) AS total_chars
+      FROM documents GROUP BY 1, 2"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(tokenCounts, quality, langId, fingerprint, corpusStats)
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Windowing / batching / ordering operators over the `events` table —
+  * the engine-native replacements for the reference's count/time windowing
+  * machinery (SURVEY §2.7 W1–W7):
+  *   - W1 sliding count windows → count batches via row_number (exact
+  *     semantics) and sliding TIME windows (the idiomatic streaming form);
+  *   - W2 tumbling `chunked` → tumbling time windows;
+  *   - T8's absent session analytics → `session_window` (we add it);
+  *   - W5/W6 ordering, W7 limits → window-function top-k.
+  *
+  * All window starts are epoch-aligned (`window()` and DuckDB `time_bucket`
+  * agree); sums go through DECIMAL so the oracle hash-compare is exact.
+  */
+object Windows extends QueryPack {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** W2: tumbling 1-hour windows — count + exact sum + distinct users. */
+  val tumbling = GQuery(
+    "w2_tumbling_hourly",
+    (s, dir) => ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("n_users")),
+    Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY 1, 2"""))
+
+  /** W1: sliding windows (1 h width, 30 min slide) — each event lands in two
+    * windows; the oracle unions the two candidate starts per row.
+    */
+  val sliding = GQuery(
+    "w1_sliding_1h_30m",
+    (s, dir) => ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value")),
+    Some("""
+      WITH starts AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+      )
+      SELECT window_start, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM starts GROUP BY 1"""))
+
+  /** T8 (beyond-reference): 30-minute-gap session windows per user via
+    * `session_window`; oracle = classic gaps-and-islands.
+    */
+  val sessions = GQuery(
+    "t8_session_windows",
+    (s, dir) => ev(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value")),
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT *, SUM(new_session) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+      )
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM numbered GROUP BY user_id, session_id"""))
+
+  /** W1 exact count-window semantics (the reference's `windowed(size=100,
+    * step=100)`): per-user batches of 100 events in (ts, event_id) order.
+    */
+  val countBatches = GQuery(
+    "w1_count_batches_100",
+    (s, dir) => {
+      val rn = row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+      ev(s, dir)
+        .withColumn("batch_id", ((rn - 1) / 100).cast("long"))
+        .groupBy(col("user_id"), col("batch_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"),
+          dsum(col("value")).as("sum_value"))
+    },
+    Some("""
+      WITH numbered AS (
+        SELECT *, CAST(floor((row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 100) AS BIGINT)
+               AS batch_id
+        FROM events
+      )
+      SELECT user_id, batch_id, COUNT(*) AS n_events,
+             MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM numbered GROUP BY user_id, batch_id"""))
+
+  /** T2-style dedup (first event wins, deterministically) — the relational
+    * form of the reference's `lastSeen` height dedup.
+    */
+  val dedupFirst = GQuery(
+    "t2_dedup_first_event",
+    (s, dir) => ev(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("n_occurrences")),
+    Some("""
+      SELECT user_id, event_type,
+             MIN(event_id) AS first_event_id,
+             COUNT(*) AS n_occurrences
+      FROM events GROUP BY 1, 2"""))
+
+  /** W6/W7: ordered top-k per group (top-3 events by value per user). */
+  val topK = GQuery(
+    "w7_topk_per_user",
+    (s, dir) => {
+      val rk = row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id")))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"), rk.as("rk"))
+        .filter(col("rk") <= 3)
+    },
+    Some("""
+      SELECT user_id, event_id, value, rk FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER
+                 (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+        FROM events)
+      WHERE rk <= 3"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK)
+}
