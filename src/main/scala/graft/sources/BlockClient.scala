@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Transport abstraction under the blockfeed connector — the reference's
+  * `NetAdapter` (`net/NetAdapter.kt:24`) reduced to the four RPCs the engine
+  * needs. Implementations must be Serializable: instances are captured by
+  * reader factories and shipped to executors.
+  *
+  * A production implementation is an HTTP JSON client with the reference's
+  * backoff (`utils/Backoff.kt:30`: base·2^attempt ±25% jitter); here the
+  * fixture-file transport (same layout as the reference's golden templates)
+  * keeps everything offline-testable — SURVEY §7.1's `file://` mode.
+  */
+trait BlockClient extends Serializable {
+
+  /** Node's current chain height (`abci_info`). */
+  def currentHeight(): Long
+
+  /** Heights with full block data available in [from, to], ascending.
+    * A real node has every height (dense); the fixture dir has whatever
+    * template files exist.
+    */
+  def availableHeights(from: Long, to: Long): Seq[Long]
+
+  /** Raw `/block` response JSON for a height. */
+  def block(height: Long): Option[String]
+
+  /** Raw `/block_results` response JSON for a height. */
+  def blockResults(height: Long): Option[String]
+
+  /** Raw `/blockchain` page JSONs intersecting [from, to] (≤20 heights per
+    * page — `TENDERMINT_MAX_QUERY_RANGE`, `EventStream.kt:73`).
+    */
+  def metaPages(from: Long, to: Long): Seq[String]
+}
+
+/** Reads the reference's golden template layout (FIXTURES.md §A). */
+final class FileBlockClient(dir: String) extends BlockClient {
+
+  private def readFile(p: java.nio.file.Path): String =
+    new String(Files.readAllBytes(p), "UTF-8")
+
+  override def currentHeight(): Long = {
+    val p = Paths.get(s"$dir/abci_info/success.json")
+    val raw = readFile(p)
+    // resolve `${var:-default}` template defaults
+    val json = "\\$\\{[a-zA-Z0-9_]+(?::-([^}]*))?\\}".r
+      .replaceAllIn(raw, m => Option(m.group(1)).getOrElse(""))
+    """"last_block_height"\s*:\s*"?(\d+)"?""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"no last_block_height in $p"))
+  }
+
+  override def availableHeights(from: Long, to: Long): Seq[Long] = {
+    val d = Paths.get(s"$dir/block")
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .filter(h => h >= from && h <= to)
+      .toSeq.sorted
+  }
+
+  private def opt(path: String): Option[String] = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) Some(readFile(p)) else None
+  }
+
+  override def block(height: Long): Option[String] =
+    opt(s"$dir/block/$height.json")
+
+  override def blockResults(height: Long): Option[String] =
+    opt(s"$dir/block_results/$height.json")
+
+  override def metaPages(from: Long, to: Long): Seq[String] = {
+    val d = Paths.get(s"$dir/blockchain")
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap { p =>
+        p.getFileName.toString.stripSuffix(".json").split("-") match {
+          case Array(lo, hi) =>
+            (scala.util.Try(lo.toLong).toOption, scala.util.Try(hi.toLong).toOption) match {
+              case (Some(l), Some(h)) if h >= from && l <= to => Some((l, h, p))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      // prefer the widest pages (the fixture dir has 4-height and 20-height
+      // views of the same ranges); readers dedup by height anyway
+      .toSeq.sortBy { case (l, h, _) => (l, -(h - l)) }
+      .map { case (_, _, p) => readFile(p) }
+  }
+}

@@ -1,0 +1,275 @@
+package graft.sources
+
+import java.util
+import graft.blocks.BlockSchemas
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** `blockfeed` — DataSource V2 connector for the block stream (SURVEY §7.2
+  * steps 3–4). One connector subsumes the reference's source zoo:
+  *
+  *   - batch read with `from`/`to`   → S1–S3 historical flows
+  *   - micro-batch stream            → S5/S6 polling + S12–S14 combinedFlow
+  *     (offset = block height: backfill, live tailing, gap-free contiguity
+  *     T1, restart recovery T3, dedup T2 all come from the offset log)
+  *   - column pruning                → header-only scans switch to the cheap
+  *     20-height `/blockchain` pages (§4 "column pruning" row)
+  *   - `num_txs > 0` filter pushdown → skip-empty pre-filter (P4)
+  *   - height-range filter pushdown  → partition pruning (§4)
+  *   - `maxHeightsPerTrigger`        → T6 admission control (the 10k live
+  *     buffer, `MultiplexFlow.kt:74`)
+  *
+  * Options: `path` (fixture dir for the file transport), `from`, `to`,
+  * `heightsPerPartition` (default 128 = reference `DEFAULT_BATCH_SIZE`),
+  * `maxHeightsPerTrigger` (default 10000 = reference live buffer).
+  */
+class BlockFeedProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "blockfeed"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BlockSchemas.raw
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new BlockFeedTable(new CaseInsensitiveStringMap(properties))
+}
+
+object BlockFeed {
+  /** Meta-safe raw-schema ordinals (available from `/blockchain` pages). */
+  val MetaSafeOrdinals: Set[Int] = Set(0, 1, 2, 3, 4, 6)
+  val RawFields: Array[String] = BlockSchemas.raw.fieldNames
+}
+
+class BlockFeedTable(options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  override def name(): String = s"blockfeed(${options.get("path")})"
+  override def schema(): StructType = BlockSchemas.raw
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new BlockFeedScanBuilder(opts)
+}
+
+class BlockFeedScanBuilder(options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = BlockSchemas.raw
+  // bounds accumulated from pushed height predicates
+  private var minHeight: Long = Long.MinValue
+  private var maxHeight: Long = Long.MaxValue
+  private var minNumTxs: Int = 0
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("height", _: Long) => true
+      case GreaterThanOrEqual("height", _: Long) => true
+      case LessThan("height", _: Long) => true
+      case LessThanOrEqual("height", _: Long) => true
+      case EqualTo("height", _: Long) => true
+      case GreaterThan("num_txs", _: Int) => true
+      case GreaterThanOrEqual("num_txs", _: Int) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("height", v: Long) => minHeight = math.max(minHeight, v + 1)
+      case GreaterThanOrEqual("height", v: Long) => minHeight = math.max(minHeight, v)
+      case LessThan("height", v: Long) => maxHeight = math.min(maxHeight, v - 1)
+      case LessThanOrEqual("height", v: Long) => maxHeight = math.min(maxHeight, v)
+      case EqualTo("height", v: Long) =>
+        minHeight = math.max(minHeight, v); maxHeight = math.min(maxHeight, v)
+      case GreaterThan("num_txs", v: Int) => minNumTxs = math.max(minNumTxs, v + 1)
+      case GreaterThanOrEqual("num_txs", v: Int) => minNumTxs = math.max(minNumTxs, v)
+      case _ =>
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = {
+    // keep raw-schema field order for deterministic ordinals
+    val names = required.fieldNames.toSet
+    requiredSchema = StructType(BlockSchemas.raw.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan =
+    new BlockFeedScan(options, requiredSchema, minHeight, maxHeight, minNumTxs)
+}
+
+final case class HeightRangePartition(
+    heights: Array[Long], historicalBelow: Long, metaMode: Boolean)
+  extends InputPartition
+
+class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
+                    minHeight: Long, maxHeight: Long, minNumTxs: Int)
+  extends Scan {
+
+  private val path = options.get("path")
+  private def client: BlockClient = new FileBlockClient(path)
+
+  private val prunedOrdinals: Array[Int] =
+    required.fieldNames.map(n => BlockFeed.RawFields.indexOf(n))
+
+  /** Header/meta-only scans take the cheap `/blockchain`-page path. */
+  val metaMode: Boolean = prunedOrdinals.forall(BlockFeed.MetaSafeOrdinals.contains)
+
+  private val heightsPerPartition =
+    options.getInt("heightsPerPartition", 128)
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"blockfeed(path=$path, mode=${if (metaMode) "meta" else "full"}, " +
+      s"heights=[${math.max(minHeight, 0)}..${if (maxHeight == Long.MaxValue) "∞" else maxHeight}], " +
+      s"minNumTxs=$minNumTxs)"
+
+  private def bounds(c: BlockClient): (Long, Long) = {
+    val from = math.max(
+      Option(options.get("from")).map(_.toLong).getOrElse(1L), minHeight)
+    val to = math.min(
+      Option(options.get("to")).map(_.toLong).getOrElse(c.currentHeight()), maxHeight)
+    (from, to)
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val c = client
+      val (from, to) = bounds(c)
+      val cur = c.currentHeight()
+      c.availableHeights(from, to)
+        .grouped(heightsPerPartition)
+        .map(hs => HeightRangePartition(hs.toArray, cur, metaMode))
+        .toArray[InputPartition]
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BlockFeedMicroBatch(path, options, prunedOrdinals, metaMode, minNumTxs)
+}
+
+/** Micro-batch stream over heights: `latestOffset(start, limit)` = node tip,
+  * capped by the admission-control read limit (the reference's
+  * poll-and-advance `pollingDataFlow`, `PollingFlow.kt:32`, is literally this
+  * contract; `maxHeightsPerTrigger` plays the 10k live buffer's role, T6).
+  */
+class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
+                          prunedOrdinals: Array[Int], metaMode: Boolean,
+                          minNumTxs: Int)
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val client = new FileBlockClient(path)
+  /** Chain tip at stream construction: the history/live provenance boundary
+    * (reference `combinedFlow` captures the same thing, `MultiplexFlow.kt:88`).
+    */
+  private val startCurrentHeight = client.currentHeight()
+  private val maxPerTrigger = options.getInt("maxHeightsPerTrigger", 10000)
+  private val from: Long = Option(options.get("from")) match {
+    case Some("latest") => startCurrentHeight + 1
+    case Some(v) => v.toLong
+    case None => 1L
+  }
+  private val to: Long =
+    Option(options.get("to")).map(_.toLong).getOrElse(Long.MaxValue)
+
+  // Trigger.AvailableNow: freeze the target tip so the query drains up to it
+  // and stops even if the chain keeps advancing.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  private def tip: Long = {
+    val t = client.availableHeights(from, to).lastOption.getOrElse(from - 1)
+    availableNowCap.map(math.min(t, _)).getOrElse(t)
+  }
+
+  override def initialOffset(): Offset = HeightOffset(from - 1)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(tip)
+
+  override def reportLatestOffset(): Offset = HeightOffset(tip)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[HeightOffset].height
+    val cap = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => maxPerTrigger.toLong
+    }
+    val next = client.availableHeights(s + 1, tip).take(cap.toInt)
+    if (next.isEmpty) HeightOffset(s) else HeightOffset(next.max)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[HeightOffset].height
+    val e = end.asInstanceOf[HeightOffset].height
+    client.availableHeights(s + 1, e)
+      .grouped(options.getInt("heightsPerPartition", 128))
+      .map(h => HeightRangePartition(h.toArray, startCurrentHeight, metaMode))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs)
+
+  override def deserializeOffset(json: String): Offset = HeightOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class BlockFeedReaderFactory(path: String, prunedOrdinals: Array[Int],
+                             minNumTxs: Int)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[HeightRangePartition]
+    new BlockFeedPartitionReader(new FileBlockClient(path), p, prunedOrdinals, minNumTxs)
+  }
+}
+
+/** Per-task reader: full mode fetches `/block` (+ `/block_results`) per
+  * height — the reference's 2-RPC fetch (`TendermintBlockFetcher.kt:36`);
+  * meta mode decodes the shared 20-height pages. Missing `block_results`
+  * degrade to null event columns (left-join parity with the batch path).
+  */
+class BlockFeedPartitionReader(client: BlockClient, p: HeightRangePartition,
+                               prunedOrdinals: Array[Int], minNumTxs: Int)
+  extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+
+  private val codec = new RowCodec
+  private val wanted = p.heights.toSet
+
+  private val it: Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    if (p.metaMode) {
+      if (p.heights.isEmpty) Iterator.empty
+      else {
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        client.metaPages(p.heights.min, p.heights.max).iterator
+          .flatMap(page => codec.metaRows(
+            page, _ <= p.historicalBelow, prunedOrdinals, minNumTxs))
+          .filter { case (h, _) => wanted.contains(h) && seen.add(h) }
+          .map(_._2)
+      }
+    } else {
+      p.heights.iterator.flatMap { h =>
+        client.block(h).flatMap { bj =>
+          codec.rawRow(bj, client.blockResults(h),
+            historical = h <= p.historicalBelow, prunedOrdinals, minNumTxs)
+        }
+      }
+    }
+
+  private var current: org.apache.spark.sql.catalyst.InternalRow = _
+  override def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true } else false
+  override def get(): org.apache.spark.sql.catalyst.InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,144 @@
+package graft.sources
+
+import graft.blocks.BlockSchemas
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
+import org.apache.spark.sql.catalyst.util.{ArrayData, DateTimeUtils}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Executor-side JSON → InternalRow codec for the blockfeed connector.
+  * Reuses Spark's own JacksonParser (the engine under `from_json`) against
+  * the fixed [[BlockSchemas]] — schema-driven decode exactly like the
+  * reference's Moshi layer (`MoshiDecoderEngine.kt:13`), PERMISSIVE nulls for
+  * malformed fields.
+  *
+  * NOT thread-safe (parsers are reused) — one instance per PartitionReader.
+  */
+final class RowCodec {
+
+  private def mkParser(schema: StructType): JacksonParser =
+    new JacksonParser(
+      schema,
+      new JSONOptions(Map("mode" -> "PERMISSIVE"), "UTC", "_corrupt_record"),
+      allowArrayAsStructs = false,
+      Seq.empty)
+
+  private val blockParser = mkParser(BlockSchemas.blockResponse)
+  private val resultsParser = mkParser(BlockSchemas.blockResultsResponse)
+  private val chainParser = mkParser(BlockSchemas.blockchainResponse)
+
+  private def parseOne(p: JacksonParser, json: String): Option[InternalRow] =
+    p.parse[String](json, CreateJacksonParser.string _,
+      (s: String) => UTF8String.fromString(s)).headOption.map(_.copy())
+
+  private def ts(timeStr: UTF8String): Any =
+    if (timeStr == null) null
+    else DateTimeUtils.stringToTimestamp(timeStr, java.time.ZoneOffset.UTC)
+      .map(_.asInstanceOf[AnyRef]).orNull
+
+  /** Assemble one [[BlockSchemas.raw]]-shaped row (projected to
+    * `prunedOrdinals` of the raw schema) from the two RPC payloads.
+    * Returns None if the block JSON is unreadable. `numTxsFilter` applies the
+    * pushed-down skip-empty predicate before materializing the row.
+    */
+  def rawRow(blockJson: String, resultsJson: Option[String],
+             historical: Boolean, prunedOrdinals: Array[Int],
+             minNumTxs: Int): Option[InternalRow] = {
+    parseOne(blockParser, blockJson).flatMap { env =>
+      val result = env.getStruct(1, 2)
+      if (result == null) None
+      else {
+        val blockId = result.getStruct(0, 2)
+        val block = result.getStruct(1, 4)
+        if (block == null) None
+        else {
+          val header = block.getStruct(0, 14)
+          val data = block.getStruct(1, 1)
+          val txs = if (data == null) null else data.getArray(0)
+          val numTxs = if (txs == null) 0 else txs.numElements()
+          if (numTxs < minNumTxs) None
+          else {
+            val heightStr = if (header == null) null else header.getUTF8String(2)
+            val height = if (heightStr == null) -1L else heightStr.toString.toLong
+            val res = resultsJson.flatMap(j => parseOne(resultsParser, j))
+              .map(_.getStruct(1, 4))
+            // full raw row field values by raw-schema ordinal
+            def fieldValue(ord: Int): Any = ord match {
+              case 0 => height
+              case 1 => if (header == null) null else ts(header.getUTF8String(3))
+              case 2 => if (header == null) null else header.getUTF8String(1)
+              case 3 => numTxs
+              case 4 => historical
+              case 5 => block
+              case 6 => blockId
+              case 7 => res.map(r => r.getArray(1)).orNull
+              case 8 => res.map(r => r.getArray(2)).orNull
+              case 9 => res.map(r => r.getArray(3)).orNull
+            }
+            val out = new GenericInternalRow(prunedOrdinals.length)
+            var i = 0
+            while (i < prunedOrdinals.length) {
+              out.update(i, fieldValue(prunedOrdinals(i)))
+              i += 1
+            }
+            Some(out)
+          }
+        }
+      }
+    }
+  }
+
+  /** Parse one `/blockchain` page into (height → meta-mode row) pairs,
+    * projected to `prunedOrdinals` (which must only reference meta-safe
+    * columns: height/time/chain_id/num_txs/historical/block_id).
+    */
+  def metaRows(pageJson: String, isHistorical: Long => Boolean,
+               prunedOrdinals: Array[Int],
+               minNumTxs: Int): Seq[(Long, InternalRow)] = {
+    parseOne(chainParser, pageJson) match {
+      case None => Seq.empty
+      case Some(env) =>
+        val result = env.getStruct(1, 2)
+        if (result == null) Seq.empty
+        else {
+          val metas = result.getArray(1)
+          if (metas == null) Seq.empty
+          else (0 until metas.numElements()).flatMap { i =>
+            val m = metas.getStruct(i, 4)
+            if (m == null) None
+            else {
+              val blockId = m.getStruct(0, 2)
+              val numTxsStr = m.getUTF8String(2)
+              val numTxs = if (numTxsStr == null) 0 else numTxsStr.toString.toInt
+              val header = m.getStruct(3, 14)
+              val heightStr = if (header == null) null else header.getUTF8String(2)
+              if (heightStr == null || numTxs < minNumTxs) None
+              else {
+                val height = heightStr.toString.toLong
+                def fieldValue(ord: Int): Any = ord match {
+                  case 0 => height
+                  case 1 => ts(header.getUTF8String(3))
+                  case 2 => header.getUTF8String(1)
+                  case 3 => numTxs
+                  case 4 => isHistorical(height)
+                  case 6 => blockId
+                  case other =>
+                    throw new IllegalStateException(
+                      s"raw ordinal $other not available in meta-only scan")
+                }
+                val out = new GenericInternalRow(prunedOrdinals.length)
+                var j = 0
+                while (j < prunedOrdinals.length) {
+                  out.update(j, fieldValue(prunedOrdinals(j)))
+                  j += 1
+                }
+                Some((height, out))
+              }
+            }
+          }.toSeq
+        }
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import graft.blocks.{EventTables, FixtureSource}
+import graft.sources.DecodeCascade
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** blockfeed DSv2 connector tests against the reference fixture ground truth
+  * (100 historical / 29 non-empty / 6 live / 106 combined) plus checkpoint
+  * restart and the T5 decode cascade.
+  */
+class BlockFeedSpec extends AnyFunSuite {
+
+  val T = FixtureSource.DefaultTemplates
+  lazy val spark: SparkSession = Session.builder("graft-test").getOrCreate()
+
+  def read(opts: (String, String)*) = {
+    val r = spark.read.format("blockfeed").option("path", T)
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("batch scan: 100 rows, event tables work through the connector") {
+    val df = read("from" -> "2270370", "to" -> "2270469")
+    assert(df.count() === 100L)
+    assert(df.schema === graft.blocks.BlockSchemas.raw)
+    // full nested fidelity: the explode pipeline yields the fixture totals
+    assert(EventTables.txEvents(df).count() === 9838L)
+    assert(EventTables.blockEvents(df).count() === 2211L)
+    assert(df.filter(col("historical")).count() === 100L)
+  }
+
+  test("height-range filter prunes partitions; num_txs pushdown skips empties") {
+    val df = read("from" -> "2270370", "to" -> "2270469")
+    assert(df.filter(col("height").between(2270400L, 2270409L)).count() === 10L)
+    assert(df.filter(col("num_txs") > 0).count() === 29L)
+    val plan = df.filter(col("num_txs") > 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("minNumTxs=1"), s"plan did not push num_txs filter:\n$plan")
+  }
+
+  test("header-only projection switches to the cheap meta-page path") {
+    val df = read("from" -> "2270370", "to" -> "2270469")
+      .select("height", "time", "chain_id", "num_txs", "historical")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("mode=meta"), s"expected meta mode:\n$plan")
+    assert(df.count() === 100L)
+    // same num_txs facts as the full path (S3 ≡ S1 projection)
+    val full = read("from" -> "2270370", "to" -> "2270469").select("height", "num_txs")
+    assert(df.select("height", "num_txs").except(full).count() === 0L)
+  }
+
+  test("micro-batch stream drains history then live: 106 rows, provenance flags") {
+    val q = spark.readStream.format("blockfeed")
+      .option("path", T).option("from", "2270370")
+      .option("maxHeightsPerTrigger", "40")
+      .load()
+      .writeStream.format("memory").queryName("bf_all")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bf_all").cache()
+    assert(got.count() === 106L)
+    assert(got.select("height").distinct().count() === 106L)
+    assert(got.filter(col("historical")).count() === 100L)
+    assert(got.filter(!col("historical")).count() === 6L)
+    // multiple micro-batches actually happened (admission control)
+    assert(q.recentProgress.length >= 2)
+  }
+
+  test("checkpoint restart resumes exactly, no gaps or dupes (T3)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("bf_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("bf_out").toString
+    def run(opts: Map[String, String]): Unit = {
+      val r = spark.readStream.format("blockfeed").option("path", T)
+      val q = opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+        .select("height", "num_txs", "historical")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run(Map("from" -> "2270370", "to" -> "2270419"))
+    val first = spark.read.parquet(out).select("height").collect().map(_.getLong(0)).toSet
+    assert(first.size === 50)
+    // restart from the same checkpoint without the upper bound: exactly the
+    // remaining heights arrive, none re-emitted
+    run(Map("from" -> "2270370"))
+    val all = spark.read.parquet(out).select("height").collect().map(_.getLong(0)).toSeq
+    assert(all.size === 106, s"expected 106 total rows, got ${all.size}")
+    assert(all.distinct.size === 106, "restart re-emitted committed heights")
+  }
+
+  test("from=latest starts at the live tip (S14)") {
+    val q = spark.readStream.format("blockfeed")
+      .option("path", T).option("from", "latest")
+      .load()
+      .writeStream.format("memory").queryName("bf_latest")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bf_latest")
+    // current height (abci_info) = 3028985 → only the 6 live blocks are above
+    assert(got.count() === 6L)
+    assert(got.filter(col("historical")).count() === 0L)
+  }
+
+  test("decode cascade classifies every control frame (T5)") {
+    import DecodeCascade._
+    def load(n: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$T/rpc/responses/$n.json")), "UTF-8")
+    assert(classify(load("empty")) === Empty)
+    assert(classify(load("unknown")).isInstanceOf[Unknown])
+    classify(load("error_unwrapped")) match {
+      case e: RpcError => assert(e.code === -1000 && !e.isPanic)
+      case other => fail(s"expected RpcError, got $other")
+    }
+    classify(load("error_wrapped")) match {
+      case e: RpcError => assert(e.code === -1000 && !e.isPanic)
+      case other => fail(s"expected RpcError, got $other")
+    }
+    classify(load("panic")) match {
+      case e: RpcError => assert(e.isPanic)
+      case other => fail(s"expected panic RpcError, got $other")
+    }
+    intercept[MalformedFrame](classify(load("malformed")))
+    // live NewBlock envelope classifies as data
+    val live = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$T/live/3126935.json")), "UTF-8")
+    classify(live) match {
+      case NewBlock(h, _) => assert(h === 3126935L)
+      case other => fail(s"expected NewBlock, got $other")
+    }
+    // stream policy: panic fails the stream, noise is dropped
+    intercept[PanicException] {
+      filterData(Iterator(load("empty"), load("panic"))).toList
+    }
+    assert(filterData(Iterator(load("empty"), load("unknown"), live)).size === 1)
+  }
+}
