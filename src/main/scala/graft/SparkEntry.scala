@@ -10,6 +10,7 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.Blocks,
     graft.queries.Windows,
+    graft.queries.Sinks,
     graft.queries.Text,
     graft.queries.Dedup,
     graft.queries.Similarity)
