@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.Sinks,
     graft.queries.Text,
     graft.queries.Dedup,
+    graft.queries.Multimodal,
     graft.queries.Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

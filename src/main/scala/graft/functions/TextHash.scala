@@ -37,9 +37,19 @@ object TextHash {
     regexp_extract_all(text, lit("(?s)."), lit(0))
 
   /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) % Mod.
-    * DuckDB equivalent: [[sqlPolyHash]].
+    * Native codegen'd Catalyst expression ([[PolyHash]]); DuckDB equivalent:
+    * [[sqlPolyHash]]. The built-in-only formulation is kept as
+    * [[polyHashHof]] for the equivalence spec.
     */
   def polyHash(text: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      PolyHash(org.apache.spark.sql.GraftColumn.expr(text)))
+
+  /** Reference formulation of [[polyHash]] with built-in HOFs only —
+    * interpreted (CodegenFallback), so only used to cross-check the native
+    * expression.
+    */
+  def polyHashHof(text: Column): Column =
     aggregate(chars(text), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % Mod)
 
   /** DuckDB SQL rendering of [[polyHash]] over expression `e`. */

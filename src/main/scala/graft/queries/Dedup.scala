@@ -55,7 +55,11 @@ object Dedup extends QueryPack {
         col("doc_id"),
         shingles3(tokens(col("text"))).as("sh"))
       val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      // self-joined below: materialize once so the shingle pipeline isn't
+      // planned (and executed) twice — at cluster scale this is a cached
+      // (or checkpointed) build side, not a recompute
       val inv = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+        .persist()
       val pairs = inv.as("a").join(inv.as("b"),
           col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -133,6 +137,7 @@ object Dedup extends QueryPack {
           aggregate(slice(col("sig"), b * 4 + 1, lit(4)), lit(0L),
             (acc, v) => (acc * 31 + v) % Mod)))
           .as(Seq("band", "band_hash")))
+        .persist() // self-joined: compute the minhash pipeline once
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_hash") === col("b.band_hash") &&

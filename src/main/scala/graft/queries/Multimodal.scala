@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import graft.multimodal.Media
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal pipeline operators over the `documents` corpus: binary media
+  * manifest, stubbed feature decode (Column-expression twin of the kernel),
+  * video-style frame sampling, and per-kind corpus stats. Every query is
+  * DuckDB-oracle-checked; the batched kernel itself is asserted equal to the
+  * expression twin in MultimodalSpec, so its math is transitively checked too.
+  */
+object Multimodal extends QueryPack {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Media.fromDocuments(Tables.load(s, dir, "documents"))
+
+  private val sqlKind =
+    "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]"
+
+  /** Binary manifest: payload sizes, typed metadata, content digest. */
+  val manifest = GQuery(
+    "mm1_media_manifest",
+    (s, dir) => media(s, dir).select(
+      col("media_id"), col("kind"),
+      col("meta.byte_len").as("byte_len"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      col("meta.n_frames").as("n_frames"),
+      sha2(col("content"), 256).as("content_sha")),
+    Some(s"""
+      SELECT doc_id AS media_id, $sqlKind AS kind,
+             octet_length(encode(text)) AS byte_len,
+             CAST(doc_id % 1024 + 16 AS INT) AS width,
+             CAST(doc_id % 768 + 16 AS INT) AS height,
+             CAST(ceil(length(text) / ${Media.FrameChars}.0) AS INT) AS n_frames,
+             sha256(text) AS content_sha
+      FROM documents"""))
+
+  /** Stub decode features, exploded to scalars for the hash compare. */
+  val features = GQuery(
+    "mm2_media_features",
+    (s, dir) => media(s, dir)
+      .select(
+        col("media_id"),
+        posexplode(Media.featureExprs(col("content").cast("string")))
+          .as(Seq("feat_idx", "feat_val"))),
+    Some(s"""
+      SELECT doc_id AS media_id,
+             CAST(unnest(range(0, ${Media.NFeatures})) AS INT) AS feat_idx,
+             unnest([${(0 until Media.NFeatures)
+               .map(d => Media.sqlFeature("text", d)).mkString(", ")}]) AS feat_val
+      FROM documents"""))
+
+  /** Frame sampling: every 2nd 32-char frame, first 8 candidates. */
+  val frames = GQuery(
+    "mm3_frame_sample",
+    (s, dir) => media(s, dir)
+      .select(
+        col("media_id"),
+        explode(Media.sampleFrames(col("content").cast("string"), 2, 8)).as("f"))
+      .select(col("media_id"), col("f.frame_index"), col("f.frame_hash")),
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id AS media_id, unnest(range(0, 8)) AS i, text
+        FROM documents)
+      SELECT media_id,
+             CAST(i * 2 AS INT) AS frame_index,
+             ${graft.functions.TextHash.sqlPolyHash(
+               s"substr(text, CAST(i * 2 * ${Media.FrameChars} + 1 AS INT), ${Media.FrameChars})")}
+               AS frame_hash
+      FROM f
+      WHERE length(substr(text, CAST(i * 2 * ${Media.FrameChars} + 1 AS INT),
+                          ${Media.FrameChars})) > 0"""))
+
+  /** Per-kind corpus stats over the typed metadata (blob columns untouched —
+    * metadata pruning is the point of the split schema).
+    */
+  val kindStats = GQuery(
+    "mm4_kind_stats",
+    (s, dir) => media(s, dir)
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("meta.byte_len")).as("total_bytes"),
+        sum(col("meta.n_frames").cast("long")).as("total_frames")),
+    Some(s"""
+      SELECT $sqlKind AS kind, COUNT(*) AS n_media,
+             SUM(octet_length(encode(text))) AS total_bytes,
+             SUM(CAST(ceil(length(text) / ${Media.FrameChars}.0) AS BIGINT))
+               AS total_frames
+      FROM documents GROUP BY 1"""))
+
+  override def queries: Seq[GQuery] = Seq(manifest, features, frames, kindStats)
+}

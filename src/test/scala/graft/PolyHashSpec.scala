@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.{PolyHash, TextHash}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen'd PolyHash expression must agree with the built-in HOF
+  * formulation (and with the scalar kernel) on real corpus data and edge
+  * cases — it replaces them on the hot path of every dedup / fingerprint
+  * query.
+  */
+class PolyHashSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = Session.get("polyhash-spec")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("native expression == HOF formulation on the documents corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bad = docs.select(
+      TextHash.polyHash(col("text")).as("native"),
+      TextHash.polyHashHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(bad.count() == 0)
+  }
+
+  test("edge cases: empty, null, single char, ascii boundary") {
+    val df = spark.createDataFrame(Seq(
+      (1, ""), (2, "a"), (3, "~"), (4, "hello world"))).toDF("id", "s")
+    val rows = df.select(col("id"), TextHash.polyHash(col("s")).as("h"))
+      .orderBy("id").collect()
+    assert(rows(0).getLong(1) == 0L)
+    assert(rows(1).getLong(1) == 'a'.toLong)
+    assert(rows(3).getLong(1) == PolyHash.hash("hello world"))
+    // null in → null out
+    val n = spark.sql("SELECT CAST(NULL AS STRING) AS s")
+      .select(TextHash.polyHash(col("s")).as("h")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("scalar kernel matches expression (shared by the multimodal stub)") {
+    assert(PolyHash.hash("") == 0L)
+    assert(PolyHash.hash("abc") == (('a' * 31L + 'b') * 31L + 'c') % PolyHash.Mod)
+  }
+}
