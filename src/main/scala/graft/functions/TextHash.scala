@@ -58,13 +58,24 @@ object TextHash {
       s"list_transform(regexp_extract_all($e, '(?s).'), c -> CAST(ord(c) AS BIGINT))), " +
       s"(a, c) -> (a * 31 + c) % $Mod)"
 
-  /** Distinct word 3-gram shingles as strings ("w1 w2 w3"). */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct word 3-gram shingles as strings ("w1 w2 w3").
+    *
+    * PERF: built as `zip_with` over three shifted `slice`s so `toks` appears
+    * only in HOF *argument* position (evaluated once per row). The obvious
+    * `transform(sequence(0, n-3), i => element_at(toks, i+...))` formulation
+    * puts `toks` inside the lambda body — Catalyst re-evaluates the full
+    * upstream expression tree per element, which turns an upstream regex
+    * tokenize into O(n²) per document.
+    */
+  def shingles3(toks: Column): Column = {
+    val n = greatest(size(toks) - 2, lit(0))
+    array_distinct(
+      zip_with(
+        zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(toks, lit(3), n),
+        (ab, c) => concat_ws(" ", ab, c)))
+  }
 
   /** DuckDB SQL for [[shingles3]] over a token-list expression `t`. */
   def sqlShingles3(t: String): String =
@@ -77,11 +88,17 @@ object TextHash {
     * b_i = 7919·(i+1). Standard universal-hash minwise scheme (Broder '97).
     */
   def minhashSig(shingleHashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      coalesce(
-        array_min(transform(shingleHashes,
-          s => ((lit(2) * i + 1) * s + lit(7919L) * (i + 1)) % Mod)),
-        lit(Mod))) // empty shingle set → sentinel Mod
+    // PERF: single pass — fold over the hashes keeping an element-wise-min
+    // accumulator of all k permutations, with `shingleHashes` in argument
+    // position. The loop-over-permutations formulation
+    // (transform(sequence(0, k-1), i => array_min(transform(hashes, ...))))
+    // re-evaluates the whole upstream shingle pipeline k times per row.
+    // Empty shingle set → sentinel Mod (the fold's initial value).
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(Mod), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, ((lit(2) * i + 1) * s + lit(7919L) * (i + 1)) % Mod)))
 
   /** DuckDB SQL for [[minhashSig]] over a BIGINT-list expression `hs`. */
   def sqlMinhashSig(hs: String, k: Int): String =

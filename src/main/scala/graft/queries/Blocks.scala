@@ -117,6 +117,92 @@ object Blocks extends QueryPack {
       JOIN read_json_auto('$T/block/*.json', $MaxObj) b2
         ON CAST(b2.result.block.header.height AS BIGINT) = b.height"""))
 
+  /** S3: header/meta-only scan over the 20-height `blockchain` pages — the
+    * cheap projection path (`HistoricalBlockHeaderFlow.kt:58`); in the DSv2
+    * connector this is what column pruning switches to.
+    */
+  val s3MetaScan = GQuery(
+    "s3_meta_scan",
+    (s, _) => FixtureSource.blockMetas(s, T, From, To)
+      .select("height", "chain_id", "num_txs", "block_size", "block_hash"),
+    Some(s"""
+      WITH m AS (SELECT unnest(result.block_metas) AS meta
+        FROM read_json_auto('$T/blockchain/*.json', $MaxObj))
+      SELECT DISTINCT CAST(meta.header.height AS BIGINT) AS height,
+             meta.header.chain_id AS chain_id,
+             CAST(meta.num_txs AS INT) AS num_txs,
+             CAST(meta.block_size AS BIGINT) AS block_size,
+             meta.block_id.hash AS block_hash
+      FROM m
+      WHERE CAST(meta.header.height AS BIGINT) BETWEEN $From AND $To"""))
+
+  /** P1: `filterNonEmptyIfSet` — 29 of the 100 historical fixture blocks
+    * carry txs (reference ground truth `EXPECTED_NONEMPTY_BLOCKS`,
+    * `testFixtures/.../utils/Constants.kt:12–36`).
+    */
+  val p1NonEmpty = GQuery(
+    "p1_skip_empty_blocks",
+    (s, _) => EventTables.blocks(
+      EventTables.filterNonEmpty(
+        FixtureSource.blocksRaw(s, T, From, To), skipEmpty = true))
+      .select("height", "num_txs"),
+    Some(s"""
+      SELECT CAST(result.block.header.height AS BIGINT) AS height,
+             len(COALESCE(result.block.data.txs, [])) AS num_txs
+      FROM read_json_auto('$T/block/*.json', $MaxObj)
+      WHERE CAST(result.block.header.height AS BIGINT) BETWEEN $From AND $To
+        AND len(COALESCE(result.block.data.txs, [])) > 0"""))
+
+  /** E3: tx_errors (`txErroredEvents`, `models/Extensions.kt:108`) — the
+    * fixture corpus has zero failed txs, and the oracle independently
+    * confirms the empty result; value-level semantics (defaults, fee ?: 0)
+    * are covered on synthetic raws in BlockCoreSpec.
+    */
+  val e3TxErrors = GQuery(
+    "e3_tx_errors",
+    (s, _) => EventTables.txErrors(FixtureSource.blocksRaw(s, T, From, To))
+      .select("block_height", "code", "info"),
+    Some(s"""
+      WITH br AS (
+        SELECT CAST(result.height AS BIGINT) AS height, result.txs_results AS txs
+        FROM read_json_auto('$T/block_results/*.json', $MaxObj)
+        WHERE CAST(result.height AS BIGINT) BETWEEN $From AND $To
+      ), tx AS (SELECT height, unnest(txs) AS t FROM br WHERE txs IS NOT NULL)
+      SELECT height AS block_height, CAST(t.code AS BIGINT) AS code,
+             COALESCE(t.log, '') AS info
+      FROM tx WHERE COALESCE(t.code, 0) != 0"""))
+
+  /** F3/F4: tx-hash derivation `upper(sha256(unbase64(tx)))`
+    * (`models/Extensions.kt:35,57`). Rows-only: DuckDB 1.0 cannot sha256 a
+    * BLOB (its VARCHAR cast hashes the escaped rendering, verified wrong);
+    * exact digests are asserted against independently computed constants in
+    * BlockCoreSpec.
+    */
+  val f4TxHashes = GQuery(
+    "f4_tx_hashes",
+    (s, _) => FixtureSource.blocksRaw(s, T, From, To)
+      .filter(size(coalesce(col("block.data.txs"), array())) > 0)
+      .select(
+        col("height"),
+        posexplode(BlockOps.txHashes(col("block.data.txs")))
+          .as(Seq("tx_index", "tx_hash"))),
+    None)
+
+  /** P6/K3: console observer's every-nth sampling
+    * (`ConsoleObserver.kt:41`) as a pure filter.
+    */
+  val p6Nth = GQuery(
+    "p6_nth_block_sample",
+    (s, _) => EventTables.blocks(FixtureSource.blocksRaw(s, T, From, To))
+      .filter(col("height") % 10 === 0)
+      .select("height", "num_txs"),
+    Some(s"""
+      SELECT CAST(result.block.header.height AS BIGINT) AS height,
+             len(COALESCE(result.block.data.txs, [])) AS num_txs
+      FROM read_json_auto('$T/block/*.json', $MaxObj)
+      WHERE CAST(result.block.header.height AS BIGINT) BETWEEN $From AND $To
+        AND CAST(result.block.header.height AS BIGINT) % 10 = 0"""))
+
   /** F13 protobuf fee decode — no SQL equivalent (DuckDB cannot parse the
     * protobuf tx body) → rows-only check; exact values are asserted against
     * an independent Python wire-format parse in BlockCoreSpec.
@@ -133,6 +219,7 @@ object Blocks extends QueryPack {
     None)
 
   override def queries: Seq[GQuery] =
-    Seq(s1Scan, e1TxEventsByType, e2BlockEventsByType, f10AttrKeys,
-      s13Combined, p2Filter, f13Fees)
+    Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
+      e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
+      p2Filter, p6Nth, f13Fees)
 }

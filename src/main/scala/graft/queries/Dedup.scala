@@ -51,9 +51,11 @@ object Dedup extends QueryPack {
   val ngramJaccard = GQuery(
     "dd2_ngram_jaccard_pairs",
     (s, dir) => {
-      val d = docs(s, dir).select(
-        col("doc_id"),
-        shingles3(tokens(col("text"))).as("sh"))
+      // staged projections: tokens → shingles each computed once per row
+      // (inlining them into one tree duplicates the regex tokenize)
+      val d = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shingles3(col("toks")).as("sh"))
       val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       // self-joined below: materialize once so the shingle pipeline isn't
       // planned (and executed) twice — at cluster scale this is a cached
@@ -71,9 +73,13 @@ object Dedup extends QueryPack {
           col("doc_a"), col("doc_b"),
           (col("common").cast("double") /
             (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
-      val rk = row_number().over(
-        Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")))
-      pairs.withColumn("rk", rk).filter(col("rk") <= 20)
+      // top-k via TakeOrderedAndProject (per-partition partial top-k, no
+      // single-partition window over the full pair set); the rank window
+      // then only sees the 20 survivors
+      val top = pairs
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
+      top.withColumn("rk", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))))
     },
     Some(s"""
       WITH d AS (
@@ -102,11 +108,12 @@ object Dedup extends QueryPack {
   val minhash = GQuery(
     "dd3_minhash_signatures",
     (s, dir) => docs(s, dir)
-      .select(
-        col("doc_id"),
-        posexplode(minhashSig(
-          transform(shingles3(tokens(col("text"))), sh => polyHash(sh)), 16))
-          .as(Seq("sig_index", "minhash"))),
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), sh => polyHash(sh)).as("hs"))
+      .select(col("doc_id"),
+        posexplode(minhashSig(col("hs"), 16)).as(Seq("sig_index", "minhash"))),
     Some(s"""
       WITH d AS (
         SELECT doc_id,
@@ -126,11 +133,12 @@ object Dedup extends QueryPack {
   val lshCandidates = GQuery(
     "dd4_minhash_lsh_pairs",
     (s, dir) => {
-      val sig = docs(s, dir).select(
-        col("doc_id"),
-        minhashSig(
-          transform(shingles3(tokens(col("text"))), sh => polyHash(sh)), 16)
-          .as("sig"))
+      val sig = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+        .select(col("doc_id"),
+          transform(col("sh"), sh => polyHash(sh)).as("hs"))
+        .select(col("doc_id"), minhashSig(col("hs"), 16).as("sig"))
       val bands = sig.select(
         col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)), b =>
@@ -206,9 +214,11 @@ object Dedup extends QueryPack {
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           (dotQ(col("a.qv"), col("b.qv")) / (col("a.norm") * col("b.norm")))
             .as("cosine"))
-      val rk = row_number().over(
-        Window.orderBy(col("cosine").desc, col("vec_a"), col("vec_b")))
-      pairs.withColumn("rk", rk).filter(col("rk") <= 20)
+      // top-k via TakeOrderedAndProject, not a global single-partition window
+      val top = pairs
+        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(20)
+      top.withColumn("rk", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))))
     },
     Some(s"""
       WITH q0 AS (

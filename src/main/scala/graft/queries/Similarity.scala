@@ -102,8 +102,10 @@ object Similarity extends QueryPack {
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored QUALIFY rank <= $K"""))
 
-  /** Range search: all corpus vectors within cosine ≥ 0.5 of each query —
-    * the thresholded variant (near-duplicate retrieval shape).
+  /** Range search: all corpus vectors within cosine ≥ 0.3 of each query —
+    * the thresholded variant (near-duplicate retrieval shape). 0.3 sits
+    * between p99 and p99.9 of the synthetic corpus' pair-cosine distribution
+    * so the result is small but non-empty at every scale factor.
     */
   val rangeSearch = GQuery(
     "sim3_range_search",
@@ -115,7 +117,7 @@ object Similarity extends QueryPack {
         .select(
           col("query_id"), col("vec_id").as("neighbor_id"),
           (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm"))).as("cosine"))
-        .filter(col("cosine") >= 0.5)
+        .filter(col("cosine") >= 0.3)
     },
     Some(s"""
       WITH q AS ($sqlQuantized),
@@ -126,7 +128,7 @@ object Similarity extends QueryPack {
              CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm)
                AS cosine
       FROM q c JOIN queries ON c.vec_id <> query_id
-      WHERE CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm) >= 0.5"""))
+      WHERE CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm) >= 0.3"""))
 
   override def queries: Seq[GQuery] = Seq(knnBrute, knnIvf, rangeSearch)
 }

@@ -107,10 +107,12 @@ object Text extends QueryPack {
     */
   val fingerprint = GQuery(
     "tx4_fingerprints",
-    (s, dir) => docs(s, dir).select(
-      col("doc_id"),
-      polyHash(col("text")).as("fingerprint"),
-      size(shingles3(tokens(col("text")))).cast("long").as("n_shingles")),
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        polyHash(col("text")).as("fingerprint"),
+        size(shingles3(col("toks"))).cast("long").as("n_shingles")),
     Some(s"""
       WITH t AS (
         SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
