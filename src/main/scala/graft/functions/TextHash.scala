@@ -145,8 +145,17 @@ object TextHash {
   def sqlQuantize(e: String): String =
     s"list_transform($e, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native codegen'd
+    * expression ([[DotQ]]); the built-in-only formulation is kept as
+    * [[dotQHof]] for the equivalence spec.
+    */
   def dotQ(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(DotQ(
+      org.apache.spark.sql.GraftColumn.expr(a),
+      org.apache.spark.sql.GraftColumn.expr(b)))
+
+  /** Reference formulation of [[dotQ]] with built-in HOFs only (interpreted). */
+  def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   def sqlDotQ(a: String, b: String): String =

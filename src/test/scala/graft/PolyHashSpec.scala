@@ -43,4 +43,21 @@ class PolyHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolyHash.hash("") == 0L)
     assert(PolyHash.hash("abc") == (('a' * 31L + 'b') * 31L + 'c') % PolyHash.Mod)
   }
+
+  test("native dotQ == HOF formulation on the embeddings corpus + edges") {
+    val q = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(TextHash.quantize(col("embedding")).as("qv"))
+    val bad = q.select(
+      TextHash.dotQ(col("qv"), col("qv")).as("native"),
+      TextHash.dotQHof(col("qv"), col("qv")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(bad.count() == 0)
+    // empty arrays → 0; length mismatch → null (zip_with padding semantics)
+    val edges = spark.sql(
+      """SELECT CAST(array() AS ARRAY<BIGINT>) AS a,
+                CAST(array(1, 2) AS ARRAY<BIGINT>) AS b""")
+    assert(edges.select(TextHash.dotQ(col("a"), col("a"))).head().getLong(0) == 0L)
+    assert(edges.select(TextHash.dotQ(col("a"), col("b"))).head().isNullAt(0))
+    assert(edges.select(TextHash.dotQHof(col("a"), col("b"))).head().isNullAt(0))
+  }
 }
