@@ -47,13 +47,34 @@ object FixtureSource {
                           schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("multiLine", "true").json(path)
 
+  /** Per-session cache of the assembled raw relations: the fixture corpus is
+    * a fixed small directory of pretty-printed JSON files (one record per
+    * file, multiLine reads), and every block query starts from the same
+    * scan+join — materialize it once per (session, range), the transport-
+    * level analogue of staging the source into a table.
+    */
+  private val rawCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Long, Long, Boolean), DataFrame]
+  private def cached(spark: SparkSession, dir: String, from: Long, to: Long,
+                     historical: Boolean)(build: => DataFrame): DataFrame =
+    rawCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, from, to, historical),
+      build.persist())
+
   /** Full blocks (`/block` + `/block_results` merged per height) →
     * [[BlockSchemas.raw]] rows. `from`/`to` bound the height range (S1
     * semantics: `historicalBlockDataFlow`, `HistoricalBlockFlow.kt:26`).
     */
   def blocksRaw(spark: SparkSession, dir: String,
                 from: Long = 1L, to: Long = Long.MaxValue,
-                historical: Boolean = true): DataFrame = {
+                historical: Boolean = true): DataFrame =
+    cached(spark, dir, from, to, historical) {
+      blocksRawUncached(spark, dir, from, to, historical)
+    }
+
+  private def blocksRawUncached(spark: SparkSession, dir: String,
+                                from: Long, to: Long,
+                                historical: Boolean): DataFrame = {
     val b = readJsonDir(spark, s"$dir/block/*.json", BlockSchemas.blockResponse)
       .select(
         col("result.block").as("block"),
