@@ -81,25 +81,34 @@ object Media {
 
   /** Column-expression twin of [[decodeStub]] — stays in codegen, and is
     * reproducible in DuckDB SQL ([[sqlFeature]]) for the oracle.
+    *
+    * PERF: an explicit `array(...)` of literal-offset slices, not
+    * `transform(sequence(0, n-1), d => ...)` — the dimension count is a
+    * compile-time constant, and keeping `text` out of a lambda body avoids
+    * per-element re-evaluation of whatever expression feeds it (HOF lambdas
+    * are interpreted with no CSE).
     */
   def featureExprs(text: Column): Column =
-    transform(sequence(lit(0), lit(NFeatures - 1)), d =>
-      TextHash.polyHash(substring(text, d * FeatureSpan + 1, lit(FeatureSpan))))
+    array((0 until NFeatures).map(d =>
+      TextHash.polyHash(
+        substring(text, lit(d * FeatureSpan + 1), lit(FeatureSpan)))): _*)
 
   def sqlFeature(e: String, d: Int): String =
     TextHash.sqlPolyHash(s"substr($e, ${d * FeatureSpan + 1}, $FeatureSpan)")
 
   /** Frame sampling (video-style): split into [[FrameChars]]-char frames,
     * keep every `step`-th up to `maxFrames`, hash each — pure array ops.
+    * Literal frame offsets for the same reason as [[featureExprs]].
     */
   def sampleFrames(text: Column, step: Int, maxFrames: Int): Column =
     filter(
-      transform(sequence(lit(0), lit(maxFrames - 1)), i =>
+      array((0 until maxFrames).map { i =>
+        val slice = substring(text, lit(i * step * FrameChars + 1), lit(FrameChars))
         struct(
-          (i * step).as("frame_index"),
-          TextHash.polyHash(substring(text, i * step * FrameChars + 1, lit(FrameChars)))
-            .as("frame_hash"),
-          length(substring(text, i * step * FrameChars + 1, lit(FrameChars))).as("frame_len"))),
+          lit(i * step).as("frame_index"),
+          TextHash.polyHash(slice).as("frame_hash"),
+          length(slice).as("frame_len"))
+      }: _*),
       f => f("frame_len") > 0)
 
   /** "Resize": truncate-or-pad a feature vector to `k` dims (pad value 0) —

@@ -42,9 +42,10 @@ object Multimodal extends QueryPack {
   val features = GQuery(
     "mm2_media_features",
     (s, dir) => media(s, dir)
+      .select(col("media_id"), col("content").cast("string").as("t"))
       .select(
         col("media_id"),
-        posexplode(Media.featureExprs(col("content").cast("string")))
+        posexplode(Media.featureExprs(col("t")))
           .as(Seq("feat_idx", "feat_val"))),
     Some(s"""
       SELECT doc_id AS media_id,
@@ -57,9 +58,10 @@ object Multimodal extends QueryPack {
   val frames = GQuery(
     "mm3_frame_sample",
     (s, dir) => media(s, dir)
+      .select(col("media_id"), col("content").cast("string").as("t"))
       .select(
         col("media_id"),
-        explode(Media.sampleFrames(col("content").cast("string"), 2, 8)).as("f"))
+        explode(Media.sampleFrames(col("t"), 2, 8)).as("f"))
       .select(col("media_id"), col("f.frame_index"), col("f.frame_hash")),
     Some(s"""
       WITH f AS (
