@@ -8,6 +8,12 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    // warm the JVM/codegen/catalog paths once so first-query timings measure
+    // the query, not process startup
+    try {
+      spark.range(16).selectExpr("sum(id)").count()
+      Tables.load(spark, sfDir, "documents").limit(1).count()
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
