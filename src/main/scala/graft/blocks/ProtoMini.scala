@@ -27,6 +27,7 @@ object ProtoMini {
     def varint(): Long = {
       var v = 0L; var s = 0
       while (true) {
+        if (pos >= end) throw new IllegalArgumentException("varint past end")
         val b = buf(pos); pos += 1
         v |= (b & 0x7fL) << s
         if ((b & 0x80) == 0) return v
@@ -38,9 +39,12 @@ object ProtoMini {
     /** returns (fieldNumber, wireType); positions at the value. */
     def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
     def lenDelimited(): (Int, Int) = { // (start, end) of the nested bytes
-      val l = varint().toInt
-      val s = pos; pos += l
-      if (pos > end) throw new IllegalArgumentException("truncated length-delimited field")
+      val l = varint()
+      // reject before moving pos: a 32-bit-overflowing length would go
+      // negative and walk pos BACKWARDS past the end check (infinite loop)
+      if (l < 0 || l > end - pos)
+        throw new IllegalArgumentException("bad length-delimited size")
+      val s = pos; pos += l.toInt
       (s, pos)
     }
     def skip(wireType: Int): Unit = wireType match {

@@ -159,7 +159,14 @@ object TextHash {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   def sqlDotQ(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+    // guard matches DotQ's null semantics: NULL on length mismatch or any
+    // null element (DuckDB's list_zip would pad and list_sum would skip,
+    // silently returning a partial overlap sum instead)
+    s"CASE WHEN len($a) = len($b) " +
+      s"AND len(list_filter($a, x -> x IS NULL)) = 0 " +
+      s"AND len(list_filter($b, x -> x IS NULL)) = 0 " +
+      s"THEN list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) " +
+      s"ELSE NULL END"
 
   /** Cosine similarity on quantized vectors: exact integer dot / sqrt norms.
     * sqrt and division are correctly-rounded IEEE ops on identical integer

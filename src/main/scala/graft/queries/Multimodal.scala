@@ -89,9 +89,9 @@ object Multimodal extends QueryPack {
         sum(col("meta.n_frames").cast("long")).as("total_frames")),
     Some(s"""
       SELECT $sqlKind AS kind, COUNT(*) AS n_media,
-             SUM(octet_length(encode(text))) AS total_bytes,
-             SUM(CAST(ceil(length(text) / ${Media.FrameChars}.0) AS BIGINT))
-               AS total_frames
+             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             CAST(SUM(CAST(ceil(length(text) / ${Media.FrameChars}.0) AS BIGINT))
+               AS BIGINT) AS total_frames
       FROM documents GROUP BY 1"""))
 
   override def queries: Seq[GQuery] = Seq(manifest, features, frames, kindStats)

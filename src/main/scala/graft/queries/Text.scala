@@ -133,8 +133,9 @@ object Text extends QueryPack {
         sum(col("n_chars")).as("total_chars")),
     Some("""
       SELECT lang, source, COUNT(*) AS n_docs,
-             SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
-             SUM(n_chars) AS total_chars
+             CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY 1, 2"""))
 
   override def queries: Seq[GQuery] =
