@@ -43,6 +43,9 @@ object FixtureSource {
       .getOrElse(throw new IllegalStateException(s"no last_block_height in $dir/abci_info"))
   }
 
+  // NOTE: pass the DIRECTORY, not a `*.json` glob — the fixture dirs hold
+  // only JSON files, and a glob makes FileStreamSink.hasMetadata log a scary
+  // (but harmless) FileNotFoundException stack on every uncached read.
   private def readJsonDir(spark: SparkSession, path: String,
                           schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("multiLine", "true").json(path)
@@ -75,13 +78,13 @@ object FixtureSource {
   private def blocksRawUncached(spark: SparkSession, dir: String,
                                 from: Long, to: Long,
                                 historical: Boolean): DataFrame = {
-    val b = readJsonDir(spark, s"$dir/block/*.json", BlockSchemas.blockResponse)
+    val b = readJsonDir(spark, s"$dir/block", BlockSchemas.blockResponse)
       .select(
         col("result.block").as("block"),
         col("result.block_id").as("block_id"))
       .withColumn("height", col("block.header.height").cast("long"))
       .filter(col("height").between(from, to))
-    val r = readJsonDir(spark, s"$dir/block_results/*.json", BlockSchemas.blockResultsResponse)
+    val r = readJsonDir(spark, s"$dir/block_results", BlockSchemas.blockResultsResponse)
       .select(
         col("result.height").cast("long").as("r_height"),
         col("result.txs_results").as("txs_results"),
@@ -105,7 +108,7 @@ object FixtureSource {
     */
   def blockMetas(spark: SparkSession, dir: String,
                  from: Long = 1L, to: Long = Long.MaxValue): DataFrame =
-    readJsonDir(spark, s"$dir/blockchain/*.json", BlockSchemas.blockchainResponse)
+    readJsonDir(spark, s"$dir/blockchain", BlockSchemas.blockchainResponse)
       .select(explode(col("result.block_metas")).as("meta"))
       .select(
         col("meta.header.height").cast("long").as("height"),
@@ -127,7 +130,7 @@ object FixtureSource {
     * heights, flagged `historical=false`.
     */
   def liveHeights(spark: SparkSession, dir: String): Seq[Long] = {
-    readJsonDir(spark, s"$dir/live/*.json", BlockSchemas.newBlockEnvelope)
+    readJsonDir(spark, s"$dir/live", BlockSchemas.newBlockEnvelope)
       .select(col("result.data.value.block.header.height").cast("long").as("height"))
       .collect().map(_.getLong(0)).sorted.toSeq
   }

@@ -174,4 +174,41 @@ object TextHash {
     */
   def cosQ(a: Column, b: Column): Column =
     dotQ(a, b) / (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  // === random-hyperplane LSH (sign-bucket ANN, Charikar '02) ==========
+
+  /** Signed dot of a quantized vector with deterministic pseudo-random
+    * hyperplane `r`: coefficient for dimension d is a small signed integer
+    * h(r,d) = ((2r+3)(d²+1) + 7919(r+1)(d+1)) mod 101 − 50. All-integer and
+    * reproduced digit-for-digit by [[sqlHplaneDot]], so bucket assignment is
+    * oracle-checkable (|dot| ≤ dims·10⁴·50 ≪ 2⁵³ — exact everywhere).
+    * PERF: `qv` stays in HOF argument position (zip_with input), never in a
+    * lambda body — see the re-evaluation trap note on [[shingles3]].
+    */
+  def hplaneDot(qv: Column, r: Int): Column =
+    aggregate(
+      zip_with(qv, sequence(lit(0), size(qv) - 1),
+        (x, d) => x * (((lit(2L * r + 3) * (d * d + 1) +
+          lit(7919L * (r + 1)) * (d + 1)) % 101) - 50)),
+      lit(0L), (acc, v) => acc + v)
+
+  def sqlHplaneDot(e: String, r: Int): String =
+    s"list_sum(list_transform(list_zip($e, range(0, len($e))), " +
+      s"x -> x[1] * (((${2L * r + 3} * (x[2]*x[2] + 1) + " +
+      s"${7919L * (r + 1)} * (x[2] + 1)) % 101) - 50)))"
+
+  /** LSH bucket id: bit r set iff the vector lies on the non-negative side of
+    * hyperplane r. Vectors in the same bucket agree on all `planes` signs —
+    * the candidate-generation key for ANN at scale (join on bucket, never a
+    * cross join).
+    */
+  def lshBucket(qv: Column, planes: Int): Column =
+    (0 until planes).map { r =>
+      when(hplaneDot(qv, r) >= 0, lit(1L << r)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def sqlLshBucket(e: String, planes: Int): String =
+    (0 until planes).map { r =>
+      s"(CASE WHEN ${sqlHplaneDot(e, r)} >= 0 THEN ${1L << r} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

@@ -130,5 +130,49 @@ object Similarity extends QueryPack {
       FROM q c JOIN queries ON c.vec_id <> query_id
       WHERE CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm) >= 0.3"""))
 
-  override def queries: Seq[GQuery] = Seq(knnBrute, knnIvf, rangeSearch)
+  /** Random-hyperplane LSH ANN (Charikar sign buckets, 8 planes): candidates
+    * share the query's full sign bucket; same exact scoring math. This is the
+    * data-independent scale path (no training pass, unlike IVF): bucket
+    * assignment is a per-row projection, candidate generation a co-located
+    * equi-join on the bucket key — at 100 TB both sides bucket-partition on
+    * uniform keys and the scored candidate set shrinks ~2^planes-fold.
+    * (Production would probe multi-table / neighboring buckets for recall;
+    * one table keeps the oracle exact.)
+    */
+  val knnLsh = GQuery(
+    "sim4_knn_lsh_bucket",
+    (s, dir) => {
+      val q = quantized(s, dir).withColumn("bucket", lshBucket(col("qv"), 8))
+      val queries = q.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("bucket").as("q_bucket"),
+          col("qv").as("q_qv"), col("norm").as("q_norm"))
+      val scored = q.join(broadcast(queries),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm"))).as("cosine"))
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id")))
+      scored.withColumn("rank", rk).filter(col("rank") <= K)
+    },
+    Some(s"""
+      WITH q0 AS ($sqlQuantized),
+      q AS (
+        SELECT vec_id, qv, norm, ${sqlLshBucket("qv", 8)} AS bucket
+        FROM q0),
+      queries AS (
+        SELECT vec_id AS query_id, bucket AS q_bucket, qv AS q_qv, norm AS q_norm
+        FROM q WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm)
+                 AS cosine
+        FROM q c JOIN queries ON c.bucket = q_bucket AND c.vec_id <> query_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored QUALIFY rank <= $K"""))
+
+  override def queries: Seq[GQuery] = Seq(knnBrute, knnIvf, rangeSearch, knnLsh)
 }

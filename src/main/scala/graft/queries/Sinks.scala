@@ -78,5 +78,48 @@ object Sinks extends QueryPack {
              CAST(COALESCE(br.n_tx_errors, 0) AS INT) AS n_tx_errors
       FROM b LEFT JOIN br USING (height) LEFT JOIN te USING (height)"""))
 
-  override def queries: Seq[GQuery] = Seq(k2Manifest, k4Keys, e6StreamBlock)
+  /** S15/K5/F15: full Kafka round-trip — serialize `StreamBlock`s to
+    * (key, value) frames, decode the JSON value back through
+    * [[BlockSinks.decodeKafkaFrames]] (the engine's Kafka source projection),
+    * and re-derive the K2 file path from the DECODED record. Checks the
+    * to_json/from_json schema is lossless where it matters (height, chain
+    * key, event counts survive the trip); lazy-decode T11 falls out of
+    * column pruning on the `from_json` projection.
+    */
+  val k5Roundtrip = GQuery(
+    "k5_kafka_roundtrip",
+    (s, _) => {
+      val frames = BlockSinks.kafkaFrames(FixtureSource.blocksRaw(s, T, From, To))
+      BlockSinks.decodeKafkaFrames(frames, s)
+        .select(
+          col("height"),
+          concat(col("chain_id"), lit("."), col("height")).as("kafka_key"),
+          BlockSinks.filePath(col("height")).as("rel_path"),
+          size(col("txEvents")).as("n_tx_events"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT CAST(result.block.header.height AS BIGINT) AS height,
+               result.block.header.chain_id AS chain_id
+        FROM read_json_auto('$T/block/*.json', $MaxObj)
+        WHERE CAST(result.block.header.height AS BIGINT) BETWEEN $From AND $To),
+      br AS (
+        SELECT CAST(result.height AS BIGINT) AS height,
+               result.txs_results AS txs
+        FROM read_json_auto('$T/block_results/*.json', $MaxObj)
+        WHERE CAST(result.height AS BIGINT) BETWEEN $From AND $To),
+      te AS (
+        SELECT height, COALESCE(SUM(len(t.events)), 0) AS n_tx_events
+        FROM (SELECT height, unnest(txs) AS t FROM br WHERE txs IS NOT NULL)
+        GROUP BY height)
+      SELECT b.height,
+             b.chain_id || '.' || CAST(b.height AS VARCHAR) AS kafka_key,
+             substr(upper(sha256(CAST(b.height AS VARCHAR))), 1, 4)
+               || '/' || lpad(CAST(b.height AS VARCHAR), 10, '0')
+               || '.json' AS rel_path,
+             CAST(COALESCE(te.n_tx_events, 0) AS INT) AS n_tx_events
+      FROM b LEFT JOIN te USING (height)"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(k2Manifest, k4Keys, e6StreamBlock, k5Roundtrip)
 }

@@ -138,6 +138,51 @@ object Text extends QueryPack {
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY 1, 2"""))
 
+  /** TF-IDF top terms per language — the corpus-characterization query every
+    * pipeline runs after language split. Two shuffles total (tf groupBy, df
+    * groupBy), both on uniform token keys; the corpus size joins in as a
+    * broadcast scalar; top-5 per language is a bounded window over the
+    * (small) per-language term aggregate, not over raw tokens.
+    * ln/division on identical inputs are sub-ulp-stable across engines —
+    * far inside the oracle's 6-significant-digit float compare.
+    */
+  val tfidfTopTerms = GQuery(
+    "tx6_tfidf_top_terms",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "token").crossJoin(broadcast(n))
+        .select(
+          col("lang"), col("token"), col("tf"),
+          (col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      val rk = row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("tfidf").desc, col("token")))
+      scored.withColumn("rk", rk).filter(col("rk") <= 5)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS token
+        FROM documents),
+      tf AS (SELECT lang, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT lang, token, tf,
+               CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n)
+      SELECT lang, token, tf, tfidf,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY tfidf DESC, token) AS rk
+      FROM scored QUALIFY rk <= 5"""))
+
   override def queries: Seq[GQuery] =
-    Seq(tokenCounts, quality, langId, fingerprint, corpusStats)
+    Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms)
 }

@@ -102,10 +102,17 @@ object BlockSinks {
           t => t("code") =!= 0L).as("txErrors"))
   }
 
-  /** The serialized `StreamBlock` value schema (for Kafka round-trips). */
-  def streamBlockSchema(spark: SparkSession): StructType =
-    streamBlocks(spark.createDataFrame(
-      new java.util.ArrayList[Row](), BlockSchemas.raw)).schema
+  /** The serialized `StreamBlock` value schema (for Kafka round-trips).
+    * Session-independent; derived once by analyzing the assembly over an
+    * empty frame, then cached.
+    */
+  @volatile private var sbSchema: StructType = _
+  def streamBlockSchema(spark: SparkSession): StructType = {
+    if (sbSchema == null)
+      sbSchema = streamBlocks(spark.createDataFrame(
+        new java.util.ArrayList[Row](), BlockSchemas.raw)).schema
+    sbSchema
+  }
 
   /** K2 frames: (height, rel_path, json) — everything the file writer needs. */
   def fileFrames(raw: DataFrame): DataFrame =
@@ -128,9 +135,21 @@ object BlockSinks {
         }
     }
 
-  /** K2 as a `foreachBatch` function. */
-  def fileSink(dir: String): (DataFrame, Long) => Unit =
-    (batch, _) => writeFileBatch(fileFrames(batch), dir)
+  /** K2 as a `foreachBatch` function.
+    *
+    * W6 (`ordered`, `EventStream.kt:121–127` / `BlockStreamOptions.kt:18`):
+    * ordered mode writes strictly in ascending-height order through a single
+    * partition (the reference's `flatMapConcat`); the default keeps the
+    * parallel unordered partitions (`flatMapMerge`) — higher throughput,
+    * identical file set (paths are height-derived and idempotent).
+    */
+  def fileSink(dir: String, ordered: Boolean = false): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val frames = fileFrames(batch)
+      writeFileBatch(
+        if (ordered) frames.orderBy(col("height")).coalesce(1) else frames,
+        dir)
+    }
 
   /** K4 frames: Kafka-ready (key, value) binary columns; key =
     * `"<chainId>.<height>"` (`KafkaBlockSink.kt:30`), value = the JSON
@@ -149,6 +168,21 @@ object BlockSinks {
     frames.select(
       from_json(col("value").cast("string"), streamBlockSchema(spark)).as("sb"))
       .select(col("sb.*"))
+
+  /** K5 (`KafkaFileOutput.kt:17`): decode Kafka-sourced frames back to the
+    * one-file-per-block layout — the S15 source projection composed with the
+    * K2 writer.
+    */
+  def kafkaFileSink(dir: String, spark: SparkSession): (DataFrame, Long) => Unit =
+    (frames, _) => {
+      val sb = decodeKafkaFrames(frames, spark)
+      writeFileBatch(
+        sb.select(
+          col("height"),
+          filePath(col("height")).as("rel_path"),
+          to_json(struct(col("*"))).as("json")),
+        dir)
+    }
 
   /** K3: console sampling — every `nth` block (`ConsoleObserver.kt:41`). */
   def consoleSample(raw: DataFrame, nth: Int): DataFrame =

@@ -26,6 +26,8 @@ import scala.jdk.CollectionConverters._
   *     buffer, `MultiplexFlow.kt:74`)
   *
   * Options: `path` (fixture dir for the file transport), `from`, `to`,
+  * `heights` (S2: explicit comma-separated height list, `List<Long>
+  * .toBlockData`, `HistoricalBlockFlow.kt:52` — batch mode only),
   * `heightsPerPartition` (default 128 = reference `DEFAULT_BATCH_SIZE`),
   * `maxHeightsPerTrigger` (default 10000 = reference live buffer).
   */
@@ -135,12 +137,26 @@ class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
     (from, to)
   }
 
+  /** S2: explicit height list (`List<Long>.toBlockData`,
+    * `HistoricalBlockFlow.kt:52`) — still intersected with pushed height
+    * predicates so partition pruning applies on top.
+    */
+  private val explicitHeights: Option[Seq[Long]] =
+    Option(options.get("heights"))
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSeq.distinct.sorted)
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val c = client
       val (from, to) = bounds(c)
       val cur = c.currentHeight()
-      c.availableHeights(from, to)
+      val inRange = c.availableHeights(from, to)
+      val heights = explicitHeights match {
+        case Some(list) => val avail = inRange.toSet; list.filter(avail.contains)
+        case None => inRange
+      }
+      heights
         .grouped(heightsPerPartition)
         .map(hs => HeightRangePartition(hs.toArray, cur, metaMode))
         .toArray[InputPartition]

@@ -136,4 +136,45 @@ class BlockFeedSpec extends AnyFunSuite {
     }
     assert(filterData(Iterator(load("empty"), load("unknown"), live)).size === 1)
   }
+
+  test("explicit height list scan (S2) intersects with pushed predicates") {
+    val df = read("heights" -> "2270469, 2270375,2270370,2270380,2270375, 9999999")
+    // deduped, missing heights dropped, all four present
+    assert(df.select("height").collect().map(_.getLong(0)).sorted
+      === Array(2270370L, 2270375L, 2270380L, 2270469L))
+    // height predicates still prune on top of the explicit list
+    assert(df.filter(col("height") >= 2270380L).count() === 2L)
+    // meta-only projection keeps working over the list
+    val meta = read("heights" -> "2270370,2270380")
+      .select("height", "num_txs")
+    assert(meta.queryExecution.executedPlan.toString.contains("mode=meta"))
+    assert(meta.count() === 2L)
+  }
+
+  test("streaming time-window agg with watermark over the feed (W1/T7)") {
+    val src = spark.readStream.format("blockfeed")
+      .option("path", T).option("from", "2270370")
+      .option("maxHeightsPerTrigger", "40")
+      .load()
+    val agg = src
+      .withWatermark("time", "10 minutes")
+      .groupBy(window(col("time"), "1 minute"))
+      .agg(count(lit(1)).as("n_blocks"), max(col("height")).as("max_height"))
+    val q = agg.writeStream.format("memory").queryName("bf_win")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bf_win")
+      .select(col("window.start").as("ws"), col("n_blocks"), col("max_height"))
+      .cache()
+    // every one of the 106 combined blocks lands in exactly one window
+    assert(got.agg(sum(col("n_blocks"))).head().getLong(0) === 106L)
+    // streaming result ≡ the same window agg computed in batch (S12 path)
+    val batch = FixtureSource.combinedRaw(spark, T, 2270370L)
+      .groupBy(window(col("time"), "1 minute"))
+      .agg(count(lit(1)).as("n_blocks"), max(col("height")).as("max_height"))
+      .select(col("window.start").as("ws"), col("n_blocks"), col("max_height"))
+    assert(got.except(batch).count() === 0L)
+    assert(batch.except(got).count() === 0L)
+  }
 }

@@ -82,4 +82,37 @@ class BlockSinksSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("height").collect().map(_.getLong(0)).sorted
     assert(hs.nonEmpty && hs.forall(_ % 10 == 0))
   }
+
+  test("W6 ordered sink: ascending single-partition writes, same file set") {
+    val ord = java.nio.file.Files.createTempDirectory("w6ord").toString
+    val unord = java.nio.file.Files.createTempDirectory("w6un").toString
+    BlockSinks.fileSink(ord, ordered = true)(raw, 0L)
+    BlockSinks.fileSink(unord)(raw, 0L)
+    import scala.jdk.CollectionConverters._
+    def rel(dir: String) =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".json"))
+        .map(p => java.nio.file.Paths.get(dir).relativize(p).toString).toSet
+    assert(rel(ord) === rel(unord) && rel(ord).size === 100)
+    // the ordered plan is one partition emitting strictly ascending heights
+    // (the reference's flatMapConcat semantics, EventStream.kt:121)
+    val frames = BlockSinks.fileFrames(raw).orderBy(col("height")).coalesce(1)
+    assert(frames.rdd.getNumPartitions === 1)
+    val hs = frames.select("height").collect().map(_.getLong(0))
+    assert(hs.toSeq === hs.sorted.toSeq)
+  }
+
+  test("K5: Kafka frames decode back out to the K2 file layout") {
+    val dir = java.nio.file.Files.createTempDirectory("k5sink").toString
+    val frames = BlockSinks.kafkaFrames(raw)
+    BlockSinks.kafkaFileSink(dir, spark)(frames, 0L)
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.filter(_.toString.endsWith(".json")).toSeq
+    assert(files.size === 100)
+    // decoded-record fidelity: the re-serialized JSON still carries the
+    // height and the flattened event lists
+    val txt = new String(java.nio.file.Files.readAllBytes(files.head), "UTF-8")
+    assert(txt.contains("\"height\":") && txt.contains("\"txEvents\":"))
+  }
 }
