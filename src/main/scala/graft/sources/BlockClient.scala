@@ -36,6 +36,45 @@ trait BlockClient extends Serializable {
   def metaPages(from: Long, to: Long): Seq[String]
 }
 
+/** T4: transport-level retry with the reference's backoff policy —
+  * `base · 2^attempt ± 25% jitter` (`utils/Backoff.kt:30`, base 1 s
+  * `Backoff.kt:12`), retryable I/O failures only, everything else rethrown
+  * (the `shouldRetryFn` partition, `MultiplexFlow.kt:36–55`). Task-level
+  * `spark.task.maxFailures` sits above this; the decorator keeps transient
+  * network blips from burning whole task attempts.
+  */
+final class RetryingBlockClient(
+    inner: BlockClient,
+    maxAttempts: Int = 5,
+    baseWaitMillis: Long = 1000L,
+    sleeper: Long => Unit = Thread.sleep)
+  extends BlockClient {
+
+  private def retry[T](op: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case _: java.io.IOException if attempt < maxAttempts - 1 =>
+          val base = baseWaitMillis * (1L << attempt)
+          val jitter = (base * 0.25 * (2 * scala.util.Random.nextDouble() - 1)).toLong
+          sleeper(math.max(0L, base + jitter))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def currentHeight(): Long = retry(inner.currentHeight())
+  override def availableHeights(from: Long, to: Long): Seq[Long] =
+    retry(inner.availableHeights(from, to))
+  override def block(height: Long): Option[String] = retry(inner.block(height))
+  override def blockResults(height: Long): Option[String] =
+    retry(inner.blockResults(height))
+  override def metaPages(from: Long, to: Long): Seq[String] =
+    retry(inner.metaPages(from, to))
+}
+
 /** Reads the reference's golden template layout (FIXTURES.md §A). */
 final class FileBlockClient(dir: String) extends BlockClient {
 

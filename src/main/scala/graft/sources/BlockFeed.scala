@@ -247,7 +247,10 @@ class BlockFeedReaderFactory(path: String, prunedOrdinals: Array[Int],
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[HeightRangePartition]
-    new BlockFeedPartitionReader(new FileBlockClient(path), p, prunedOrdinals, minNumTxs)
+    // T4: executor-side fetches retry transient I/O with the reference's
+    // exponential backoff before surfacing a task failure
+    new BlockFeedPartitionReader(
+      new RetryingBlockClient(new FileBlockClient(path)), p, prunedOrdinals, minNumTxs)
   }
 }
 

@@ -137,6 +137,39 @@ class BlockFeedSpec extends AnyFunSuite {
     assert(filterData(Iterator(load("empty"), load("unknown"), live)).size === 1)
   }
 
+  test("retry decorator: exponential backoff with jitter on I/O errors (T4)") {
+    import graft.sources.{BlockClient, RetryingBlockClient}
+    var calls = 0
+    val flaky = new BlockClient {
+      override def currentHeight(): Long = {
+        calls += 1
+        if (calls < 3) throw new java.io.IOException("transient")
+        42L
+      }
+      override def availableHeights(from: Long, to: Long) = Seq.empty
+      override def block(h: Long) = None
+      override def blockResults(h: Long) = None
+      override def metaPages(f: Long, t: Long) =
+        throw new IllegalStateException("fatal")
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val c = new RetryingBlockClient(flaky, maxAttempts = 5,
+      baseWaitMillis = 100L, sleeper = sleeps += _)
+    assert(c.currentHeight() === 42L && calls === 3)
+    // two waits: 100·2^0 and 100·2^1, each ±25% jitter
+    assert(sleeps.length === 2)
+    assert(sleeps(0) >= 75 && sleeps(0) <= 125)
+    assert(sleeps(1) >= 150 && sleeps(1) <= 250)
+    // non-retryable errors surface immediately (MultiplexFlow.kt:47)
+    intercept[IllegalStateException](c.metaPages(1L, 2L))
+    // retryable errors exhaust maxAttempts then surface
+    calls = -100
+    intercept[java.io.IOException] {
+      new RetryingBlockClient(flaky, maxAttempts = 2, baseWaitMillis = 1L,
+        sleeper = _ => ()).currentHeight()
+    }
+  }
+
   test("explicit height list scan (S2) intersects with pushed predicates") {
     val df = read("heights" -> "2270469, 2270375,2270370,2270380,2270375, 9999999")
     // deduped, missing heights dropped, all four present
