@@ -142,4 +142,22 @@ object EventTables {
       raw.filter(txMatch || blockMatch)
     }
   }
+
+  // === SQL surface ====================================================
+
+  /** Register the engine's canonical relational views as temp views so the
+    * whole surface is reachable from `spark.sql(...)` — `raw_blocks`,
+    * `blocks`, `tx_events`, `block_events`, `tx_errors` (the preferred flat
+    * tables of SURVEY §2.4 E6). Works identically over a batch fixture read
+    * or a blockfeed connector frame; combined with
+    * [[graft.Tables.registerAll]] this is the full catalog a reference user
+    * queries after switching.
+    */
+  def registerAll(raw: DataFrame): Unit = {
+    raw.createOrReplaceTempView("raw_blocks")
+    blocks(raw).createOrReplaceTempView("blocks")
+    txEvents(raw).createOrReplaceTempView("tx_events")
+    blockEvents(raw).createOrReplaceTempView("block_events")
+    txErrors(raw).createOrReplaceTempView("tx_errors")
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.blocks.{EventTables, FixtureSource}
+import graft.functions.Salt
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql` surface: every canonical view registered and queryable in
+  * plain SQL, plus the skew-salting helpers' equivalence guarantees.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  private val T = FixtureSource.DefaultTemplates
+  private lazy val spark: SparkSession = Session.builder("sql-test").getOrCreate()
+
+  test("registered views answer SQL over the full catalog") {
+    EventTables.registerAll(FixtureSource.blocksRaw(spark, T, 2270370L, 2270469L))
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // fixture ground truths through SQL
+    assert(spark.sql("SELECT count(*) FROM blocks").head().getLong(0) === 100L)
+    assert(spark.sql("SELECT count(*) FROM tx_events").head().getLong(0) === 9838L)
+    assert(spark.sql(
+      "SELECT count(*) FROM blocks WHERE NOT is_empty").head().getLong(0) === 29L)
+    // a join across views (blocks ⋈ tx_events)
+    val j = spark.sql("""
+      SELECT b.height, count(*) AS n
+      FROM blocks b JOIN tx_events e ON b.height = e.block_height
+      GROUP BY b.height ORDER BY n DESC LIMIT 1""").head()
+    assert(j.getLong(1) > 0)
+    // synthetic tables answer SQL through the same session catalog
+    assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+  }
+
+  test("salted join and salted aggregation match their unsalted plans") {
+    // decimal value: double sums are order-dependent and the salted plans
+    // legitimately re-associate the partials (repo ground rule — see GQuery)
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_id"),
+        col("value").cast("decimal(18,2)").as("value"))
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+    val plain = ev.join(dim, Seq("user_id"))
+      .groupBy("user_id").agg(sum(col("value")).as("s"), max("user_events").as("ue"))
+    val salted = Salt.saltedJoin(ev, dim, "user_id", 8, col("event_id"))
+      .groupBy("user_id").agg(sum(col("value")).as("s"), max("user_events").as("ue"))
+    assert(salted.except(plain).count() === 0L)
+    assert(plain.except(salted).count() === 0L)
+
+    val plainAgg = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val saltedAgg = Salt.saltedSumCount(ev, "user_id", col("value"), 8, col("event_id"))
+    assert(saltedAgg.except(plainAgg).count() === 0L)
+    assert(plainAgg.except(saltedAgg).count() === 0L)
+  }
+}
