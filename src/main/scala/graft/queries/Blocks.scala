@@ -218,8 +218,69 @@ object Blocks extends QueryPack {
         count(lit(1)).as("n_txs")),
     None)
 
+  // === the same semantics THROUGH the DSv2 connector ==================
+  // These put the blockfeed connector's batch machinery — partition
+  // planning, height pushdown, meta-mode column pruning, the executor-side
+  // readers — on the driver's oracle gate, not only on specs.
+
+  private def feed(s: org.apache.spark.sql.SparkSession,
+                   opts: (String, String)*): org.apache.spark.sql.DataFrame = {
+    val r = s.read.format("blockfeed").option("path", T)
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  /** S1/S3 via the connector: the meta-safe projection flips the scan to the
+    * cheap 20-height `/blockchain` page path (column pruning, §4).
+    */
+  val s1Connector = GQuery(
+    "s1b_connector_scan",
+    (s, _) => feed(s, "from" -> From.toString, "to" -> To.toString)
+      .select("height", "chain_id", "num_txs"),
+    Some(s"""
+      SELECT CAST(result.block.header.height AS BIGINT) AS height,
+             result.block.header.chain_id AS chain_id,
+             len(COALESCE(result.block.data.txs, [])) AS num_txs
+      FROM read_json_auto('$T/block/*.json', $MaxObj)
+      WHERE CAST(result.block.header.height AS BIGINT) BETWEEN $From AND $To"""))
+
+  /** S2 via the connector: explicit height list planned as its own
+    * partitions (`List<Long>.toBlockData`, `HistoricalBlockFlow.kt:52`).
+    */
+  val s2HeightList = GQuery(
+    "s2_height_list_scan",
+    (s, _) => feed(s, "heights" -> s"$From,2270400,2270444,$To")
+      .select("height", "num_txs"),
+    Some(s"""
+      SELECT CAST(result.block.header.height AS BIGINT) AS height,
+             len(COALESCE(result.block.data.txs, [])) AS num_txs
+      FROM read_json_auto('$T/block/*.json', $MaxObj)
+      WHERE CAST(result.block.header.height AS BIGINT)
+            IN ($From, 2270400, 2270444, $To)"""))
+
+  /** E1 via the connector: full-mode per-height fetch feeding the event
+    * explode — the reference's end-to-end scan→decode→explode→agg shape.
+    */
+  val e1Connector = GQuery(
+    "e1b_connector_tx_events",
+    // heightsPerPartition=8 → ~13 parallel fetch tasks for the 100-height
+    // range (the default 128 would plan ONE task here; the reference's
+    // concurrency×20 slicing makes the same trade, HistoricalBlockHeaderFlow.kt:73)
+    (s, _) => EventTables.txEvents(
+        feed(s, "from" -> From.toString, "to" -> To.toString,
+          "heightsPerPartition" -> "8"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_events")),
+    Some(s"""
+      WITH br AS (
+        SELECT CAST(result.height AS BIGINT) AS height, result.txs_results AS txs
+        FROM read_json_auto('$T/block_results/*.json', $MaxObj)
+        WHERE CAST(result.height AS BIGINT) BETWEEN $From AND $To
+      ), tx AS (SELECT unnest(txs) AS t FROM br WHERE txs IS NOT NULL),
+      ev AS (SELECT unnest(t.events) AS e FROM tx)
+      SELECT COALESCE(e.type, '') AS event_type, COUNT(*) AS n_events
+      FROM ev GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
-      p2Filter, p6Nth, f13Fees)
+      p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector)
 }
