@@ -137,6 +137,28 @@ class BlockFeedSpec extends AnyFunSuite {
     assert(filterData(Iterator(load("empty"), load("unknown"), live)).size === 1)
   }
 
+  test("streaming event extraction end-to-end (scan→explode→decode→agg)") {
+    // the reference's primary production path: stream blocks, flatten tx
+    // events, aggregate — here as one continuous streaming plan
+    val raw = spark.readStream.format("blockfeed")
+      .option("path", T).option("from", "2270370")
+      .option("maxHeightsPerTrigger", "40")
+      .load()
+    val q = EventTables.txEvents(raw)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("bf_txev")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bf_txev")
+    val batch = EventTables.txEvents(FixtureSource.combinedRaw(spark, T, 2270370L))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(got.except(batch).count() === 0L)
+    assert(batch.except(got).count() === 0L)
+    // historical slice alone contributes the known 9838 fixture tx events
+    assert(got.agg(sum(col("n"))).head().getLong(0) >= 9838L)
+  }
+
   test("retry decorator: exponential backoff with jitter on I/O errors (T4)") {
     import graft.sources.{BlockClient, RetryingBlockClient}
     var calls = 0
