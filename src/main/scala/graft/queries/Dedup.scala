@@ -236,6 +236,105 @@ object Dedup extends QueryPack {
              row_number() OVER (ORDER BY cosine DESC, vec_a, vec_b) AS rk
       FROM pairs QUALIFY rk <= 20"""))
 
+  /** The composed corpus-cleaning pipeline — what an LLM-data user actually
+    * runs end-to-end: exact dedup (keep min doc_id per content hash) →
+    * near-dup removal among the keepers (MinHash+LSH candidates, greedy
+    * drop-the-larger-id at signature agreement ≥ 0.5) → structural quality
+    * gate (≥ 5 tokens, mean token length ≤ 15). Emits one row per document
+    * with per-stage verdicts so every stage is oracle-checked, not just the
+    * survivor count.
+    *
+    * Scale shape: one hash-shuffle for the exact stage, the dd4 LSH
+    * co-occurrence join (never O(n²)) for the near stage, per-row math for
+    * the quality stage — the same plan shapes as dd1/dd4/tx2, composed.
+    */
+  val cleanCorpus = GQuery(
+    "pipe1_clean_corpus",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      // stage 1: exact dedup
+      val keepers = d.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      val flagged = d
+        .withColumn("h", sha2(col("text"), 256))
+        .join(keepers, "h")
+        .withColumn("is_exact_dup", col("doc_id") =!= col("keeper_id"))
+      // stage 2: LSH near-dup among exact keepers (dd4 pipeline)
+      val bands = flagged.filter(!col("is_exact_dup"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), sh => polyHash(sh)).as("hs"))
+        .select(col("doc_id"), minhashSig(col("hs"), 16).as("sig"))
+        .select(col("doc_id"), col("sig"),
+          posexplode(transform(sequence(lit(0), lit(3)), b =>
+            aggregate(slice(col("sig"), b * 4 + 1, lit(4)), lit(0L),
+              (acc, v) => (acc * 31 + v) % Mod)))
+            .as(Seq("band", "band_hash")))
+        .persist()
+      val nearDups = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("doc_id"),
+          (size(filter(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => x === y), bb => bb)).cast("double") / 16.0).as("agreement"))
+        .filter(col("agreement") >= 0.5)
+        .select("doc_id").distinct()
+        .withColumn("is_near_dup", lit(true))
+      // stage 3: structural quality gate
+      val nTok = size(tokens(col("text")))
+      flagged.join(nearDups, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("is_exact_dup"),
+          coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"),
+          (nTok >= 5 &&
+            (length(col("text")).cast("double") / nTok.cast("double")) <= 15.0)
+            .as("passes_quality"))
+        .withColumn("kept",
+          !col("is_exact_dup") && !col("is_near_dup") && col("passes_quality"))
+    },
+    Some(s"""
+      WITH d0 AS (
+        SELECT doc_id, text, sha256(text) AS h,
+               MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id
+        FROM documents),
+      k AS (SELECT doc_id, text FROM d0 WHERE doc_id = keeper_id),
+      hs AS (
+        SELECT doc_id,
+               list_transform(${sqlShingles3("regexp_extract_all(text, '\\S+')")},
+                              sh -> ${sqlPolyHash("sh")}) AS hs
+        FROM k),
+      sig AS (SELECT doc_id, ${sqlMinhashSig("hs", 16)} AS sig FROM hs),
+      bands AS (
+        SELECT doc_id, sig, unnest(range(0, 4)) AS band,
+               unnest(list_transform(range(0, 4), b ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+                             (acc, v) -> (acc * 31 + v) % $Mod))) AS band_hash
+        FROM sig),
+      near AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(list_zip(a.sig, b.sig), x -> x[1] = x[2]))
+                   AS DOUBLE) / 16.0 >= 0.5),
+      q AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\S+')) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents)
+      SELECT d0.doc_id,
+             d0.doc_id <> d0.keeper_id AS is_exact_dup,
+             near.doc_id IS NOT NULL AS is_near_dup,
+             (q.n_tok >= 5 AND q.n_chars / q.n_tok <= 15.0) AS passes_quality,
+             (d0.doc_id = d0.keeper_id AND near.doc_id IS NULL
+              AND q.n_tok >= 5 AND q.n_chars / q.n_tok <= 15.0) AS kept
+      FROM d0
+      LEFT JOIN near ON d0.doc_id = near.doc_id
+      JOIN q ON d0.doc_id = q.doc_id"""))
+
   override def queries: Seq[GQuery] =
-    Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs)
+    Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
+      cleanCorpus)
 }
