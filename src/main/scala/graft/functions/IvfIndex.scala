@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF coarse quantizer learned with Lloyd iterations — DataFrame plans for
+  * everything corpus-sized (no RDDs, no randomness):
+  *
+  *   - init: centroids = the first k vectors by `vec_id` (deterministic);
+  *   - assign: corpus ⨯ broadcast(centroids) → cosine → rank-1 cell per
+  *     vector (k rows per vector; one small (vec_id)-shuffle for the top-1
+  *     window — never a corpus-wide exchange). Centroid coordinates are
+  *     RE-QUANTIZED to the same 1e4 integer scale as the vectors so the
+  *     inner product runs through the codegen'd [[TextHash.dotQ]] — no
+  *     interpreted HOF lambdas in the O(n·k) hot loop;
+  *   - update: `posexplode` the assigned vectors, per-(cell, dim) exact
+  *     integer sums over the quantized coordinates → means. Sums of longs
+  *     are exact ⇒ centroids are bit-deterministic across runs and
+  *     partitionings (unlike naive double accumulation).
+  *
+  * The k×dims centroid matrix is MODEL STATE, not data: each iteration
+  * materializes it to the driver (a few KB) and re-broadcasts, so the
+  * lineage stays one-scan-per-iteration instead of exponentially nesting.
+  * At 100 TB: per iteration one corpus scan + one (cell, dim)-key shuffle
+  * of k·dims aggregate rows; assignment itself is shuffle-free.
+  */
+object IvfIndex {
+
+  /** Nearest-centroid assignment: adds `cell` to vectors carrying
+    * (vec_id, qv, qnorm). `centroids`: (cell, cq: array<bigint>, cnorm).
+    */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("_cos",
+        TextHash.dotQ(col("qv"), col("cq")).cast("double") /
+          (col("qnorm") * col("cnorm")))
+    val rk = row_number().over(
+      Window.partitionBy(col("vec_id")).orderBy(col("_cos").desc, col("cell")))
+    scored.withColumn("_rk", rk).filter(col("_rk") === 1)
+      .drop("_rk", "_cos", "cq", "cnorm")
+  }
+
+  private def withNorms(centroids: DataFrame): DataFrame =
+    centroids.withColumn("cnorm",
+      sqrt(TextHash.dotQ(col("cq"), col("cq")).cast("double")))
+
+  /** Materialize the (tiny) centroid model and rebuild it as a fresh local
+    * relation, cutting the Lloyd lineage per iteration.
+    */
+  private def materialize(spark: SparkSession, centroids: DataFrame): DataFrame = {
+    val rows = centroids.select("cell", "cq").collect().toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(
+        centroids.select("cell", "cq").schema.fields))
+  }
+
+  /** `iters` Lloyd steps from the deterministic init; returns the corpus
+    * with its final `cell` column. `vectors` must carry (vec_id, qv) with
+    * qv = quantized BIGINT coordinates ([[TextHash.quantize]]). Centroid
+    * means are re-quantized (`round(mean · 1e4)` per coordinate, exact
+    * rational → long) so assignment distances stay integer-exact.
+    */
+  def fit(spark: SparkSession, vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = vectors
+      .withColumn("qnorm",
+        sqrt(TextHash.dotQ(col("qv"), col("qv")).cast("double")))
+      .persist() // scanned once per Lloyd iteration + once for final assign
+    var centroids = materialize(spark, v.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"),
+        // init centroids are the vectors themselves: already at 1e4 scale,
+        // re-quantizing to mean·1e4 means scaling by another 1e4
+        transform(col("qv"), x => x * 10000L).as("cq")))
+    for (_ <- 0 until iters) {
+      centroids = materialize(spark,
+        assign(v, withNorms(centroids))
+          .select(col("cell"), posexplode(col("qv")).as(Seq("d", "x")))
+          .groupBy(col("cell"), col("d"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n")) // exact long sums
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("d"), col("s"), col("n")))).as("a"))
+          .select(col("cell"),
+            // mean·1e4 = s·1e4 / n, rounded — exact integer rational math
+            transform(col("a"), e =>
+              round(e("s").cast("double") * 10000.0d / e("n").cast("double"))
+                .cast("long")).as("cq")))
+    }
+    assign(v, withNorms(centroids)).drop("qnorm")
+  }
+}

