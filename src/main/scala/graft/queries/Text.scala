@@ -183,6 +183,56 @@ object Text extends QueryPack {
                                 ORDER BY tfidf DESC, token) AS rk
       FROM scored QUALIFY rk <= 5"""))
 
+  /** Bigram language-model counts: top-20 word bigrams with their corpus
+    * frequencies and left-context counts — the n-gram statistics under
+    * KenLM-style LM scoring and contamination checks. Bigrams are built
+    * with shifted-slice zip_with (tokens stay in HOF argument position),
+    * exploded once; both aggregates shuffle on uniform token keys.
+    */
+  val bigramStats = GQuery(
+    "tx7_bigram_stats",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val n = greatest(size(col("t")) - 1, lit(0))
+      val bi = toks.select(posexplode(
+        zip_with(slice(col("t"), lit(1), n), slice(col("t"), lit(2), n),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg"))))
+        .as(Seq("p", "v")))
+        .select(col("v.w1").as("w1"), col("v.bg").as("bigram"))
+      val counts = bi.groupBy(col("w1"), col("bigram"))
+        .agg(count(lit(1)).as("n_bigram"))
+      val left = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_left"))
+      val top = counts.join(left, "w1")
+        .select(col("bigram"), col("n_bigram"), col("n_left"),
+          (col("n_bigram").cast("double") / col("n_left").cast("double"))
+            .as("cond_prob"))
+        .orderBy(col("n_bigram").desc, col("bigram")).limit(20)
+      top.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_bigram").desc, col("bigram"))))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      bi AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                 i -> struct_pack(w1 := t[i], bg := t[i] || ' ' || t[i+1]))) AS v
+        FROM toks WHERE len(t) >= 2),
+      flat AS (SELECT v.w1 AS w1, v.bg AS bigram FROM bi),
+      counts AS (
+        SELECT w1, bigram, COUNT(*) AS n_bigram FROM flat GROUP BY 1, 2),
+      lefts AS (SELECT w1, COUNT(*) AS n_left FROM flat GROUP BY 1),
+      top AS (
+        SELECT bigram, n_bigram, n_left,
+               CAST(n_bigram AS DOUBLE) / CAST(n_left AS DOUBLE) AS cond_prob,
+               row_number() OVER (ORDER BY n_bigram DESC, bigram) AS rk
+        FROM counts JOIN lefts USING (w1))
+      SELECT bigram, CAST(n_bigram AS BIGINT) AS n_bigram,
+             CAST(n_left AS BIGINT) AS n_left, cond_prob, rk
+      FROM top WHERE rk <= 20"""))
+
   override def queries: Seq[GQuery] =
-    Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms)
+    Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
+      bigramStats)
 }

@@ -137,6 +137,33 @@ class BlockFeedSpec extends AnyFunSuite {
     assert(filterData(Iterator(load("empty"), load("unknown"), live)).size === 1)
   }
 
+  test("dropDuplicatesWithinWatermark dedups replayed heights (T2)") {
+    // belt-and-braces dedup for at-least-once upstreams (the offset log
+    // already guarantees no dupes from OUR connector; this is the guard for
+    // e.g. a Kafka replay) — bounded state: heights are monotone, so the
+    // watermark reaps old keys (SURVEY §2.9 T2)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val q = mem.toDF().toDF("height", "ts")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("height")
+      .writeStream.format("memory").queryName("t2_dedup")
+      .outputMode("append").start()
+    mem.addData((101L, t(0)), (102L, t(1)))
+    q.processAllAvailable()
+    // replay 102 (within watermark) + new 103
+    mem.addData((102L, t(2)), (103L, t(3)))
+    q.processAllAvailable()
+    q.stop()
+    val hs = spark.table("t2_dedup").select("height")
+      .collect().map(_.getLong(0)).sorted
+    assert(hs.toSeq === Seq(101L, 102L, 103L))
+  }
+
   test("streaming event extraction end-to-end (scan→explode→decode→agg)") {
     // the reference's primary production path: stream blocks, flatten tx
     // events, aggregate — here as one continuous streaming plan
