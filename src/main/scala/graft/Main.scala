@@ -1,0 +1,67 @@
+package graft
+
+import graft.blocks.EventTables
+import graft.sinks.BlockSinks
+import org.apache.spark.sql.streaming.Trigger
+
+/** The CLI service (reference `es-cli/Main.kt`, SURVEY §3.1): config →
+  * streaming read → stream predicates → fan-out sinks, with checkpointed
+  * exactly-once delivery. `key=value` args mirror the reference's
+  * `BlockStreamOptions` / `Config` surface (`config/Options.kt`):
+  *
+  * {{{
+  *   runMain graft.Main path=<templates> from=2270370 [to=N|from=latest]
+  *     out=/tmp/blocks [checkpoint=/tmp/ckpt] [skipEmpty=true]
+  *     [txEvents=a,b] [blockEvents=c] [nth=10] [ordered=true]
+  *     [maxHeightsPerTrigger=10000] [trigger=availableNow|<interval>]
+  * }}}
+  *
+  * Spark mappings: history+live merge, gap-fill, restart resume and dedup
+  * all come from the blockfeed offset log (+`checkpoint=`); `skipEmpty`
+  * rides the connector's `num_txs` pushdown; event filters are the P2/P3
+  * `exists` predicates; the file sink is the K2 sha-splayed idempotent
+  * layout (ordered = W6); `nth` adds the K3 console sample as a second
+  * sink off the same batch (K8 fan-out).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.flatMap { a =>
+      a.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+    }.toMap
+    def list(k: String) =
+      opts.get(k).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+    val path = opts.getOrElse("path",
+      graft.blocks.FixtureSource.DefaultTemplates)
+    val out = opts.getOrElse("out", sys.error("out=<dir> is required"))
+    val spark = Session.get("graft-stream")
+
+    var reader = spark.readStream.format("blockfeed").option("path", path)
+    Seq("from", "to", "maxHeightsPerTrigger", "heightsPerPartition")
+      .foreach(k => opts.get(k).foreach(v => reader = reader.option(k, v)))
+    val raw = reader.load()
+
+    val filtered = EventTables.filterByEvents(
+      EventTables.filterNonEmpty(raw, opts.get("skipEmpty").exists(_.toBoolean)),
+      list("txEvents"), list("blockEvents"))
+
+    val sinks = Seq(
+      Some(BlockSinks.fileSink(out, opts.get("ordered").exists(_.toBoolean))),
+      opts.get("nth").map { n => (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        BlockSinks.consoleSample(b, n.toInt)
+          .select("height", "chain_id", "num_txs", "historical").show(false)
+      }).flatten
+
+    var writer = filtered.writeStream
+      .foreachBatch(BlockSinks.multiSink(sinks))
+      .trigger(opts.get("trigger") match {
+        case None | Some("availableNow") => Trigger.AvailableNow()
+        case Some(interval) => Trigger.ProcessingTime(interval)
+      })
+    opts.get("checkpoint").foreach(c => writer = writer.option("checkpointLocation", c))
+    val q = writer.start()
+    q.awaitTermination()
+    // no spark.stop(): the session is process-scoped (getOrCreate) and may
+    // be shared — JVM exit tears it down in real CLI use
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end smoke of the CLI service (§3.1): stream the fixture chain to
+  * the K2 file layout with a checkpoint, filters off, and assert the full
+  * combined feed lands on disk exactly once.
+  */
+class MainSpec extends AnyFunSuite {
+
+  test("CLI: stream to files with checkpoint, combined feed, idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("cli_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cli_ckpt").toString
+    def run(): Unit = Main.main(Array(
+      "from=2270370", s"out=$out", s"checkpoint=$ckpt",
+      "maxHeightsPerTrigger=40", "trigger=availableNow"))
+    run()
+    import scala.jdk.CollectionConverters._
+    def files() =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .filter(_.toString.endsWith(".json")).toSeq
+    assert(files().size === 106) // 100 historical + 6 live
+    // re-run from the same checkpoint: nothing new, nothing rewritten
+    val stamps = files().map(f =>
+      f.toString -> java.nio.file.Files.getLastModifiedTime(f)).toMap
+    run()
+    val after = files()
+    assert(after.size === 106)
+    assert(after.forall(f =>
+      java.nio.file.Files.getLastModifiedTime(f) == stamps(f.toString)))
+  }
+
+  test("CLI: skipEmpty + event filter narrow the file set") {
+    val out = java.nio.file.Files.createTempDirectory("cli_out2").toString
+    Main.main(Array(
+      "from=2270370", "to=2270469", s"out=$out",
+      "skipEmpty=true", "txEvents=transfer", "trigger=availableNow"))
+    import scala.jdk.CollectionConverters._
+    val n = java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+      .count(_.toString.endsWith(".json"))
+    // 27 of the 29 non-empty historical blocks carry a `transfer` tx event
+    // (P2 fixture ground truth, cf. p2_filter_by_event_type = 27 rows)
+    assert(n === 27)
+  }
+}
