@@ -137,6 +137,42 @@ class BlockFeedSpec extends AnyFunSuite {
     assert(filterData(Iterator(load("empty"), load("unknown"), live)).size === 1)
   }
 
+  test("StreamingQueryListener observes progress and termination (K7)") {
+    // the reference's consumer harness surface (`EventStreamViewer.consume`:
+    // ok/error callbacks) maps to StreamingQueryListener events
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import StreamingQueryListener._
+    val started = new java.util.concurrent.atomic.AtomicInteger
+    val rows = new java.util.concurrent.atomic.AtomicLong
+    val terminated = new java.util.concurrent.atomic.AtomicInteger
+    val errors = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = started.incrementAndGet()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        rows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+        if (e.exception.isDefined) errors.incrementAndGet()
+        terminated.incrementAndGet()
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream.format("blockfeed")
+        .option("path", T).option("from", "2270370").option("to", "2270399")
+        .option("maxHeightsPerTrigger", "10")
+        .load()
+        .writeStream.format("memory").queryName("bf_k7")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // listener events are delivered asynchronously after termination
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (terminated.get() < 1 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(started.get() === 1)
+      assert(rows.get() === 30L) // every input row observed via progress
+      assert(terminated.get() === 1 && errors.get() === 0)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("dropDuplicatesWithinWatermark dedups replayed heights (T2)") {
     // belt-and-braces dedup for at-least-once upstreams (the offset log
     // already guarantees no dupes from OUR connector; this is the guard for
