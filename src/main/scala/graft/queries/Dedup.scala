@@ -59,7 +59,11 @@ object Dedup extends QueryPack {
       val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       // self-joined below: materialize once so the shingle pipeline isn't
       // planned (and executed) twice — at cluster scale this is a cached
-      // (or checkpointed) build side, not a recompute
+      // (or checkpointed) build side, not a recompute.
+      // (A grouped-postings rewrite — collect_list per shingle, pair
+      // expansion via nested transform/slice HOFs — was tried and is 2×
+      // SLOWER: per-element slice copies the postings array O(df²) times in
+      // interpreted HOF land. The codegen'd hash join wins.)
       val inv = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
         .persist()
       val pairs = inv.as("a").join(inv.as("b"),
