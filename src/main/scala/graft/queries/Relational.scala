@@ -118,6 +118,35 @@ object Relational extends QueryPack {
       WHERE o_orderstatus = 'O'
       GROUP BY o_orderpriority"""))
 
+  /** Grouping sets (§2.6, absent in the reference, inherited from Spark):
+    * revenue by (nation, order-year) with ROLLUP subtotals and grand total.
+    * Physically one Expand + hash aggregate — the fact table is scanned
+    * once for all three grouping levels; the nation dim stays broadcast.
+    */
+  val q5Rollup = GQuery(
+    "q5_rollup_revenue",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .withColumn("o_year", year($"o_orderdate").cast("long"))
+        .rollup($"n_name", $"o_year")
+        .agg(
+          dsum($"l_extendedprice").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP(n_name, CAST(year(o_orderdate) AS BIGINT))"""))
+
   override def queries: Seq[GQuery] =
-    Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin)
+    Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup)
 }

@@ -161,6 +161,27 @@ object Windows extends QueryPack {
         FROM events)
       WHERE rk <= 3"""))
 
+  /** Lag/lead deltas: per-user inter-event gap and value change — the
+    * sequential-analytics primitive under sessionization and rate metrics.
+    * One shuffle (partition by user), exact integer microsecond gaps.
+    */
+  val eventDeltas = GQuery(
+    "w8_event_deltas",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir).select(
+        col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("gap_micros"),
+        (col("value") - lag(col("value"), 1).over(w)).as("value_delta"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_micros,
+             value - lag(value) OVER w AS value_delta
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
   override def queries: Seq[GQuery] =
-    Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK)
+    Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK, eventDeltas)
 }
