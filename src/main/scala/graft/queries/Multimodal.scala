@@ -94,5 +94,30 @@ object Multimodal extends QueryPack {
                AS BIGINT) AS total_frames
       FROM documents GROUP BY 1"""))
 
-  override def queries: Seq[GQuery] = Seq(manifest, features, frames, kindStats)
+  /** Resize: truncate-or-pad the decoded feature vector to a fixed target
+    * width (6 = pad the 4 stub dims with zeros; the shape-normalization
+    * step before batching vectors into a model). Pure array math, no kernel.
+    */
+  val resized = GQuery(
+    "mm5_resized_features",
+    (s, dir) => media(s, dir)
+      .select(col("media_id"), col("content").cast("string").as("t"))
+      // stage the decoded vector: resizeFeatures references its input inside
+      // a HOF lambda, so it must be a plain column, not the decode tree
+      // (HOF re-evaluation trap)
+      .select(col("media_id"), Media.featureExprs(col("t")).as("fv"))
+      .select(
+        col("media_id"),
+        posexplode(Media.resizeFeatures(col("fv"), 6))
+          .as(Seq("feat_idx", "feat_val"))),
+    Some(s"""
+      SELECT doc_id AS media_id,
+             CAST(unnest(range(0, 6)) AS INT) AS feat_idx,
+             unnest([${(0 until 6).map(d =>
+               if (d < Media.NFeatures) Media.sqlFeature("text", d)
+               else "CAST(0 AS BIGINT)").mkString(", ")}]) AS feat_val
+      FROM documents"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(manifest, features, frames, kindStats, resized)
 }

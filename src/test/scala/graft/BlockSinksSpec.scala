@@ -102,6 +102,33 @@ class BlockSinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hs.toSeq === hs.sorted.toSeq)
   }
 
+  test("S15 streaming: kafka-shaped frames decode in a continuous plan") {
+    // the engine's Kafka source is the built-in kafka format + this
+    // projection; MemoryStream stands in for the broker (same (key, value)
+    // binary schema), proving decodeKafkaFrames works under readStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val frames = BlockSinks.kafkaFrames(raw)
+      .collect().map(r => (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+    val mem = MemoryStream[(Array[Byte], Array[Byte])]
+    val q = BlockSinks.decodeKafkaFrames(
+        mem.toDF().toDF("key", "value"), spark)
+      .select(col("height"), size(col("txEvents")).as("n_tx_events"))
+      .writeStream.format("memory").queryName("s15_decode")
+      .outputMode("append").start()
+    mem.addData(frames.take(50).toSeq)
+    q.processAllAvailable()
+    mem.addData(frames.drop(50).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s15_decode")
+    assert(got.count() === 100L)
+    val direct = BlockSinks.streamBlocks(raw)
+      .select(col("height"), size(col("txEvents")).as("n_tx_events"))
+    assert(got.except(direct).count() === 0L)
+  }
+
   test("K5: Kafka frames decode back out to the K2 file layout") {
     val dir = java.nio.file.Files.createTempDirectory("k5sink").toString
     val frames = BlockSinks.kafkaFrames(raw)

@@ -32,6 +32,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
   }
 
+  test("approximate aggregates land within tolerance of exact (HLL/quantile)") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val exactUsers = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approxUsers = ev.select(approx_count_distinct(col("user_id"), 0.02))
+      .head().getLong(0)
+    // HLL++ at rsd=0.02: generous 10% envelope keeps the spec non-flaky
+    assert(math.abs(approxUsers - exactUsers).toDouble / exactUsers <= 0.1,
+      s"approx=$approxUsers exact=$exactUsers")
+    val exactMedian = ev.stat.approxQuantile("value", Array(0.5), 0.0).head
+    val fastMedian = ev.stat.approxQuantile("value", Array(0.5), 0.01).head
+    val spread = ev.select(max(col("value")) - min(col("value"))).head().getDouble(0)
+    assert(math.abs(fastMedian - exactMedian) <= 0.05 * spread)
+  }
+
   test("salted join and salted aggregation match their unsalted plans") {
     // decimal value: double sums are order-dependent and the salted plans
     // legitimately re-associate the partials (repo ground rule — see GQuery)
