@@ -83,6 +83,25 @@ object TextHash {
       s"range(1, len($t) - 1), i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2])) " +
       s"ELSE [] END"
 
+  /** General k-gram shingles — same shifted-slice construction as
+    * [[shingles3]] (inputs stay in HOF argument position).
+    */
+  def shinglesK(toks: Column, k: Int): Column = {
+    require(k >= 2, "k >= 2")
+    val n = greatest(size(toks) - (k - 1), lit(0))
+    val joined = (2 to k).foldLeft(slice(toks, lit(1), n)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), n), (a, b) => concat_ws(" ", a, b))
+    }
+    array_distinct(joined)
+  }
+
+  /** DuckDB SQL for [[shinglesK]] over a token-list expression `t`. */
+  def sqlShinglesK(t: String, k: Int): String = {
+    val concat = (0 until k).map(j => s"$t[i+$j]").mkString(" || ' ' || ")
+    s"CASE WHEN len($t) >= $k THEN list_distinct(list_transform(" +
+      s"range(1, len($t) - ${k - 2}), i -> $concat)) ELSE [] END"
+  }
+
   /** MinHash signature (k values) over an array of shingle hashes:
     * sig_i = min over shingles s of (a_i·s + b_i) mod Mod, a_i = 2i+1,
     * b_i = 7919·(i+1). Standard universal-hash minwise scheme (Broder '97).

@@ -232,7 +232,40 @@ object Text extends QueryPack {
              CAST(n_left AS BIGINT) AS n_left, cond_prob, rk
       FROM top WHERE rk <= 20"""))
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 4-gram with a probe set (docs 0–4 stand in for eval-benchmark text) and
+    * count the shared shingles. The probe side is tiny and BROADCAST — at
+    * 100 TB the corpus streams through executors with zero shuffle until the
+    * final per-doc count; the corpus side computes its shingles once per
+    * row. The standard n-gram-overlap decontamination pass of LLM data
+    * pipelines (cf. GPT-3 appendix C).
+    */
+  val decontamination = GQuery(
+    "tx8_decontamination",
+    (s, dir) => {
+      val sh = (c: org.apache.spark.sql.Column) => shinglesK(tokens(c), 4)
+      val probes = docs(s, dir).filter(col("doc_id") < 5)
+        .select(explode(sh(col("text"))).as("shingle")).distinct()
+      docs(s, dir).filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(sh(col("text"))).as("shingle"))
+        .join(broadcast(probes), "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_4grams"))
+    },
+    Some(s"""
+      WITH probe AS (
+        SELECT DISTINCT unnest(${sqlShinglesK("regexp_extract_all(text, '\\S+')", 4)})
+          AS shingle
+        FROM documents WHERE doc_id < 5),
+      cand AS (
+        SELECT doc_id,
+               unnest(${sqlShinglesK("regexp_extract_all(text, '\\S+')", 4)}) AS shingle
+        FROM documents WHERE doc_id >= 5)
+      SELECT doc_id, COUNT(*) AS n_shared_4grams
+      FROM cand JOIN probe USING (shingle)
+      GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
-      bigramStats)
+      bigramStats, decontamination)
 }
