@@ -278,9 +278,14 @@ class BlockFeedPartitionReader(client: BlockClient, p: HeightRangePartition,
           .map(_._2)
       }
     } else {
+      // results-RPC elision: when no txs_results/begin_block_events/end_block
+      // column (raw ordinals 7..9) is projected, the per-height fetch is ONE
+      // RPC instead of the reference's fixed two (`TendermintBlockFetcher
+      // .kt:36`) — column pruning reaching past the scan into the wire calls
+      val needResults = prunedOrdinals.exists(_ >= 7)
       p.heights.iterator.flatMap { h =>
         client.block(h).flatMap { bj =>
-          codec.rawRow(bj, client.blockResults(h),
+          codec.rawRow(bj, if (needResults) client.blockResults(h) else None,
             historical = h <= p.historicalBelow, prunedOrdinals, minNumTxs)
         }
       }

@@ -137,6 +137,21 @@ class BlockFeedSpec extends AnyFunSuite {
     assert(filterData(Iterator(load("empty"), load("unknown"), live)).size === 1)
   }
 
+  test("full-mode scan without results columns skips the second RPC") {
+    // block (ordinal 5) is not meta-safe and not a results column → full
+    // mode with results-RPC elision; values must match the enriched scan
+    val slim = read("from" -> "2270370", "to" -> "2270379")
+      .select(col("height"), col("block.header.proposer_address").as("p"))
+    assert(slim.queryExecution.executedPlan.toString.contains("mode=full"))
+    assert(slim.count() === 10L)
+    val full = read("from" -> "2270370", "to" -> "2270379")
+      .select(col("height"), col("block.header.proposer_address").as("p"),
+        col("txs_results"))
+      .select(col("height"), col("p"))
+    assert(slim.except(full).count() === 0L)
+    assert(full.except(slim).count() === 0L)
+  }
+
   test("StreamingQueryListener observes progress and termination (K7)") {
     // the reference's consumer harness surface (`EventStreamViewer.consume`:
     // ok/error callbacks) maps to StreamingQueryListener events
