@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed backward as-of join — an operator Spark lacks natively.
+  *
+  * For each left row, attach the payload of the right row with the greatest
+  * `rightTime <= leftTime` (strict `<` when `inclusive = false`) within the
+  * same key group; left rows with no qualifying right row keep NULL payload
+  * (left-outer semantics). This is the "most recent fact at or before this
+  * instant" join: trade attribution, slowly-changing-dimension lookup,
+  * sensor alignment.
+  *
+  * The reference engine has no join operators at all (SURVEY.md §2.5 —
+  * ABSENT); this is part of the beyond-reference relational surface.
+  *
+  * == Why not a range join ==
+  * The naive formulation — `l JOIN r ON keys AND r.t <= l.t`, then keep the
+  * max `r.t` per left row — materializes O(|L| x matches) candidate pairs
+  * before pruning; against an unbounded history side that is quadratic and
+  * un-runnable at 100 TB.
+  *
+  * == Plan ==
+  * Instead we run the classic distributed merge-join formulation in one
+  * shuffle with zero join:
+  *
+  *   1. union-tag both sides on a common schema (left columns + a single
+  *      right-payload STRUCT, NULL on left rows);
+  *   2. one shuffle: `Window.partitionBy(keys).orderBy(time, side)`;
+  *   3. `last(payload, ignoreNulls = true)` over rows
+  *      `(unboundedPreceding, currentRow)` propagates the most recent right
+  *      payload to every left row;
+  *   4. keep left rows, expand the struct.
+  *
+  * Cost: shuffle of |L| + |R| rows on the keys, a per-partition sort, no
+  * candidate blow-up — the same data movement a co-partitioned sort-merge
+  * join would do. The payload travels as ONE struct so all its fields come
+  * from the SAME right row even when individual fields are NULL.
+  *
+  * Ties: at equal timestamps the right row sorts before the left row when
+  * `inclusive` (so it is visible to it) and after it when not.
+  *
+  * Skew note: a single hot key serializes into one task like any
+  * key-partitioned window; if one key dominates, pre-split by coarse time
+  * chunk (carrying the last payload of chunk N-1 into chunk N) — not needed
+  * for the synthetic key distributions here.
+  */
+object AsofJoin {
+
+  private val SideCol = "__asof_side"
+  private val TimeCol = "__asof_t"
+  private val PayloadCol = "__asof_payload"
+
+  /** @param keys       equi-join key columns, present on both sides
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right` (kept in the output);
+    *                   must not collide with a left column name
+    * @param inclusive  whether a right row at exactly `leftTime` matches
+    * @param tolerance  max lookback: right rows older than
+    *                   `leftTime - tolerance` are discarded (payload NULLed)
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      inclusive: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame = {
+    val payloadCols = right.columns.toSeq.filterNot(keys.contains)
+    require(payloadCols.contains(rightTime),
+      s"right side must carry its time column $rightTime")
+    val collisions = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left: ${collisions.mkString(", ")}")
+
+    // Right rows sort before left rows at equal time iff inclusive.
+    val (leftSide, rightSide) = if (inclusive) (1, 0) else (0, 1)
+
+    val leftTagged = left
+      .withColumn(TimeCol, col(leftTime))
+      .withColumn(SideCol, lit(leftSide))
+      .withColumn(PayloadCol, lit(null).cast(
+        org.apache.spark.sql.types.StructType(payloadCols.map(right.schema(_)))))
+    val rightTagged = right
+      .withColumn(TimeCol, col(rightTime))
+      .withColumn(SideCol, lit(rightSide))
+      .withColumn(PayloadCol, struct(payloadCols.map(col): _*))
+      .select(keys.map(col) ++ Seq(col(TimeCol), col(SideCol), col(PayloadCol)): _*)
+      // align to the left schema: left's own columns are NULL on right rows
+      .select(leftTagged.columns.map(c =>
+        if (rightTagged0Has(left, keys, c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(TimeCol).asc, col(SideCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = leftTagged.unionByName(rightTagged)
+      .withColumn(PayloadCol, last(col(PayloadCol), ignoreNulls = true).over(w))
+      .filter(col(SideCol) === leftSide)
+
+    val bounded = tolerance match {
+      case Some(tol) => joined.withColumn(PayloadCol,
+        when(col(TimeCol).cast("double") - col(s"$PayloadCol.$rightTime").cast("double")
+          <= tol.cast("double"), col(PayloadCol)))
+      case None => joined
+    }
+
+    val expanded = payloadCols.foldLeft(bounded) { (df, c) =>
+      df.withColumn(c, col(s"$PayloadCol.$c"))
+    }
+    expanded.drop(TimeCol, SideCol, PayloadCol)
+  }
+
+  /** Does tagged column `c` exist on right rows (a key or one of the
+    * synthetic columns), as opposed to a left-only data column?
+    */
+  private def rightTagged0Has(left: DataFrame, keys: Seq[String], c: String): Boolean =
+    keys.contains(c) || c == TimeCol || c == SideCol || c == PayloadCol
+}

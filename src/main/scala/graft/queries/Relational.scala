@@ -147,6 +147,31 @@ object Relational extends QueryPack {
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP(n_name, CAST(year(o_orderdate) AS BIGINT))"""))
 
+  /** Backward as-of join ([[graft.operators.AsofJoin]]): each purchase event
+    * attributed to the same user's most recent view at-or-before it —
+    * left-outer semantics, one shuffle, no candidate-pair blow-up (see the
+    * operator's scaladoc for why this beats a range join at 100 TB).
+    * Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  val q6Asof = GQuery(
+    "q6_asof_attribution",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      graft.operators.AsofJoin
+        .backward(purchases, views, Seq("user_id"), "ts", "view_ts")
+        .select("event_id", "user_id", "ts", "value", "view_id", "view_ts")
+    },
+    Some("""
+      SELECT a.event_id, a.user_id, a.ts, a.value,
+             b.event_id AS view_id, b.ts AS view_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts"""))
+
   override def queries: Seq[GQuery] =
-    Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup)
+    Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.operators.AsofJoin]]: the union+window backward as-of join must
+  * agree with the naive (quadratic) range-join-then-prune formulation, and
+  * honor tie inclusivity, tolerance, left-outer semantics, and whole-row
+  * payload alignment when payload fields are themselves NULL.
+  */
+class AsofJoinSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = Session.builder("asof-test").getOrCreate()
+  import spark.implicits._
+
+  // left: (key, t, lv)   right: (key, rt, a, b)
+  private def left: DataFrame = Seq(
+    ("k1", 10L, "l1"), ("k1", 20L, "l2"), ("k1", 5L, "l0"),
+    ("k2", 7L, "l3"), ("k3", 100L, "l4")
+  ).toDF("key", "t", "lv")
+
+  private def right: DataFrame = Seq(
+    ("k1", 10L, Some("a10"), Some(1)), ("k1", 15L, None, Some(2)),
+    ("k1", 3L, Some("a3"), Some(3)),
+    ("k2", 8L, Some("a8"), Some(4))
+  ).toDF("key", "rt", "a", "b")
+
+  private def rows(df: DataFrame): Set[(String, Long, String, Option[Long], Option[String], Option[Int])] =
+    df.select($"key", $"t", $"lv", $"rt", $"a", $"b").collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        Option(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5)))
+    }.toSet
+
+  test("backward as-of: inclusive ties, left-outer, whole-row payload") {
+    val out = rows(AsofJoin.backward(left, right, Seq("key"), "t", "rt"))
+    assert(out === Set(
+      // t=10 ties rt=10 → included (inclusive default); payload row intact
+      ("k1", 10L, "l1", Some(10L), Some("a10"), Some(1)),
+      // t=20 → rt=15 whose `a` IS NULL: fields must come from the SAME row
+      // (a=None, b=2), not mix a10 from an earlier row
+      ("k1", 20L, "l2", Some(15L), None, Some(2)),
+      ("k1", 5L, "l0", Some(3L), Some("a3"), Some(3)),
+      // k2: t=7 < rt=8 → no match; k3: no right rows at all
+      ("k2", 7L, "l3", None, None, None),
+      ("k3", 100L, "l4", None, None, None)))
+  }
+
+  test("exclusive ties: a right row at exactly t is not visible") {
+    val out = rows(AsofJoin.backward(left, right, Seq("key"), "t", "rt",
+      inclusive = false))
+    assert(out(("k1", 10L, "l1", Some(3L), Some("a3"), Some(3))))
+  }
+
+  test("tolerance bounds the lookback") {
+    val out = rows(AsofJoin.backward(left, right, Seq("key"), "t", "rt",
+      tolerance = Some(lit(2))))
+    assert(out === Set(
+      ("k1", 10L, "l1", Some(10L), Some("a10"), Some(1)),
+      ("k1", 20L, "l2", None, None, None), // 20-15=5 > 2
+      ("k1", 5L, "l0", Some(3L), Some("a3"), Some(3)),
+      ("k2", 7L, "l3", None, None, None),
+      ("k3", 100L, "l4", None, None, None)))
+  }
+
+  test("agrees with the naive range-join formulation on events (sf0.001)") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val l = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val r = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
+    val fast = AsofJoin.backward(l, r, Seq("user_id"), "ts", "view_ts")
+      .select("event_id", "view_id")
+    // naive: all candidate pairs, keep max view_ts per purchase (quadratic —
+    // the formulation AsofJoin exists to avoid; fine at fixture scale)
+    val naive = l.as("l").join(r.as("r"),
+        expr("l.user_id = r.user_id AND r.view_ts <= l.ts"), "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"l.event_id").orderBy($"r.view_ts".desc_nulls_last)))
+      .filter($"rk" === 1)
+      .select($"l.event_id".as("event_id"), $"r.view_id".as("view_id"))
+    assert(fast.count() === l.count())
+    assert(fast.except(naive).count() === 0L)
+    assert(naive.except(fast).count() === 0L)
+  }
+
+  test("plan shape: one shuffle on the key, no join operator") {
+    val out = AsofJoin.backward(left, right, Seq("key"), "t", "rt")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"unexpected join in:\n$plan")
+    assert(plan.contains("Window"), s"expected a window operator in:\n$plan")
+  }
+}
