@@ -172,6 +172,40 @@ object Relational extends QueryPack {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
       ON a.user_id = b.user_id AND a.ts >= b.ts"""))
 
+  /** Proximity join ([[graft.operators.RangeJoin]]): for every error event,
+    * how many clicks the same user made within ±5 minutes — bucketed band
+    * join (3x probe explode + hash equi-join on (key, bucket)) instead of
+    * the nested-loop plan Spark would pick for the raw band predicate.
+    * Left-outer shape (errors with zero clicks kept) via count + join-back —
+    * a shuffle join on the unique event_id (the count side scales with the
+    * error count, so it is NOT broadcast).
+    */
+  val q7Range = GQuery(
+    "q7_range_proximity",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val pairs = graft.operators.RangeJoin.within(
+        errors, clicks, Seq("user_id"), "ts", "click_ts",
+        toleranceMicros = 5L * 60 * 1000 * 1000)
+      val counts = pairs.groupBy("event_id").agg(count(lit(1)).as("n_clicks_5m"))
+      errors.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("n_clicks_5m"), lit(0L)).as("n_clicks_5m"))
+    },
+    Some("""
+      SELECT a.event_id, a.user_id, a.ts,
+             COUNT(b.event_id) AS n_clicks_5m
+      FROM (SELECT * FROM events WHERE event_type = 'error') a
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        ON a.user_id = b.user_id
+       AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+      GROUP BY a.event_id, a.user_id, a.ts"""))
+
   override def queries: Seq[GQuery] =
-    Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof)
+    Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof, q7Range)
 }
