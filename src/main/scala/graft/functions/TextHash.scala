@@ -177,6 +177,15 @@ object TextHash {
   def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** Batched [[dotQ]]: `vec` against every vector of the batch in one
+    * codegen'd pass ([[DotQMulti]]) — array of dots, null slots per
+    * mismatched/null query.
+    */
+  def dotQMulti(vec: Column, batch: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(DotQMulti(
+      org.apache.spark.sql.GraftColumn.expr(vec),
+      org.apache.spark.sql.GraftColumn.expr(batch)))
+
   def sqlDotQ(a: String, b: String): String =
     // guard matches DotQ's null semantics: NULL on length mismatch or any
     // null element (DuckDB's list_zip would pad and list_sum would skip,

@@ -203,6 +203,43 @@ object Similarity extends QueryPack {
     },
     None)
 
+  /** Batched brute-force kNN: identical result set to sim1, different
+    * physical shape — the query batch travels as ONE broadcast row of
+    * parallel arrays and each corpus row is scored against all of it in a
+    * single codegen'd pass ([[graft.functions.DotQMulti]]); only slim
+    * (pos, dot) pairs are exploded. Versus sim1's join, the corpus is never
+    * row-duplicated Q times with the full vector attached — the 100 TB
+    * multi-query scan path. Oracle: same SQL as sim1.
+    */
+  val knnBatched = GQuery(
+    "sim6_knn_batched",
+    (s, dir) => {
+      val q = quantized(s, dir)
+      // one-row batch: parallel arrays sorted by query id (array_sort on
+      // structs orders by the first field; vec_id is unique → deterministic)
+      val batch = q.filter(col("vec_id") < NQueries)
+        .agg(array_sort(collect_list(
+          struct(col("vec_id"), col("qv"), col("norm")))).as("qs"))
+        .select(
+          expr("transform(qs, x -> x.vec_id)").as("q_ids"),
+          expr("transform(qs, x -> x.qv)").as("q_qvs"),
+          expr("transform(qs, x -> x.norm)").as("q_norms"))
+      val scored = q.crossJoin(broadcast(batch))
+        .select(col("vec_id"), col("norm"), col("q_ids"), col("q_norms"),
+          posexplode(dotQMulti(col("qv"), col("q_qvs"))).as(Seq("pos", "dot")))
+        .select(
+          element_at(col("q_ids"), col("pos") + 1).as("query_id"),
+          col("vec_id").as("neighbor_id"),
+          (col("dot") / (col("norm")
+            * element_at(col("q_norms"), col("pos") + 1))).as("cosine"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id")))
+      scored.withColumn("rank", rk).filter(col("rank") <= K)
+    },
+    knnBrute.oracle)
+
   override def queries: Seq[GQuery] =
-    Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained)
+    Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched)
 }

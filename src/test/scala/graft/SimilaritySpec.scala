@@ -49,4 +49,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(recalls.nonEmpty)
   }
+
+  test("batched kNN (sim6) returns exactly the brute-force (sim1) rows") {
+    def full(name: String) =
+      graft.queries.Similarity.queries.find(_.name == name).get
+        .run(spark, dir)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    assert(full("sim6_knn_batched") === full("sim1_knn_bruteforce"))
+  }
+
+  test("DotQMulti: per-slot nulls, whole-batch one-pass semantics") {
+    import graft.functions.TextHash.dotQMulti
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L), Seq(
+      Some(Seq(3L, 4L)),   // 1*3+2*4 = 11
+      None,                // null query -> null slot
+      Some(Seq(5L))        // length mismatch -> null slot
+    ))).toDF("v", "qs")
+    val out = df.select(dotQMulti($"v", $"qs").as("d"))
+      .selectExpr("d[0]", "d[1]", "d[2]").collect()(0)
+    assert(out.getLong(0) === 11L)
+    assert(out.isNullAt(1) && out.isNullAt(2))
+    // whole-input null -> null result
+    val n = df.select(dotQMulti(lit(null).cast("array<bigint>"), $"qs"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
