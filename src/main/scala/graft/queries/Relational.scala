@@ -206,6 +206,85 @@ object Relational extends QueryPack {
        AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
       GROUP BY a.event_id, a.user_id, a.ts"""))
 
+  /** Pivot (§2.6): per-user event-type counts as columns. The value list is
+    * EXPLICIT, so Spark skips the extra distinct-values job and the plan is
+    * a single hash aggregate — the shape that matters when the fact side is
+    * 100 TB. Pivot-count yields NULL for absent combinations; coalesced to 0
+    * to match the conditional-aggregation oracle.
+    */
+  val q8Pivot = GQuery(
+    "q8_pivot_event_counts",
+    (s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy($"user_id").pivot("event_type", types).count()
+      p.select($"user_id" +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    },
+    Some("""
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY user_id"""))
+
+  /** Anti + semi joins (§2.5): market segments with, per segment, how many
+    * customers never ordered (anti) and how many did (semi). Both plans are
+    * broadcast-able hash joins on the key — no NOT-IN null-trap subquery.
+    */
+  val q9AntiSemi = GQuery(
+    "q9_anti_semi_customers",
+    (s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val ordKeys = t(s, dir, "orders").select($"o_custkey")
+      val never = cust.join(ordKeys, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_never_ordered"))
+      val did = cust.join(ordKeys, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_ordered"))
+      never.join(did, Seq("c_mktsegment"), "full_outer")
+        .select($"c_mktsegment",
+          coalesce($"n_never_ordered", lit(0L)).as("n_never_ordered"),
+          coalesce($"n_ordered", lit(0L)).as("n_ordered"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+             COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM orders
+                                         WHERE o_custkey = c_custkey) THEN 1 END)
+               AS n_never_ordered,
+             COUNT(CASE WHEN EXISTS (SELECT 1 FROM orders
+                                     WHERE o_custkey = c_custkey) THEN 1 END)
+               AS n_ordered
+      FROM customer GROUP BY c_mktsegment"""))
+
+  /** Exact interpolated percentiles (§2.6): order-value quartiles + p90 per
+    * order priority. Rank-based → order-independent and deterministic; both
+    * engines interpolate linearly and the 6-sig-digit hash normalization
+    * absorbs last-ulp differences.
+    */
+  val q10Percentiles = GQuery(
+    "q10_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          percentile($"o_totalprice", lit(0.25)).as("p25"),
+          percentile($"o_totalprice", lit(0.5)).as("p50"),
+          percentile($"o_totalprice", lit(0.9)).as("p90"),
+          count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS p25,
+             quantile_cont(o_totalprice, 0.5) AS p50,
+             quantile_cont(o_totalprice, 0.9) AS p90,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority"""))
+
   override def queries: Seq[GQuery] =
-    Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof, q7Range)
+    Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof,
+      q7Range, q8Pivot, q9AntiSemi, q10Percentiles)
 }
