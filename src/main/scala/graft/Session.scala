@@ -19,6 +19,9 @@ object Session {
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      // band-join predicates (`abs(l - r) <= tol`) rewrite to bucketed hash
+      // joins — see graft.plans.BandJoinRewrite
+      .withExtensions(graft.plans.BandJoinRewrite.extension)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
