@@ -338,7 +338,42 @@ object Dedup extends QueryPack {
       LEFT JOIN near ON d0.doc_id = near.doc_id
       JOIN q ON d0.doc_id = q.doc_id"""))
 
+  /** Near-dup CLUSTERS: dd4's verified LSH pairs (signature agreement >=
+    * 0.5) as edges, [[graft.operators.ConnectedComponents]] for the
+    * transitive closure — similarity is not pairwise-droppable, so cluster
+    * id (= min doc_id of the component) is what a keep-one-per-cluster
+    * policy needs. Oracle: the same closure as a DuckDB recursive CTE
+    * (min-label reachability), checking the distributed fixpoint against a
+    * declarative one.
+    */
+  val dedupClusters = GQuery(
+    "dd7_dedup_clusters",
+    (s, dir) => {
+      val edges = lshCandidates.run(s, dir)
+        .filter(col("sig_agreement") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val cc = graft.operators.ConnectedComponents.run(edges, "doc_a", "doc_b")
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "component")
+        .select(col("vertex").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"))
+    },
+    lshCandidates.oracle.map(dd4Sql => s"""
+      WITH RECURSIVE pairs AS ($dd4Sql),
+      und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE sig_agreement >= 0.5
+        UNION
+        SELECT doc_b, doc_a FROM pairs WHERE sig_agreement >= 0.5),
+      walk(v, label) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN und e ON e.src = w.v),
+      cc AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY v)
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cc"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
-      cleanCorpus)
+      cleanCorpus, dedupClusters)
 }
