@@ -265,7 +265,66 @@ object Text extends QueryPack {
       FROM cand JOIN probe USING (shingle)
       GROUP BY 1"""))
 
+  /** Per-document LM quality score under the corpus's OWN bigram model —
+    * the classic "train a cheap LM on the corpus, flag the documents it
+    * finds surprising" filter. Score = mean scaled inverse conditional
+    * probability of the document's bigram instances, in EXACT integer math
+    * (`n_left * 1e6 div n_bigram`, integer sums) so the oracle comparison is
+    * bit-deterministic — no float logs whose last-ulp differences between
+    * engines could flip a rounding.
+    *
+    * Scale shape: the bigram model is O(distinct bigrams) — far too big to
+    * broadcast at 100 TB — so scoring is a shuffle equi-join of instances
+    * against the model on the uniform bigram key (AQE splits the
+    * stop-bigram skew), then a per-doc hash aggregation.
+    */
+  val lmScores = GQuery(
+    "tx9_lm_scores",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val n = greatest(size(col("t")) - 1, lit(0))
+      val flat = toks.select(col("doc_id"), posexplode(
+        zip_with(slice(col("t"), lit(1), n), slice(col("t"), lit(2), n),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg"))))
+        .as(Seq("p", "v")))
+        .select(col("doc_id"), col("v.w1").as("w1"), col("v.bg").as("bigram"))
+      val counts = flat.groupBy(col("w1"), col("bigram"))
+        .agg(count(lit(1)).as("n_bigram"))
+      val lefts = flat.groupBy(col("w1")).agg(count(lit(1)).as("n_left"))
+      val model = counts.join(lefts, "w1")
+      flat.join(model, Seq("w1", "bigram"))
+        .withColumn("inv_p_micro", expr("n_left * 1000000L div n_bigram"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("inv_p_micro")).as("sum_inv_p_micro"))
+        .withColumn("avg_inv_p_micro",
+          expr("sum_inv_p_micro div n_bigrams"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      bi AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> struct_pack(w1 := t[i], bg := t[i] || ' ' || t[i+1]))) AS v
+        FROM toks WHERE len(t) >= 2),
+      flat AS (SELECT doc_id, v.w1 AS w1, v.bg AS bigram FROM bi),
+      counts AS (
+        SELECT w1, bigram, COUNT(*) AS n_bigram FROM flat GROUP BY 1, 2),
+      lefts AS (SELECT w1, COUNT(*) AS n_left FROM flat GROUP BY 1),
+      model AS (
+        SELECT w1, bigram, n_bigram, n_left FROM counts JOIN lefts USING (w1)),
+      scored AS (
+        SELECT doc_id, (n_left * 1000000) // n_bigram AS inv_p_micro
+        FROM flat JOIN model USING (w1, bigram))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(inv_p_micro) AS BIGINT) AS sum_inv_p_micro,
+             CAST(CAST(SUM(inv_p_micro) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS avg_inv_p_micro
+      FROM scored GROUP BY doc_id"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
-      bigramStats, decontamination)
+      bigramStats, decontamination, lmScores)
 }
