@@ -22,6 +22,8 @@ object Session {
       // band-join predicates (`abs(l - r) <= tol`) rewrite to bucketed hash
       // joins — see graft.plans.BandJoinRewrite
       .withExtensions(graft.plans.BandJoinRewrite.extension)
+      // physical sort-merge as-of join — see graft.plans.AsofJoinPlan
+      .withExtensions(graft.plans.AsofJoinPlan.extension)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

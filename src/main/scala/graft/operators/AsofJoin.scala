@@ -120,4 +120,46 @@ object AsofJoin {
     */
   private def rightTagged0Has(left: DataFrame, keys: Seq[String], c: String): Boolean =
     keys.contains(c) || c == TimeCol || c == SideCol || c == PayloadCol
+
+  /** Backward as-of join on the dedicated physical operator
+    * ([[graft.plans.AsofJoinExec]]): same semantics as [[backward]] (minus
+    * `tolerance`), executed as a co-partitioned sort-merge pass instead of
+    * the union+window plan — one shuffle per SIDE, O(1) merge state, no
+    * unioned window buffer. Requires [[graft.plans.AsofJoinPlan.extension]]
+    * on the session (graft.Session registers it).
+    */
+  def merge(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      inclusive: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.{GraftColumn, GraftPlans}
+    val collisions = right.columns.toSeq.filterNot(keys.contains).toSet
+      .intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left: ${collisions.mkString(", ")}")
+    // fresh exprIds on the right side so self-as-of (both sides derived from
+    // the same source) cannot alias the same attributes
+    val r2 = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val lp = GraftPlans.logical(left)
+    val rp = GraftPlans.logical(r2)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n)
+      .getOrElse(sys.error(s"no column $n in ${p.output.map(_.name)}"))
+    val lt = attr(lp, leftTime)
+    val rt = attr(rp, rightTime)
+    require(lt.dataType == rt.dataType,
+      s"time columns must share a type: ${lt.dataType} vs ${rt.dataType}")
+    keys.foreach { k =>
+      require(attr(lp, k).dataType == attr(rp, k).dataType,
+        s"key $k type mismatch")
+    }
+    val node = graft.plans.AsofJoinNode(lp, rp,
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)), lt, rt, inclusive)
+    val df = GraftPlans.ofRows(left.sparkSession, node)
+    // the right side's key copies are redundant in the output
+    keys.map(attr(rp, _)).foldLeft(df)((d, a) => d.drop(GraftColumn.of(a)))
+  }
 }

@@ -172,6 +172,24 @@ object Relational extends QueryPack {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
       ON a.user_id = b.user_id AND a.ts >= b.ts"""))
 
+  /** q6 on the dedicated physical operator ([[graft.plans.AsofJoinExec]]:
+    * logical node + strategy + sort-merge exec via SparkSessionExtensions)
+    * instead of the union+window plan — same rows, same oracle.
+    */
+  val q6bAsofMerge = GQuery(
+    "q6b_asof_merge",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      graft.operators.AsofJoin
+        .merge(purchases, views, Seq("user_id"), "ts", "view_ts")
+        .select("event_id", "user_id", "ts", "value", "view_id", "view_ts")
+    },
+    q6Asof.oracle)
+
   /** Proximity join ([[graft.operators.RangeJoin]]): for every error event,
     * how many clicks the same user made within ±5 minutes — bucketed band
     * join (3x probe explode + hash equi-join on (key, bucket)) instead of
@@ -286,5 +304,5 @@ object Relational extends QueryPack {
 
   override def queries: Seq[GQuery] =
     Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof,
-      q7Range, q8Pivot, q9AntiSemi, q10Percentiles)
+      q6bAsofMerge, q7Range, q8Pivot, q9AntiSemi, q10Percentiles)
 }

@@ -88,6 +88,46 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(naive.except(fast).count() === 0L)
   }
 
+  test("physical merge as-of: same semantics as backward(), AsofJoinExec plan") {
+    val out = AsofJoin.merge(left, right, Seq("key"), "t", "rt")
+    assert(out.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      s"expected AsofJoinExec in:\n${out.queryExecution.executedPlan}")
+    assert(rows(out) === rows(AsofJoin.backward(left, right, Seq("key"), "t", "rt")))
+    val excl = AsofJoin.merge(left, right, Seq("key"), "t", "rt", inclusive = false)
+    assert(rows(excl) ===
+      rows(AsofJoin.backward(left, right, Seq("key"), "t", "rt", inclusive = false)))
+  }
+
+  test("physical merge agrees with backward() on events (sf0.001, self-as-of)") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val l = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val r = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
+    val fast = AsofJoin.merge(l, r, Seq("user_id"), "ts", "view_ts")
+      .select("event_id", "view_id", "view_ts")
+    val ref = AsofJoin.backward(l, r, Seq("user_id"), "ts", "view_ts")
+      .select("event_id", "view_id", "view_ts")
+    assert(fast.count() === l.count())
+    assert(fast.except(ref).count() === 0L)
+    assert(ref.except(fast).count() === 0L)
+  }
+
+  test("merge survives multiple right rows per timestamp run and empty sides") {
+    import spark.implicits._
+    val l2 = Seq(("k", 10L, "x")).toDF("key", "t", "lv")
+    val rEmpty = Seq.empty[(String, Long, Option[String], Option[Int])]
+      .toDF("key", "rt", "a", "b")
+    val out = AsofJoin.merge(l2, rEmpty, Seq("key"), "t", "rt")
+    assert(out.count() === 1L && out.select("a").collect()(0).isNullAt(0))
+    // several right rows at t<=10: the LAST in (key, time) order wins
+    val rMany = Seq(("k", 9L, Some("r1"), Some(1)), ("k", 9L, Some("r2"), Some(2)),
+      ("k", 10L, Some("r3"), Some(3))).toDF("key", "rt", "a", "b")
+    val got = AsofJoin.merge(l2, rMany, Seq("key"), "t", "rt")
+      .select("rt", "a").collect()(0)
+    assert(got.getLong(0) === 10L && got.getString(1) === "r3")
+  }
+
   test("plan shape: one shuffle on the key, no join operator") {
     val out = AsofJoin.backward(left, right, Seq("key"), "t", "rt")
     val plan = out.queryExecution.executedPlan.toString
