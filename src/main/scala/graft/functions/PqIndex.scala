@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for ANN at scale: each vector is split into
+  * `m` subspaces of `subDim` dims; every subspace gets its own tiny
+  * codebook (`ks` centroids, Lloyd-trained); a vector is stored as `m`
+  * small codes. Asymmetric distance computation (ADC) then scores a query
+  * against a vector by summing per-subspace lookup-table entries — the
+  * corpus scan touches only the codes (m small ints per vector) plus one
+  * cached norm, never the full float vectors. That is the 100 TB story:
+  * a 64-dim float corpus collapses ~16× into a code table that fits in
+  * memory bandwidth; full vectors are read once at index-build time and
+  * again only for the final re-rank of a tiny candidate pool.
+  *
+  * Everything is a DataFrame plan over exact integer math (the 1e4-scale
+  * quantized vectors of [[TextHash.quantize]]):
+  *   - one `posexplode` projection turns the corpus into (vec_id, sub, sqv)
+  *     rows, so ALL m codebooks train in the same jobs — no per-subspace
+  *     driver loop;
+  *   - assignment is argmin-L2 via `min_by` over exact integer
+  *     ‖c‖² − 2⟨x,c⟩ (the ‖x‖² term is constant per argmin group), a
+  *     partially-aggregable shape with map-side combine — no window over
+  *     the corpus;
+  *   - codebook update = exact long sums per (sub, cell, dim), means
+  *     rounded back to the same 1e4 integer scale (L2 needs centroids and
+  *     vectors on ONE scale — unlike the cosine-only [[IvfIndex]], which
+  *     can carry centroids at an inflated scale);
+  *   - like [[IvfIndex]], the km×subDim codebook is MODEL STATE: collected
+  *     to the driver (a few KB) and re-broadcast each iteration, keeping
+  *     lineage one-scan-per-iteration.
+  *
+  * Deterministic by construction: fixed init (sub-vectors of the first `ks`
+  * vec_ids), integer distances, explicit tie-breaks — rows are stable
+  * across runs and partitionings (asserted in SimilaritySpec).
+  */
+object PqIndex {
+
+  /** (vec_id, qv) → (vec_id, sub, sqv): literal-offset slices, exploded.
+    * The slice array is built OUTSIDE any lambda (literal offsets, bound
+    * input) so nothing re-evaluates per element.
+    */
+  def subvectors(vectors: DataFrame, m: Int, subDim: Int): DataFrame =
+    vectors.select(col("vec_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("qv"), j * subDim + 1, subDim)): _*)).as(Seq("sub", "sqv")))
+
+  /** Nearest centroid per (vec_id, sub) by exact integer L2 argmin;
+    * `centroids`: (sub, cell, cq). Keeps `sqv` on the output row (needed by
+    * the update step) — it is constant within each argmin group, so riding
+    * it through `min_by` is free.
+    */
+  def assign(subvecs: DataFrame, centroids: DataFrame): DataFrame =
+    subvecs.join(broadcast(centroids), "sub")
+      .withColumn("_d2",
+        TextHash.dotQ(col("cq"), col("cq")) -
+          lit(2L) * TextHash.dotQ(col("sqv"), col("cq")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("cell"), col("sqv")),
+        struct(col("_d2"), col("cell"))).as("_a"))
+      .select(col("vec_id"), col("sub"),
+        col("_a.cell").as("cell"), col("_a.sqv").as("sqv"))
+
+  private def materialize(spark: SparkSession, centroids: DataFrame): DataFrame = {
+    val cols = centroids.select("sub", "cell", "cq")
+    val rows = cols.collect().toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(cols.schema.fields))
+  }
+
+  /** Train all `m` codebooks (`iters` Lloyd steps from the deterministic
+    * init) and encode the corpus. Returns (codebook, codes):
+    * codebook = (sub, cell, cq); codes = (vec_id, codes array<int> in
+    * subspace order) — the compact index, persisted (it IS the artifact a
+    * real deployment writes out).
+    */
+  def fitEncode(spark: SparkSession, vectors: DataFrame,
+                m: Int, subDim: Int, ks: Int, iters: Int): (DataFrame, DataFrame) = {
+    val sv = subvectors(vectors, m, subDim).persist()
+    var centroids = materialize(spark, sv.filter(col("vec_id") < ks)
+      .select(col("sub"), col("vec_id").cast("int").as("cell"), col("sqv").as("cq")))
+    for (_ <- 0 until iters) {
+      centroids = materialize(spark,
+        assign(sv, centroids)
+          .select(col("sub"), col("cell"), posexplode(col("sqv")).as(Seq("d", "x")))
+          .groupBy(col("sub"), col("cell"), col("d"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n")) // exact long sums
+          .groupBy(col("sub"), col("cell"))
+          .agg(array_sort(collect_list(struct(col("d"), col("s"), col("n")))).as("a"))
+          .select(col("sub"), col("cell"),
+            // mean rounded back to the vectors' own 1e4 scale (exact L2)
+            transform(col("a"), e =>
+              round(e("s").cast("double") / e("n").cast("double"))
+                .cast("long")).as("cq")))
+    }
+    val codes = assign(sv, centroids)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cell")))).as("a"))
+      .select(col("vec_id"), transform(col("a"), x => x("cell")).as("codes"))
+    // sv stays cached for the (lazy) encode pass; it is the m·n compact
+    // sub-vector relation, evicted LRU with the session — a real deployment
+    // would instead write `codes` out as the persistent index artifact.
+    (centroids, codes)
+  }
+}

@@ -117,4 +117,25 @@ object Media {
   def resizeFeatures(features: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
       coalesce(element_at(features, i + 1), lit(0L)))
+
+  /** Audio-style OVERLAPPING chunking: `chunkLen`-char windows every `step`
+    * chars (step < chunkLen ⇒ overlap, the streaming-ASR shape), hashed.
+    * Chunk count varies with payload length, so offsets come from
+    * `sequence(0, (len-1) div step)` — `text` must be a bound attribute
+    * (plain column) at the call site: the lambda body runs per element and
+    * re-evaluates any non-attribute input subtree (HOF re-evaluation trap).
+    * Caller must ensure non-empty text (`sequence` would run DESCENDING for
+    * an empty payload).
+    */
+  def audioChunks(text: Column, chunkLen: Int, step: Int): Column =
+    transform(
+      sequence(lit(0L), floor((length(text) - 1) / step).cast("long")),
+      i => {
+        val slice = text.substr((i * step + 1).cast("int"), lit(chunkLen))
+        struct(
+          i.cast("int").as("chunk_index"),
+          (i * step).cast("int").as("start_off"),
+          length(slice).as("chunk_len"),
+          TextHash.polyHash(slice).as("chunk_hash"))
+      })
 }

@@ -359,6 +359,15 @@ object Dedup extends QueryPack {
           col("cluster_size"))
     },
     lshCandidates.oracle.map(dd4Sql => s"""
+      ${ccSqlPrefix(dd4Sql)}
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cc"""))
+
+  /** Shared oracle CTE chain: dd4's verified pairs → undirected edges →
+    * recursive min-label closure → `cc(doc_id, cluster_id)`.
+    */
+  private def ccSqlPrefix(dd4Sql: String): String = s"""
       WITH RECURSIVE pairs AS ($dd4Sql),
       und AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE sig_agreement >= 0.5
@@ -368,12 +377,49 @@ object Dedup extends QueryPack {
         SELECT src, src FROM und
         UNION
         SELECT e.dst, w.label FROM walk w JOIN und e ON e.src = w.v),
-      cc AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY v)
-      SELECT doc_id, cluster_id,
-             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-      FROM cc"""))
+      cc AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY v)"""
+
+  /** Canonical-keeper election per near-dup cluster — the policy step that
+    * turns dd7's clusters into a dedup decision: keep the longest document
+    * (tie → smallest doc_id), mark the rest as drops. The election is a
+    * per-cluster window over cluster-sized groups (bounded by cluster size,
+    * not corpus size); the keeper map joins back on cluster_id — both
+    * shuffles key on cluster_id, so the whole policy adds two small
+    * exchanges over the (tiny) clustered subset, never touching the full
+    * corpus.
+    */
+  val clusterKeepers = GQuery(
+    "dd8_cluster_keepers",
+    (s, dir) => {
+      val cc = dedupClusters.run(s, dir)
+      val lens = docs(s, dir).select(col("doc_id"), length(col("text")).as("n"))
+      val sized = cc.join(lens, "doc_id")
+      val rk = row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n").desc, col("doc_id")))
+      val keepers = sized.withColumn("rk", rk).filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keeper_id"))
+      sized.join(keepers, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("keeper_id"), (col("doc_id") === col("keeper_id")).as("is_keeper"))
+    },
+    lshCandidates.oracle.map(dd4Sql => s"""
+      ${ccSqlPrefix(dd4Sql)},
+      sized AS (
+        SELECT cc.doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               length(d.text) AS n
+        FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+      k AS (
+        SELECT cluster_id, doc_id AS keeper_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n DESC, doc_id) AS rk
+        FROM sized QUALIFY rk = 1)
+      SELECT s.doc_id, s.cluster_id, s.cluster_size, k.keeper_id,
+             s.doc_id = k.keeper_id AS is_keeper
+      FROM sized s JOIN k ON s.cluster_id = k.cluster_id"""))
 
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
-      cleanCorpus, dedupClusters)
+      cleanCorpus, dedupClusters, clusterKeepers)
 }

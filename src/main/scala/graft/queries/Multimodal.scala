@@ -118,6 +118,36 @@ object Multimodal extends QueryPack {
                else "CAST(0 AS BIGINT)").mkString(", ")}]) AS feat_val
       FROM documents"""))
 
+  /** Audio chunking: overlapping 64-char windows every 48 chars over the
+    * audio-kind payloads (the streaming-ASR segmentation shape) — variable
+    * chunk count per payload, pure array math, no shuffle.
+    */
+  val audioChunks = GQuery(
+    "mm6_audio_chunks",
+    (s, dir) => media(s, dir)
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("content").cast("string").as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("media_id"), explode(Media.audioChunks(col("t"), 64, 48)).as("c"))
+      .select(col("media_id"), col("c.chunk_index"), col("c.start_off"),
+        col("c.chunk_len"), col("c.chunk_hash")),
+    Some(s"""
+      WITH a AS (
+        SELECT doc_id AS media_id, text AS t, length(text) AS n
+        FROM documents
+        WHERE doc_id % 3 = 1 AND length(text) > 0),
+      c AS (
+        SELECT media_id, t, unnest(range(0, (n - 1) // 48 + 1)) AS i
+        FROM a)
+      SELECT media_id,
+             CAST(i AS INT) AS chunk_index,
+             CAST(i * 48 AS INT) AS start_off,
+             CAST(length(substr(t, CAST(i * 48 + 1 AS INT), 64)) AS INT)
+               AS chunk_len,
+             ${graft.functions.TextHash.sqlPolyHash(
+               "substr(t, CAST(i * 48 + 1 AS INT), 64)")} AS chunk_hash
+      FROM c"""))
+
   override def queries: Seq[GQuery] =
-    Seq(manifest, features, frames, kindStats, resized)
+    Seq(manifest, features, frames, kindStats, resized, audioChunks)
 }

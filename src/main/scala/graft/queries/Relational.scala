@@ -302,7 +302,32 @@ object Relational extends QueryPack {
              COUNT(*) AS n
       FROM orders GROUP BY o_orderpriority"""))
 
+  /** CUBE grouping sets (§2.6): order counts + revenue over every subset of
+    * (status, priority), with `grouping_id` disambiguating "NULL because
+    * rolled up" from a genuine NULL key. One hash aggregate expands the
+    * grouping-set lattice map-side — no per-set re-scan of the fact table,
+    * which is the property that matters when orders is the 100 TB side.
+    */
+  val q11Cube = GQuery(
+    "q11_cube_orders",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("revenue"))
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
+
   override def queries: Seq[GQuery] =
     Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof,
-      q6bAsofMerge, q7Range, q8Pivot, q9AntiSemi, q10Percentiles)
+      q6bAsofMerge, q7Range, q8Pivot, q9AntiSemi, q10Percentiles, q11Cube)
 }

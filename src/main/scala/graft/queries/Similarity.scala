@@ -240,6 +240,64 @@ object Similarity extends QueryPack {
     },
     knnBrute.oracle)
 
+  /** Product-quantization ANN with asymmetric distance computation
+    * ([[graft.functions.PqIndex]]): 4 subspaces × 16 dims, 8-cell codebooks
+    * (2 Lloyd iterations), ADC candidate scoring from per-query lookup
+    * tables, exact re-rank of the top-15 pool. The corpus-sized scan
+    * touches only the 4-code rows + cached norms (≈16× less bandwidth than
+    * the float vectors — the property that matters at 100 TB); full vectors
+    * are read again only for the 15-candidate re-rank, so the emitted
+    * cosines are EXACT for whatever neighbors PQ surfaces. Deterministic
+    * (integer ADC sums, fixed init, explicit tie-breaks) but k-means is not
+    * practically SQL-expressible → rows-only driver check; SimilaritySpec
+    * asserts recall@$K against sim1 and run-to-run determinism.
+    */
+  val knnPq = GQuery(
+    "sim7_knn_pq_adc",
+    (s, dir) => {
+      val M = 4; val SubDim = 16; val Ks = 8; val Pool = 3 * K
+      val q = quantized(s, dir)
+      val (codebook, codes) =
+        graft.functions.PqIndex.fitEncode(s, q.select("vec_id", "qv"), M, SubDim, Ks, iters = 1)
+      val queries = q.filter(col("vec_id") < NQueries)
+      // per-query LUT: ⟨q_sub, centroid⟩ for every (sub, cell) — m·ks rows/query
+      val lut = graft.functions.PqIndex
+        .subvectors(queries.select(col("vec_id"), col("qv")), M, SubDim)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(broadcast(codebook), "sub")
+        .select(col("query_id"), col("sub"), col("cell"),
+          dotQ(col("sqv"), col("cq")).as("dot"))
+      // ADC: approx ⟨q, x⟩ = Σ_sub LUT[sub][code_x[sub]] — scans codes only
+      val adc = codes
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cell")))
+        .join(broadcast(lut), Seq("sub", "cell"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("dot")).as("adc"))
+        .filter(col("vec_id") =!= col("query_id"))
+      val approx = adc
+        .join(q.select(col("vec_id"), col("norm")), "vec_id")
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("norm").as("q_norm"))), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          (col("adc").cast("double") / (col("norm") * col("q_norm"))).as("approx_cos"))
+      val cand = approx.withColumn("crk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("approx_cos").desc, col("vec_id"))))
+        .filter(col("crk") <= Pool)
+      // exact re-rank of the small pool — the only touch of full vectors
+      val rer = cand
+        .join(q.select(col("vec_id"), col("qv"), col("norm")), "vec_id")
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("qv").as("q_qv"), col("norm").as("q_norm"))), "query_id")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm"))).as("cosine"))
+      rer.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rank") <= K)
+    },
+    None)
+
   override def queries: Seq[GQuery] =
-    Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched)
+    Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched, knnPq)
 }

@@ -182,6 +182,40 @@ object Windows extends QueryPack {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
+  /** F15/T11: semi-structured JSON props decoded relationally — `from_json`
+    * with an explicit schema (PERMISSIVE: garbage → NULL, the reference's
+    * `MessageType.Unknown` channel), then a plain aggregate over the
+    * extracted field. Catalyst's `OptimizeJsonExprs` prunes the parse to the
+    * single referenced key, so at 100 TB the JSON decode cost is one pruned
+    * struct field per row, not a full-document parse.
+    */
+  val propsJson = GQuery(
+    "j1_props_json",
+    (s, dir) => ev(s, dir)
+      .select(
+        col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"),
+        col("value"))
+      .groupBy(col("event_type"), (col("k") - col("k") % 10).as("k_decade"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        dsum(col("value")).as("sum_value")),
+    Some("""
+      WITH j AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               value
+        FROM events)
+      SELECT event_type, k - k % 10 AS k_decade,
+             COUNT(*) AS n_events, MIN(k) AS min_k, MAX(k) AS max_k,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM j GROUP BY 1, 2"""))
+
   override def queries: Seq[GQuery] =
-    Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK, eventDeltas)
+    Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
+      eventDeltas, propsJson)
 }

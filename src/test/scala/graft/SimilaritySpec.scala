@@ -61,6 +61,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full("sim6_knn_batched") === full("sim1_knn_bruteforce"))
   }
 
+  test("PQ+ADC (sim7) answers every query with useful recall of exact top-5") {
+    val exact = topk("sim1_knn_bruteforce")
+    val pq = topk("sim7_knn_pq_adc")
+    val recalls = exact.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 4×16-dim subspaces, 8-cell codebooks, 15-candidate re-rank on 500
+    // vectors: lossy by design, but well above chance (5/500 = 1%)
+    assert(exact.keySet === pq.keySet, "every query must answer")
+    assert(mean >= 0.3, s"mean recall@5 $mean below floor")
+  }
+
+  test("PQ emitted cosines are exact (re-rank reads true vectors)") {
+    val brute = graft.queries.Similarity.knnBrute.run(spark, dir)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute covers only top-K pairs; every PQ pair that IS in the exact
+    // top-K must carry bit-identical cosine
+    val overlapping = graft.queries.Similarity.knnPq.run(spark, dir)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .flatMap(r => brute.get((r.getLong(0), r.getLong(1)))
+        .map(exactCos => (exactCos, r.getDouble(2))))
+    assert(overlapping.nonEmpty)
+    overlapping.foreach { case (e, a) => assert(e === a) }
+  }
+
+  test("PQ is deterministic across runs") {
+    def rows = graft.queries.Similarity.knnPq.run(spark, dir)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows === rows)
+  }
+
   test("DotQMulti: per-slot nulls, whole-batch one-pass semantics") {
     import graft.functions.TextHash.dotQMulti
     import org.apache.spark.sql.functions._
