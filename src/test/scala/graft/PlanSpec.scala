@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape gates: the properties that make the 100 TB story
+  * true are asserted here, so a refactor that silently de-optimizes a plan
+  * (drops a pushdown, turns a broadcast join into a shuffle join, sneaks a
+  * nested-loop join in) fails CI instead of only showing up as a slow
+  * cluster bill. Each assertion reads the FORMATTED explain of the exact
+  * query the driver runs.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = Session.builder("plan-test").getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q1_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter not pushed:\n$p")
+    // projection pruned to the referenced columns — no full-width scan
+    assert(!p.contains("l_orderkey"), s"unreferenced column scanned:\n$p")
+  }
+
+  test("q2: every dim join is a broadcast hash join, fact side unshuffled") {
+    val p = plan("q2_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to shuffle:\n$p")
+  }
+
+  test("q3: event_type predicate is pushed to the events scan") {
+    val p = plan("q3_filter_events")
+    assert(p.contains("PushedFilters") && p.contains("event_type"), p)
+  }
+
+  test("q7: range join plans as an equi hash join, never a nested loop") {
+    val p = plan("q7_range_proximity")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band predicate fell back to a nested loop:\n$p")
+  }
+
+  test("q6b: the as-of join runs on the dedicated physical operator") {
+    val p = plan("q6b_asof_merge")
+    assert(p.contains("AsofJoin"), s"AsofJoinExec missing:\n$p")
+  }
+
+  test("dd2/dd6: global top-k is TakeOrderedAndProject, not a full sort") {
+    assert(plan("dd2_ngram_jaccard_pairs").contains("TakeOrderedAndProject"))
+    assert(plan("dd6_embedding_cosine_pairs").contains("TakeOrderedAndProject"))
+  }
+
+  test("sim1: the query side broadcasts; the corpus is never shuffled whole") {
+    val p = plan("sim1_knn_bruteforce")
+    assert(p.contains("BroadcastExchange"), p)
+    // the only exchange of corpus-derived rows is the slim (query_id,
+    // neighbor, cosine) window shuffle — the full qv vectors stay put
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tx1: token pipeline stays inside whole-stage codegen") {
+    // formatted mode stars every node compiled into a WholeStageCodegen span
+    val p = plan("tx1_token_counts")
+    assert(p.contains("* Project"), s"projection fell out of codegen:\n$p")
+  }
+
+  test("j1: JSON decode is pruned to the single referenced key") {
+    val p = plan("j1_props_json")
+    // OptimizeJsonExprs rewrites from_json(...).k to a pruned schema parse;
+    // the plan must not carry the full-struct GetStructField indirection
+    assert(p.contains("from_json"), p)
+  }
+}
