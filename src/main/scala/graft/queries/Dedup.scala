@@ -419,7 +419,48 @@ object Dedup extends QueryPack {
              s.doc_id = k.keeper_id AS is_keeper
       FROM sized s JOIN k ON s.cluster_id = k.cluster_id"""))
 
+  /** Cross-document repeated spans: every 5-token window is fingerprinted
+    * (rolling hash) and windows occurring in ≥2 distinct documents are
+    * surfaced — the fixed-length-fingerprint approximation of suffix-array
+    * substring dedup (the "dedup training data repeats" operator). One
+    * hash-shuffle on uniform fingerprint keys, count-distinct by doc —
+    * no pair enumeration anywhere, so cost is linear in corpus token count
+    * at any scale. Top-20 by spread for a stable oracle row set.
+    */
+  val repeatedSpans = GQuery(
+    "dd9_repeated_spans",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shinglesK(col("toks"), 5).as("sh"))
+        .select(col("doc_id"),
+          explode(transform(col("sh"), x => polyHash(x))).as("fp"))
+      val top = d.groupBy(col("fp"))
+        .agg(
+          count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("fp"))
+        .limit(20)
+      top.withColumn("rk", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("n_occurrences").desc, col("fp"))))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 ${sqlShinglesK("regexp_extract_all(text, '\\S+')", 5)},
+                 x -> ${sqlPolyHash("x")})) AS fp
+        FROM documents),
+      g AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        FROM d GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT fp, n_docs, n_occurrences,
+             row_number() OVER (ORDER BY n_docs DESC, n_occurrences DESC, fp)
+               AS rk
+      FROM g QUALIFY rk <= 20"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
-      cleanCorpus, dedupClusters, clusterKeepers)
+      cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans)
 }

@@ -79,11 +79,12 @@ object Windows extends QueryPack {
     Some("""
       WITH marked AS (
         SELECT user_id, ts, event_id, value,
-               -- >= matches Spark session_window: an event lands in the open
-               -- session only while ts < prev + gap, so an exact-gap tie
-               -- starts a NEW session
+               -- strict > matches Spark session_window (4.1.2, batch AND
+               -- streaming, verified empirically): an event exactly gap
+               -- after its predecessor MERGES into the open session (the
+               -- window extends to ts+gap whenever ts <= prev+gap)
                CASE WHEN lag(ts) OVER w IS NULL
-                      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
