@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The training-data operators on the LIVE path: a documents feed processed
+  * as a stream. Stateless per-row ops (quality scoring, token counting) run
+  * unchanged as streaming projections; exact dedup becomes the stateful
+  * `dropDuplicatesWithinWatermark` on the content hash — state is evicted
+  * once the watermark passes, so the query runs forever on an unbounded
+  * corpus feed (the same bounded-state argument as the block-height dedup
+  * in BlockFeedSpec, applied to corpus ingestion).
+  */
+class StreamingCorpusSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = Session.builder("scorpus-test").getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("stateless quality scoring is batch/stream identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa x"),
+      (2L, "short"))
+    def score(df: org.apache.spark.sql.DataFrame) = {
+      import graft.functions.TextHash.tokens
+      val nTok = size(tokens(col("text")))
+      df.select(col("doc_id"), nTok.as("n_tokens"),
+        (length(col("text")).cast("double") / nTok.cast("double")).as("mean_tok_len"))
+    }
+    val stream = MemoryStream[(Long, String)]
+    val q = score(stream.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sc_quality").start()
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sc_quality").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      val batch = score(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup drops replayed content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feed = MemoryStream[(Long, Timestamp, String)]
+    val deduped = feed.toDF.toDF("doc_id", "arrival_ts", "text")
+      .withColumn("text_hash", sha2(col("text"), 256))
+      .withWatermark("arrival_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("text_hash")
+    val q = deduped.writeStream.format("memory")
+      .queryName("sc_dedup").outputMode("append").start()
+    try {
+      feed.addData(
+        (0L, ts("2024-01-01 10:00:00"), "alpha"),
+        (1L, ts("2024-01-01 10:01:00"), "beta"))
+      q.processAllAvailable()
+      // same content replayed inside the watermark horizon -> dropped,
+      // regardless of a different doc_id
+      feed.addData(
+        (2L, ts("2024-01-01 10:05:00"), "alpha"),
+        (3L, ts("2024-01-01 10:06:00"), "gamma"))
+      q.processAllAvailable()
+      val kept = spark.table("sc_dedup").select($"doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept === Set(0L, 1L, 3L))
+    } finally q.stop()
+  }
+}
