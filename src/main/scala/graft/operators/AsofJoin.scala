@@ -68,7 +68,37 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       inclusive: Boolean = true,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None): DataFrame =
+    run(left, right, keys, leftTime, rightTime, inclusive, tolerance,
+      forward = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` (strict `>` when `inclusive = false`) in the
+    * key group — "next fact at or after this instant" (next fill after an
+    * order, next error after a deploy). Same single-shuffle union+window
+    * plan as [[backward]], traversed in reverse time order; `tolerance`
+    * bounds the look-AHEAD instead of the look-back.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      inclusive: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame =
+    run(left, right, keys, leftTime, rightTime, inclusive, tolerance,
+      forward = true)
+
+  private def run(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      inclusive: Boolean,
+      tolerance: Option[Column],
+      forward: Boolean): DataFrame = {
     val payloadCols = right.columns.toSeq.filterNot(keys.contains)
     require(payloadCols.contains(rightTime),
       s"right side must carry its time column $rightTime")
@@ -94,8 +124,13 @@ object AsofJoin {
         if (rightTagged0Has(left, keys, c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
+    // Forward = the same most-recent-seen-payload pass over reversed time:
+    // "earliest at-or-after" is "latest at-or-before" under time reversal.
+    // The tie rule is direction-independent (right visible at equal time
+    // iff inclusive), so SideCol always sorts ascending.
+    val timeOrder = if (forward) col(TimeCol).desc else col(TimeCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(TimeCol).asc, col(SideCol).asc)
+      .orderBy(timeOrder, col(SideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val joined = leftTagged.unionByName(rightTagged)
@@ -103,9 +138,14 @@ object AsofJoin {
       .filter(col(SideCol) === leftSide)
 
     val bounded = tolerance match {
-      case Some(tol) => joined.withColumn(PayloadCol,
-        when(col(TimeCol).cast("double") - col(s"$PayloadCol.$rightTime").cast("double")
-          <= tol.cast("double"), col(PayloadCol)))
+      case Some(tol) =>
+        val staleness =
+          if (forward)
+            col(s"$PayloadCol.$rightTime").cast("double") - col(TimeCol).cast("double")
+          else
+            col(TimeCol).cast("double") - col(s"$PayloadCol.$rightTime").cast("double")
+        joined.withColumn(PayloadCol,
+          when(staleness <= tol.cast("double"), col(PayloadCol)))
       case None => joined
     }
 

@@ -302,6 +302,39 @@ object Relational extends QueryPack {
              COUNT(*) AS n
       FROM orders GROUP BY o_orderpriority"""))
 
+  /** Forward as-of join with a bounded look-ahead: each view attributed to
+    * the same user's NEXT purchase within 2 hours — conversion attribution.
+    * Same single-shuffle union+window plan as q6, traversed in reverse time
+    * order; the tolerance NULLs payloads further than 2 h ahead. Oracle:
+    * candidate left join + row_number (bounded by the tolerance window, so
+    * no unbounded pair blow-up on either engine).
+    */
+  val q6cAsofForward = GQuery(
+    "q6c_asof_forward",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      graft.operators.AsofJoin
+        .forward(views, purchases, Seq("user_id"), "ts", "purchase_ts",
+          tolerance = Some(lit(7200)))
+        .select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
+    },
+    Some("""
+      SELECT event_id, user_id, ts, purchase_id, purchase_ts FROM (
+        SELECT v.event_id, v.user_id, v.ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               row_number() OVER (PARTITION BY v.event_id
+                                  ORDER BY p.ts, p.event_id) AS rk
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 2 HOUR)
+      WHERE rk = 1"""))
+
   /** CUBE grouping sets (§2.6): order counts + revenue over every subset of
     * (status, priority), with `grouping_id` disambiguating "NULL because
     * rolled up" from a genuine NULL key. One hash aggregate expands the
@@ -329,5 +362,6 @@ object Relational extends QueryPack {
 
   override def queries: Seq[GQuery] =
     Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof,
-      q6bAsofMerge, q7Range, q8Pivot, q9AntiSemi, q10Percentiles, q11Cube)
+      q6bAsofMerge, q6cAsofForward, q7Range, q8Pivot, q9AntiSemi,
+      q10Percentiles, q11Cube)
 }

@@ -216,7 +216,49 @@ object Windows extends QueryPack {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM j GROUP BY 1, 2"""))
 
+  /** Running (cumulative) aggregates: per-user prefix count and exact
+    * decimal prefix sum in (ts, event_id) order — the running-balance /
+    * cumulative-metric window frame. One shuffle on user_id; the frame is
+    * computed in a single per-partition pass.
+    */
+  val runningTotals = GQuery(
+    "w10_running_totals",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir).select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("running_n"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_value"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             COUNT(*) OVER w AS running_n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS running_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)"""))
+
+  /** Skew-salted aggregation ([[graft.functions.Salt.saltedSumCount]]) on
+    * the oracle gate: counts + exact sums by event_type computed through the
+    * two-phase (key, salt) → key plan, hash-compared against the plain
+    * GROUP BY — proving the hot-key mitigation is value-identical. Sums are
+    * decimal (associative), so the extra merge step cannot drift.
+    */
+  val saltedStats = GQuery(
+    "w11_salted_type_stats",
+    (s, dir) => graft.functions.Salt
+      .saltedSumCount(ev(s, dir), "event_type",
+        col("value").cast("decimal(18,2)"), n = 8, saltBy = col("event_id"))
+      .select(col("event_type"), col("n"), col("total").cast("double").as("total")),
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
-      eventDeltas, propsJson)
+      eventDeltas, propsJson, runningTotals, saltedStats)
 }

@@ -49,6 +49,28 @@ class AsofJoinSpec extends AnyFunSuite {
       ("k3", 100L, "l4", None, None, None)))
   }
 
+  test("forward as-of: earliest at-or-after, ties, left-outer, tolerance") {
+    val out = rows(AsofJoin.forward(left, right, Seq("key"), "t", "rt"))
+    assert(out === Set(
+      // t=10 ties rt=10 → included; next-at-or-after semantics
+      ("k1", 10L, "l1", Some(10L), Some("a10"), Some(1)),
+      // t=20: no right row at or after → NULL payload
+      ("k1", 20L, "l2", None, None, None),
+      // t=5 → earliest rt >= 5 is 10 (not 15, not the stale 3)
+      ("k1", 5L, "l0", Some(10L), Some("a10"), Some(1)),
+      ("k2", 7L, "l3", Some(8L), Some("a8"), Some(4)),
+      ("k3", 100L, "l4", None, None, None)))
+    // look-AHEAD tolerance: rt=10 is 5 ticks after t=5 → dropped at tol=4
+    val bounded = rows(AsofJoin.forward(left, right, Seq("key"), "t", "rt",
+      tolerance = Some(lit(4))))
+    assert(bounded.contains(("k1", 5L, "l0", None, None, None)))
+    assert(bounded.contains(("k1", 10L, "l1", Some(10L), Some("a10"), Some(1))))
+    // exclusive ties: the rt=10 row is invisible to t=10 → next is 15
+    val excl = rows(AsofJoin.forward(left, right, Seq("key"), "t", "rt",
+      inclusive = false))
+    assert(excl.contains(("k1", 10L, "l1", Some(15L), None, Some(2))))
+  }
+
   test("exclusive ties: a right row at exactly t is not visible") {
     val out = rows(AsofJoin.backward(left, right, Seq("key"), "t", "rt",
       inclusive = false))
