@@ -324,7 +324,52 @@ object Text extends QueryPack {
                AS avg_inv_p_micro
       FROM scored GROUP BY doc_id"""))
 
+  /** Corpus mixing: deterministic hash-based train/val split (90/10) plus
+    * per-language mixture downsampling (en kept at 80%, other languages at
+    * 50%) — the reproducible-sampling primitive under training-data mixture
+    * weights. Membership is a pure function of (source, doc_id) via the
+    * shared rolling hash, so the SAME document lands in the SAME split on
+    * every engine, every run, every partitioning — no RAND(), no seed
+    * plumbing, no resampling drift when the corpus is re-sharded. Per-row
+    * math + one aggregate; at 100 TB the split/keep decision rides the scan.
+    */
+  val mixSplit = GQuery(
+    "tx10_mix_split",
+    (s, dir) => {
+      val splitBucket = pmod(
+        polyHash(concat(lit("split:"), col("source"), lit(":"),
+          col("doc_id").cast("string"))), lit(100))
+      val mixBucket = pmod(
+        polyHash(concat(lit("mix:"), col("source"), lit(":"),
+          col("doc_id").cast("string"))), lit(100))
+      docs(s, dir)
+        .select(
+          col("lang"), col("source"),
+          when(splitBucket < 90, lit("train")).otherwise(lit("val")).as("split"),
+          when(col("lang") === "en", mixBucket < 80)
+            .otherwise(mixBucket < 50).as("kept"))
+        .groupBy(col("lang"), col("source"), col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT lang, source,
+               ${sqlPolyHash("'split:' || source || ':' || CAST(doc_id AS VARCHAR)")}
+                 % 100 AS split_bucket,
+               ${sqlPolyHash("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")}
+                 % 100 AS mix_bucket
+        FROM documents)
+      SELECT lang, source,
+             CASE WHEN split_bucket < 90 THEN 'train' ELSE 'val' END AS split,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN (lang = 'en' AND mix_bucket < 80)
+                             OR (lang <> 'en' AND mix_bucket < 50)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM b GROUP BY 1, 2, 3"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
-      bigramStats, decontamination, lmScores)
+      bigramStats, decontamination, lmScores, mixSplit)
 }
