@@ -71,6 +71,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("* Project"), s"projection fell out of codegen:\n$p")
   }
 
+  test("q6c/q11: forward as-of has no join operator; cube is one Expand pass") {
+    val asof = plan("q6c_asof_forward")
+    assert(!asof.contains("Join"), s"as-of degraded to a join:\n$asof")
+    val cube = plan("q11_cube_orders")
+    assert(cube.contains("Expand"), cube)
+    // one aggregate pair over the expanded lattice — a per-set re-scan
+    // would show up as a Union of scans
+    assert(!cube.contains("Union"), s"grouping sets re-scan the fact:\n$cube")
+  }
+
+  test("w11: salted aggregation keeps both phases partial-aggregable") {
+    val p = plan("w11_salted_type_stats")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("j1: JSON decode is pruned to the single referenced key") {
     val p = plan("j1_props_json")
     // OptimizeJsonExprs rewrites from_json(...).k to a pruned schema parse;
