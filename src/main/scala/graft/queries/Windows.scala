@@ -258,7 +258,37 @@ object Windows extends QueryPack {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY event_type"""))
 
+  /** RANGE-framed rolling window: per event, how many events (and their
+    * exact sum) the same user produced in the trailing hour — a
+    * value-range frame over event time, not a row count (two events at the
+    * same instant both see each other). The per-partition pass is a sliding
+    * two-pointer over the sorted user timeline — no self-join, no per-row
+    * re-scan; one shuffle on user_id.
+    */
+  val rolling1h = GQuery(
+    "w12_rolling_1h",
+    (s, dir) => {
+      // integer microseconds: RANGE bounds must be exact, and unix_micros
+      // is the lossless image of the timestamp
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000 * 1000, 0L)
+      ev(s, dir).select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_trailing_1h"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             COUNT(*) OVER w AS n_trailing_1h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_trailing_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
-      eventDeltas, propsJson, runningTotals, saltedStats)
+      eventDeltas, propsJson, runningTotals, saltedStats, rolling1h)
 }
