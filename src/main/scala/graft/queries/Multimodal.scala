@@ -148,6 +148,59 @@ object Multimodal extends QueryPack {
                "substr(t, CAST(i * 48 + 1 AS INT), 64)")} AS chunk_hash
       FROM c"""))
 
+  /** Per-kind feature standardization (z-scores): the normalize-before-
+    * training step. Two passes — a tiny (kind, feat_idx) moment aggregate
+    * (12 rows: exact integer sums + sums of squares through DECIMAL(38)),
+    * broadcast-joined back onto the feature rows for the scalar z map.
+    * The big side is scanned twice and shuffled never (the stats side is
+    * KB-sized at any corpus scale). Double math (mean/std/z) is the same
+    * expression sequence in both engines, so results agree bit-for-bit from
+    * identical exact-integer inputs; zero-variance groups emit NULL.
+    */
+  val featureZscores = GQuery(
+    "mm7_feature_zscores",
+    (s, dir) => {
+      val f = media(s, dir)
+        .select(col("media_id"), col("kind"), col("content").cast("string").as("t"))
+        .select(col("media_id"), col("kind"),
+          posexplode(Media.featureExprs(col("t"))).as(Seq("feat_idx", "v")))
+      val stats = f.groupBy(col("kind"), col("feat_idx"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)")).as("s"),
+          sum((col("v") * col("v")).cast("decimal(38,0)")).as("s2"))
+        .select(col("kind"), col("feat_idx"),
+          (col("s").cast("double") / col("n")).as("mean"),
+          sqrt(col("s2").cast("double") / col("n") -
+            (col("s").cast("double") / col("n")) *
+              (col("s").cast("double") / col("n"))).as("std"))
+      f.join(broadcast(stats), Seq("kind", "feat_idx"))
+        .select(col("media_id"), col("kind"), col("feat_idx"),
+          when(col("std") > 0,
+            (col("v").cast("double") - col("mean")) / col("std")).as("z"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id AS media_id, $sqlKind AS kind,
+               CAST(unnest(range(0, ${Media.NFeatures})) AS INT) AS feat_idx,
+               unnest([${(0 until Media.NFeatures)
+                 .map(d => Media.sqlFeature("text", d)).mkString(", ")}]) AS v
+        FROM documents),
+      stats AS (
+        SELECT kind, feat_idx, COUNT(*) AS n,
+               SUM(v) AS s, SUM(v * v) AS s2
+        FROM f GROUP BY 1, 2),
+      m AS (
+        SELECT kind, feat_idx,
+               CAST(s AS DOUBLE) / n AS mean,
+               sqrt(CAST(s2 AS DOUBLE) / n -
+                 (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
+        FROM stats)
+      SELECT media_id, f.kind, f.feat_idx,
+             CASE WHEN std > 0 THEN (CAST(v AS DOUBLE) - mean) / std END AS z
+      FROM f JOIN m ON f.kind = m.kind AND f.feat_idx = m.feat_idx"""))
+
   override def queries: Seq[GQuery] =
-    Seq(manifest, features, frames, kindStats, resized, audioChunks)
+    Seq(manifest, features, frames, kindStats, resized, audioChunks,
+      featureZscores)
 }
