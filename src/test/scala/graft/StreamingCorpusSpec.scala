@@ -77,6 +77,29 @@ class StreamingCorpusSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: live feed enriched from a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the stateless enrichment shape: no watermark, no state store — the
+    // static side is planned as a broadcast per micro-batch, so a 100 TB/day
+    // feed joins a dimension table without shuffling the stream
+    val dim = Seq(("en", "english"), ("es", "spanish")).toDF("lang", "lang_name")
+    val feed = MemoryStream[(Long, String)]
+    val enriched = feed.toDF.toDF("doc_id", "lang")
+      .join(broadcast(dim), Seq("lang"), "left")
+    val q = enriched.writeStream.format("memory")
+      .queryName("sc_enrich").outputMode("append").start()
+    try {
+      feed.addData((0L, "en"), (1L, "zh"), (2L, "es"))
+      q.processAllAvailable()
+      val got = spark.table("sc_enrich")
+        .select($"doc_id", $"lang_name").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got === Set(
+        (0L, Some("english")), (1L, None), (2L, Some("spanish"))))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops replayed content within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
