@@ -460,7 +460,60 @@ object Dedup extends QueryPack {
                AS rk
       FROM g QUALIFY rk <= 20"""))
 
+  /** Hamming-space near-dup DEGREE over the 32-bit SimHash: for every
+    * document, how many others sit within Hamming distance 3 — the density
+    * signal a near-dup triage uses. Pairs are found WITHOUT a cross join by
+    * the pigeonhole band trick: split the hash into 4 8-bit bands; ≤3
+    * differing bits cannot touch all 4 bands, so every qualifying pair
+    * shares at least one exact band ⇒ the band equi-join has PERFECT recall
+    * (not probabilistic like dd4's minhash banding). Candidates verify with
+    * one `bit_count(xor)` — integer-exact in both engines — and collapse to
+    * a per-doc count, so the output stays one row per document no matter
+    * how dense the pair space is. The oracle brute-forces the O(n²) pair
+    * space (fine at oracle scale); the engine plan is the banded hash join
+    * that survives 100 TB.
+    */
+  val simhashDegree = GQuery(
+    "dd10_simhash_hamming_degree",
+    (s, dir) => {
+      val sims = docs(s, dir).select(
+        col("doc_id"),
+        simhash32(transform(tokens(col("text")), t => polyHash(t))).as("simhash"))
+        .persist() // feeds bands twice (self-join) + the final join-back
+      val bands = sims.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "band_val")))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        .distinct()
+        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      val degree = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_near3"))
+      sims.select(col("doc_id")).join(degree, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_near3"), lit(0L)).as("n_near3"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(text, '\\S+'),
+                              t -> ${sqlPolyHash("t")}) AS hs
+        FROM documents),
+      s AS (SELECT doc_id, ${sqlSimhash32("hs")} AS simhash FROM d)
+      SELECT a.doc_id,
+             CAST(COUNT(CASE WHEN b.doc_id IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_near3
+      FROM s a LEFT JOIN s b
+        ON a.doc_id <> b.doc_id
+       AND bit_count(xor(a.simhash, b.simhash)) <= 3
+      GROUP BY a.doc_id"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
-      cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans)
+      cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree)
 }
