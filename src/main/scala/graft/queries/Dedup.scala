@@ -64,6 +64,15 @@ object Dedup extends QueryPack {
       // expansion via nested transform/slice HOFs — was tried and is 2×
       // SLOWER: per-element slice copies the postings array O(df²) times in
       // interpreted HOF land. The codegen'd hash join wins.)
+      // df pruning (a result-preserving rewrite for REAL corpora): shingles
+      // with df=1 can never produce a pair, and on a natural heavy-tailed
+      // shingle histogram they are the majority of postings — prepend
+      //   inv.join(inv.groupBy("shingle").count().filter($"count">=2)
+      //      .select("shingle"), Seq("shingle"), "left_semi")
+      // before the self-join at 100 TB. On THIS synthetic corpus the
+      // vocabulary is tiny (df=1 is 0.8% of postings, measured at sf0.1),
+      // so the extra aggregate+semi-join costs more than it prunes — the
+      // plain inverted index wins locally.
       val inv = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
         .persist()
       val pairs = inv.as("a").join(inv.as("b"),
