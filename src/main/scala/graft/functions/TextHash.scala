@@ -107,12 +107,22 @@ object TextHash {
     * b_i = 7919·(i+1). Standard universal-hash minwise scheme (Broder '97).
     */
   def minhashSig(shingleHashes: Column, k: Int): Column =
-    // PERF: single pass — fold over the hashes keeping an element-wise-min
-    // accumulator of all k permutations, with `shingleHashes` in argument
-    // position. The loop-over-permutations formulation
-    // (transform(sequence(0, k-1), i => array_min(transform(hashes, ...))))
-    // re-evaluates the whole upstream shingle pipeline k times per row.
-    // Empty shingle set → sentinel Mod (the fold's initial value).
+    // Native codegen'd kernel ([[MinHashSig]]): one k×n loop, one output
+    // allocation. The built-in-only fold is kept as [[minhashSigHof]] for
+    // the equivalence spec.
+    org.apache.spark.sql.GraftColumn.of(MinHashSig(
+      org.apache.spark.sql.GraftColumn.expr(shingleHashes), k))
+
+  /** Reference formulation of [[minhashSig]] with built-in HOFs only
+    * (interpreted): single pass — fold over the hashes keeping an
+    * element-wise-min accumulator of all k permutations, with
+    * `shingleHashes` in argument position. The loop-over-permutations
+    * formulation (transform(sequence(0, k-1), i =>
+    * array_min(transform(hashes, ...)))) re-evaluates the whole upstream
+    * shingle pipeline k times per row. Empty shingle set → sentinel Mod
+    * (the fold's initial value).
+    */
+  def minhashSigHof(shingleHashes: Column, k: Int): Column =
     aggregate(
       shingleHashes,
       array_repeat(lit(Mod), k),
