@@ -138,7 +138,16 @@ object TextHash {
     * sum over tokens of ±1 (sign of token-hash bit j) is positive.
     * Pure array math — one pass over tokens, no explode.
     */
-  def simhash32(tokenHashes: Column): Column = {
+  def simhash32(tokenHashes: Column): Column =
+    // Native codegen'd kernel ([[SimHash32]]); the built-in-only fold is
+    // kept as [[simhash32Hof]] for the equivalence spec.
+    org.apache.spark.sql.GraftColumn.of(SimHash32(
+      org.apache.spark.sql.GraftColumn.expr(tokenHashes)))
+
+  /** Reference formulation of [[simhash32]] with built-in HOFs only
+    * (interpreted) — cross-checks the native expression.
+    */
+  def simhash32Hof(tokenHashes: Column): Column = {
     val acc = aggregate(
       tokenHashes,
       array_repeat(lit(0L), 32),

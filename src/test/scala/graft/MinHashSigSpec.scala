@@ -25,6 +25,33 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("native SimHash32 == HOF formulation on the documents corpus") {
+    import TextHash._
+    val hs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(transform(tokens(col("text")), t => polyHash(t)).as("hs"))
+    val bad = hs.select(
+      simhash32(col("hs")).as("native"),
+      simhash32Hof(col("hs")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(bad.count() === 0)
+  }
+
+  test("SimHash32 edge cases: empty, null element, null input") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Seq[Option[Long]]())),                // empty → 0
+      (2, Some(Seq[Option[Long]](Some(5L), None))),  // null poisons → 0
+      (3, Option.empty[Seq[Option[Long]]])           // null → null
+    ).toDF("id", "hs")
+    val out = df.select(col("id"),
+        TextHash.simhash32(col("hs")).as("native"),
+        TextHash.simhash32Hof(col("hs")).as("hof"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) === 0L && out(0).getLong(2) === 0L)
+    assert(out(1).getLong(1) === 0L && out(1).getLong(2) === 0L)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
   test("edge cases: empty array, null element skipped, null input") {
     import spark.implicits._
     val df = Seq(
