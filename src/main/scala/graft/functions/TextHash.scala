@@ -250,6 +250,16 @@ object TextHash {
     * cross join).
     */
   def lshBucket(qv: Column, planes: Int): Column =
+    // Native codegen'd kernel ([[LshBucketExpr]]): one pass over the vector
+    // updating all plane accumulators; the built-in-only formulation is
+    // kept as [[lshBucketHof]] for the equivalence spec.
+    org.apache.spark.sql.GraftColumn.of(LshBucketExpr(
+      org.apache.spark.sql.GraftColumn.expr(qv), planes))
+
+  /** Reference formulation of [[lshBucket]] with built-in HOFs only
+    * (interpreted, one fold per plane) — cross-checks the native kernel.
+    */
+  def lshBucketHof(qv: Column, planes: Int): Column =
     (0 until planes).map { r =>
       when(hplaneDot(qv, r) >= 0, lit(1L << r)).otherwise(lit(0L))
     }.reduce(_ + _)

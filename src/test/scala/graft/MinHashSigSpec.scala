@@ -52,6 +52,36 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("native LshBucket == HOF formulation on the embeddings corpus") {
+    import TextHash._
+    val q = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(quantize(col("embedding")).as("qv"))
+    val bad = q.select(
+      lshBucket(col("qv"), 8).as("native"),
+      lshBucketHof(col("qv"), 8).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(bad.count() === 0)
+  }
+
+  test("LshBucket edge cases: empty, null element, null input") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Seq[Option[Long]]())),                // empty → 0
+      (2, Some(Seq[Option[Long]](Some(5L), None))),  // null → 0
+      (3, Option.empty[Seq[Option[Long]]])           // null input → null
+    ).toDF("id", "qv")
+    val out = df.select(col("id"),
+        TextHash.lshBucket(col("qv"), 8).as("native"),
+        TextHash.lshBucketHof(col("qv"), 8).as("hof"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) === 0L && out(0).getLong(2) === 0L)
+    assert(out(1).getLong(1) === 0L && out(1).getLong(2) === 0L)
+    // documented divergence: the native kernel is null-safe (NULL), the
+    // HOF twin's otherwise(0) chain folds a null vector into bucket 0
+    assert(out(2).isNullAt(1))
+    assert(out(2).getLong(2) === 0L)
+  }
+
   test("edge cases: empty array, null element skipped, null input") {
     import spark.implicits._
     val df = Seq(
