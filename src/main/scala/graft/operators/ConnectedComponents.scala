@@ -56,17 +56,21 @@ object ConnectedComponents {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      // messages: each vertex's current label, sent over every edge
+      // messages: each vertex's current label, sent over every edge. The
+      // vertex's own row is tagged `self` so the SAME aggregation yields
+      // both the new label (min over self+neighbors) and the previous one
+      // (the self row's) — convergence then reads off the materialized
+      // result with a cache-local scan, no join, no extra shuffle.
       val msgs = und
         .join(labels, und("src") === labels("vertex"))
-        .select(col("dst").as("vertex"), col("component"))
-      val next = labels.union(msgs)
-        .groupBy("vertex").agg(min("component").as("component"))
+        .select(col("dst").as("vertex"), col("component"), lit(0).as("self"))
+      val next = labels.withColumn("self", lit(1)).union(msgs)
+        .groupBy("vertex").agg(
+          min("component").as("component"),
+          max(when(col("self") === 1, col("component"))).as("prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "prev"), "vertex")
-        .filter(col("component") =!= col("prev"))
-        .count()
-      labels = next
+      changed = next.filter(col("component") =!= col("prev")).count()
+      labels = next.drop("prev")
       round += 1
     }
     labels
