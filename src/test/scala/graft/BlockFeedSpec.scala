@@ -31,6 +31,22 @@ class BlockFeedSpec extends AnyFunSuite {
     assert(df.filter(col("historical")).count() === 100L)
   }
 
+  test("backfill throughput clears the reference's implied ceiling") {
+    // the reference's envelope: 16 concurrent fetches x 1 block per 2 HTTP
+    // round-trips -> order tens of blocks/s (BASELINE.md). Fixture transport
+    // removes the network, but the whole decode/assembly pipeline runs —
+    // a regression that drops below the reference's own ceiling on LOCAL
+    // I/O would be a real architecture smell, not noise.
+    read("from" -> "2270370", "to" -> "2270469").count() // warm the caches
+    val t0 = System.nanoTime()
+    val n = read("from" -> "2270370", "to" -> "2270469").count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n === 100L)
+    val blocksPerSec = n / secs
+    assert(blocksPerSec > 40.0,
+      f"backfill ran $blocksPerSec%.1f blocks/s — below the reference envelope")
+  }
+
   test("height-range filter prunes partitions; num_txs pushdown skips empties") {
     val df = read("from" -> "2270370", "to" -> "2270469")
     assert(df.filter(col("height").between(2270400L, 2270409L)).count() === 10L)
