@@ -87,6 +87,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("GLOBAL: no query in the whole inventory plans a CartesianProduct") {
+    // broadcast nested-loop joins over a deliberately-broadcast small side
+    // are fine (the query-batch / centroid / pair patterns); an unhinted
+    // CartesianProduct of two big sides is never fine at any scale
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products planned in: ${offenders.mkString(", ")}")
+  }
+
   test("j1: JSON decode is pruned to the single referenced key") {
     val p = plan("j1_props_json")
     // OptimizeJsonExprs rewrites from_json(...).k to a pruned schema parse;
