@@ -22,6 +22,12 @@ import org.apache.spark.sql.streaming.Trigger
   * `exists` predicates; the file sink is the K2 sha-splayed idempotent
   * layout (ordered = W6); `nth` adds the K3 console sample as a second
   * sink off the same batch (K8 fan-out).
+  *
+  * `events=tx|block` switches to the `EventsMain.kt` entry point
+  * (§3, `es-cli/EventsMain.kt`): instead of raw blocks, each micro-batch
+  * is flattened to the tx/block EVENT table (E1/E2) and written as parquet
+  * under `out/batch=<id>/` — overwrite-per-batch, so a replayed batch id
+  * lands idempotently (exactly-once with the offset log).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -45,8 +51,18 @@ object Main {
       EventTables.filterNonEmpty(raw, opts.get("skipEmpty").exists(_.toBoolean)),
       list("txEvents"), list("blockEvents"))
 
+    val eventSink = opts.get("events").map { kind =>
+      (b: org.apache.spark.sql.DataFrame, id: Long) => {
+        val ev = kind match {
+          case "block" => EventTables.blockEvents(b)
+          case _       => EventTables.txEvents(b)
+        }
+        ev.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+    }
     val sinks = Seq(
-      Some(BlockSinks.fileSink(out, opts.get("ordered").exists(_.toBoolean))),
+      eventSink.orElse(
+        Some(BlockSinks.fileSink(out, opts.get("ordered").exists(_.toBoolean)))),
       opts.get("nth").map { n => (b: org.apache.spark.sql.DataFrame, id: Long) =>
         BlockSinks.consoleSample(b, n.toInt)
           .select("height", "chain_id", "num_txs", "historical").show(false)

@@ -30,6 +30,16 @@ class MainSpec extends AnyFunSuite {
       java.nio.file.Files.getLastModifiedTime(f) == stamps(f.toString)))
   }
 
+  test("CLI events mode: flattened tx-event parquet per batch (EventsMain)") {
+    val out = java.nio.file.Files.createTempDirectory("cli_ev").toString
+    Main.main(Array(
+      "from=2270370", "to=2270469", s"out=$out",
+      "events=tx", "maxHeightsPerTrigger=40", "trigger=availableNow"))
+    val ev = Session.get("main-spec").read.parquet(s"$out/batch=*")
+    assert(ev.count() === 9838L) // the fixture's full tx-event total (E1)
+    assert(ev.columns.contains("event_type") && ev.columns.contains("tx_hash"))
+  }
+
   test("CLI: skipEmpty + event filter narrow the file set") {
     val out = java.nio.file.Files.createTempDirectory("cli_out2").toString
     Main.main(Array(
