@@ -360,8 +360,31 @@ object Relational extends QueryPack {
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
 
+  /** Set operators (§2.6-adjacent): INTERSECT / EXCEPT with SQL bag-to-set
+    * semantics — converting users by behavior (clicked ∩ purchased ∖
+    * errored). Both plan as hash-partitioned distinct + co-partitioned
+    * joins on the key — no materialized intermediate sets.
+    */
+  val q12SetOps = GQuery(
+    "q12_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      def users(kind: String, minValue: Double) =
+        ev.filter($"event_type" === kind && $"value" > minValue)
+          .select($"user_id")
+      users("purchase", 90).intersect(users("click", 90))
+        .except(users("error", 95))
+    },
+    Some("""
+      SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error' AND value > 95"""))
+
   override def queries: Seq[GQuery] =
     Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof,
       q6bAsofMerge, q6cAsofForward, q7Range, q8Pivot, q9AntiSemi,
-      q10Percentiles, q11Cube)
+      q10Percentiles, q11Cube, q12SetOps)
 }

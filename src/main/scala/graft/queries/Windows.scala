@@ -288,7 +288,33 @@ object Windows extends QueryPack {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""))
 
+  /** The rank-function family beyond row_number: dense_rank (no gaps),
+    * percent_rank ((rank−1)/(n−1), identical closed form in both engines),
+    * and ntile(4) quartile buckets — per user over event values. One
+    * shuffle on user_id; ties broken by event_id where the function is
+    * order-sensitive.
+    */
+  val rankFamily = GQuery(
+    "w13_rank_family",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      ev(s, dir).select(
+        col("user_id"), col("event_id"),
+        dense_rank().over(w).cast("long").as("drk"),
+        percent_rank().over(w).as("prk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             dense_rank() OVER w AS drk,
+             percent_rank() OVER w AS prk,
+             ntile(4) OVER w AS quartile
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
-      eventDeltas, propsJson, runningTotals, saltedStats, rolling1h)
+      eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
+      rankFamily)
 }
