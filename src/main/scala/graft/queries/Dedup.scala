@@ -522,7 +522,36 @@ object Dedup extends QueryPack {
        AND bit_count(xor(a.simhash, b.simhash)) <= 3
       GROUP BY a.doc_id"""))
 
+  /** Normalization-aware exact dedup: case-fold + whitespace-collapse
+    * BEFORE hashing, so trivially reformatted copies (case, spacing) land
+    * in one group — the canonicalization stage real pipelines run ahead of
+    * dd1. `n_raw_variants` counts how many byte-distinct texts each
+    * normalized group coalesced. Same single hash-shuffle shape as dd1;
+    * normalization is per-row codegen'd string work riding the scan.
+    */
+  val normalizedDedup = GQuery(
+    "dd11_normalized_dedup",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .groupBy(sha2(col("norm"), 256).as("norm_hash"))
+      .agg(
+        min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(sha2(col("text"), 256)).as("n_raw_variants")),
+    Some("""
+      WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents)
+      SELECT sha256(norm) AS norm_hash,
+             MIN(doc_id) AS keeper_id,
+             COUNT(*) AS n_copies,
+             COUNT(DISTINCT sha256(text)) AS n_raw_variants
+      FROM n GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
-      cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree)
+      cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree,
+      normalizedDedup)
 }
