@@ -54,8 +54,9 @@ object Main {
     val eventSink = opts.get("events").map { kind =>
       (b: org.apache.spark.sql.DataFrame, id: Long) => {
         val ev = kind match {
+          case "tx"    => EventTables.txEvents(b)
           case "block" => EventTables.blockEvents(b)
-          case _       => EventTables.txEvents(b)
+          case other   => sys.error(s"events=$other (expected tx|block)")
         }
         ev.write.mode("overwrite").parquet(s"$out/batch=$id")
       }

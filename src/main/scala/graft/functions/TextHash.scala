@@ -264,8 +264,11 @@ object TextHash {
       when(hplaneDot(qv, r) >= 0, lit(1L << r)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  def sqlLshBucket(e: String, planes: Int): String =
-    (0 until planes).map { r =>
+  def sqlLshBucket(e: String, planes: Int): String = {
+    val bits = (0 until planes).map { r =>
       s"(CASE WHEN ${sqlHplaneDot(e, r)} >= 0 THEN ${1L << r} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+    // null-input guard mirrors the native LshBucketExpr (NULL, not bucket 0)
+    s"(CASE WHEN $e IS NULL THEN NULL ELSE $bits END)"
+  }
 }

@@ -127,10 +127,14 @@ object AsofJoin {
     // Forward = the same most-recent-seen-payload pass over reversed time:
     // "earliest at-or-after" is "latest at-or-before" under time reversal.
     // The tie rule is direction-independent (right visible at equal time
-    // iff inclusive), so SideCol always sorts ascending.
+    // iff inclusive), so SideCol always sorts ascending. The payload struct
+    // is the FINAL sort key so equal-timestamp right rows have a total,
+    // partitioning-independent order — `last` then deterministically picks
+    // the LEXICOGRAPHICALLY SMALLEST payload (descending sort ⇒ it lands
+    // last), matching an oracle that breaks ties by `ORDER BY rt, id…`.
     val timeOrder = if (forward) col(TimeCol).desc else col(TimeCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(timeOrder, col(SideCol).asc)
+      .orderBy(timeOrder, col(SideCol).asc, col(PayloadCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val joined = leftTagged.unionByName(rightTagged)

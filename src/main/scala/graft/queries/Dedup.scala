@@ -493,14 +493,15 @@ object Dedup extends QueryPack {
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*))
           .as(Seq("band", "band_val")))
+      // Hamming filter BEFORE the distinct: most band collisions fail it,
+      // so the dedup exchange only carries qualifying (doc_a, doc_b) pairs
       val pairs = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_val") === col("b.band_val") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
       val degree = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_near3"))

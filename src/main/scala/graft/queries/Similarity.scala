@@ -242,7 +242,7 @@ object Similarity extends QueryPack {
 
   /** Product-quantization ANN with asymmetric distance computation
     * ([[graft.functions.PqIndex]]): 4 subspaces × 16 dims, 8-cell codebooks
-    * (2 Lloyd iterations), ADC candidate scoring from per-query lookup
+    * (1 Lloyd iteration), ADC candidate scoring from per-query lookup
     * tables, exact re-rank of the top-15 pool. The corpus-sized scan
     * touches only the 4-code rows + cached norms (≈16× less bandwidth than
     * the float vectors — the property that matters at 100 TB); full vectors

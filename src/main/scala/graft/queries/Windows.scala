@@ -208,7 +208,10 @@ object Windows extends QueryPack {
     Some("""
       WITH j AS (
         SELECT event_type,
-               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               -- json_valid guard = Spark's PERMISSIVE garbage->NULL channel
+               -- (DuckDB json_extract ERRORS on malformed JSON)
+               CAST(json_extract(CASE WHEN json_valid(props) THEN props END,
+                                 '$.k') AS BIGINT) AS k,
                value
         FROM events)
       SELECT event_type, k - k % 10 AS k_decade,

@@ -42,8 +42,12 @@ class BlockFeedSpec extends AnyFunSuite {
     val n = read("from" -> "2270370", "to" -> "2270469").count()
     val secs = (System.nanoTime() - t0) / 1e9
     assert(n === 100L)
+    // floor sits far under the quiet-host rate (hundreds/s) so documented
+    // 20-50x host-contention spikes cannot flake the suite, yet a genuine
+    // architecture regression (per-block overheads back on the scan path)
+    // still trips it
     val blocksPerSec = n / secs
-    assert(blocksPerSec > 40.0,
+    assert(blocksPerSec > 5.0,
       f"backfill ran $blocksPerSec%.1f blocks/s — below the reference envelope")
   }
 
