@@ -298,6 +298,49 @@ object Similarity extends QueryPack {
     },
     None)
 
+  /** Filtered ("hybrid") search: a metadata predicate composes with the
+    * vector top-k — here, nearest neighbors restricted to OTHER coarse
+    * cells (label <> query's), the cross-cluster-recommendation shape.
+    * The filter is a plain Catalyst predicate on the scored join, so it
+    * pushes into the scan/join like any relational filter — predicate
+    * selectivity cuts scored candidates BEFORE the top-k, which is the
+    * point of filtered ANN at scale (no post-filtering a too-small k).
+    */
+  val knnFiltered = GQuery(
+    "sim8_knn_filtered",
+    (s, dir) => {
+      val q = quantized(s, dir)
+      val queries = q.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("qv").as("q_qv"), col("norm").as("q_norm"))
+      val scored = q.join(broadcast(queries),
+          col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm"))).as("cosine"))
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id")))
+      scored.withColumn("rank", rk).filter(col("rank") <= K)
+    },
+    Some(s"""
+      WITH q AS ($sqlQuantized),
+      queries AS (
+        SELECT vec_id AS query_id, label AS q_label, qv AS q_qv,
+               norm AS q_norm
+        FROM q WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT query_id, c.vec_id AS neighbor_id, c.label,
+               CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm)
+                 AS cosine
+        FROM q c JOIN queries
+          ON c.vec_id <> query_id AND c.label <> q_label)
+      SELECT query_id, neighbor_id, label, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored QUALIFY rank <= $K"""))
+
   override def queries: Seq[GQuery] =
-    Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched, knnPq)
+    Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched,
+      knnPq, knnFiltered)
 }
