@@ -21,10 +21,19 @@ object Bench {
       graft.blocks.FixtureSource.combinedRaw(spark, t, 2270370L).count()
       graft.sinks.BlockSinks.streamBlockSchema(spark)
     } catch { case _: Throwable => () }
+    // baseline cache set = the shared fixture relations warmed above; any
+    // persist() created INSIDE a query (dd2/dd4/dd10/pipe1/sim7 build sides)
+    // is freed after that query so storage memory doesn't accumulate dead
+    // cache across the ~85-query sweep (matters most on contended hosts)
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

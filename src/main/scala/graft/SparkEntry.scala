@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.Text,
     graft.queries.Dedup,
     graft.queries.Multimodal,
-    graft.queries.Similarity)
+    graft.queries.Similarity,
+    graft.queries.Profiling)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

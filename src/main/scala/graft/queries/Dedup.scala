@@ -551,8 +551,49 @@ object Dedup extends QueryPack {
              COUNT(DISTINCT sha256(text)) AS n_raw_variants
       FROM n GROUP BY 1"""))
 
+  /** Incremental (cross-corpus) exact dedup with a Bloom-filter pre-prune:
+    * flag every "new batch" document (odd doc_id) whose content hash already
+    * exists in the "reference corpus" (even doc_id). The batch is first
+    * filtered through a Bloom filter built over the corpus hashes, and only
+    * the Bloom-POSITIVE survivors go through the exact semi-join verify —
+    * the final answer is therefore EXACT (false positives are eliminated by
+    * the verify join, false negatives don't exist), which is why the oracle
+    * is the plain hash anti/semi join.
+    *
+    * Scale shape (the reason this operator exists): at 100 TB the naive plan
+    * shuffles the ENTIRE new batch by hash to meet the corpus. The Bloom
+    * filter (~1.2 GB per 10^9 corpus keys at 1% fpp) is built with one
+    * corpus-side aggregate, broadcast once, and drops ~99% of the batch
+    * map-side; the exact-verify semi-join then only shuffles true duplicates
+    * plus the 1% fp residue. Same trick Spark's own runtime row-filtering
+    * uses, applied cross-corpus. The membership probe is a scalar JVM call
+    * against the broadcast sketch (no per-row serialization).
+    */
+  val bloomIncremental = GQuery(
+    "dd12_bloom_incremental_dedup",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+      val bloom = corpus.stat.bloomFilter("h", 100000L, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
+      val confirmed = batch.filter(mightContain(col("h")))
+        .join(corpus.select(col("h")).distinct(), Seq("h"), "left_semi")
+        .select(col("doc_id"), lit(true).as("c"))
+      batch.join(confirmed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("h").as("text_hash"),
+          coalesce(col("c"), lit(false)).as("in_corpus"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+      corpus AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+      batch AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1)
+      SELECT b.doc_id, b.h AS text_hash, c.h IS NOT NULL AS in_corpus
+      FROM batch b LEFT JOIN corpus c ON b.h = c.h"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
       cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree,
-      normalizedDedup)
+      normalizedDedup, bloomIncremental)
 }

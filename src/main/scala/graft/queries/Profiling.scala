@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Data-profiling and physical-layout operators — the "know your table before
+  * you train on it" surface (per-column stats, categorical tops, space-filling
+  * curve layout). These are the ops a 100 TB ingest runs FIRST, so their plan
+  * shapes matter as much as the query packs':
+  *
+  *   - prof1 computes every numeric column's stats in ONE scan (a single
+  *     multi-expression aggregate, then an unpivot of the 1-row result) — the
+  *     naive per-column loop would scan the table N_cols times;
+  *   - prof2 turns the per-column categorical histogram into ONE shuffle by
+  *     exploding (column, value) pairs out of each row — profile M columns
+  *     for the price of one groupBy;
+  *   - z1 assigns each row its Morton (Z-order) curve position and derives
+  *     the layout bucket from the curve's high bits — a pure per-row
+  *     computation (NO global sort, no window), which is exactly how a
+  *     cluster-scale writer lays out multi-dimensionally-pruned files.
+  */
+object Profiling extends QueryPack {
+
+  private val NumCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Per-numeric-column null count / exact distinct / min / max in a single
+    * pass. At 100 TB the exact COUNT(DISTINCT) per column is the one
+    * expensive term (Spark expands it to per-column shuffles); the swap-in is
+    * `approx_count_distinct` (HLL, one pass, mergeable) — kept exact here so
+    * the oracle checks values, with the HLL variant covered in ApproxAggSpec.
+    */
+  val numericProfile = GQuery(
+    "prof1_numeric_profile",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: NumCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max")))
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = s"stack(${NumCols.size}, " + NumCols.map(c =>
+        s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+        .mkString(", ") +
+        ") as (column_name, n_nulls, n_distinct, min_value, max_value)"
+      one.select(col("n_rows"), expr(stackExpr))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    },
+    Some(NumCols.map(c => s"""
+      SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             COUNT(DISTINCT $c) AS n_distinct,
+             CAST(MIN($c) AS DOUBLE) AS min_value,
+             CAST(MAX($c) AS DOUBLE) AS max_value
+      FROM lineitem""").mkString(" UNION ALL ")))
+
+  private val CatCols = Seq("l_returnflag", "l_linestatus")
+
+  /** Categorical profile (distinct count + modal value) for M columns in ONE
+    * shuffle: each row explodes into (column_name, value) pairs, a single
+    * groupBy builds every column's histogram at once, and the per-column
+    * top-1 is a window over the (tiny) histogram, not the data.
+    */
+  val categoricalProfile = GQuery(
+    "prof2_categorical_profile",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val pairs = li.select(explode(array(CatCols.map(c =>
+        struct(lit(c).as("column_name"), col(c).as("v"))): _*)).as("p"))
+        .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+      val counts = pairs.groupBy(col("column_name"), col("v"))
+        .agg(count(lit(1)).as("n"))
+      val rk = row_number().over(Window.partitionBy(col("column_name"))
+        .orderBy(col("n").desc, col("v")))
+      val top = counts.withColumn("rk", rk).filter(col("rk") === 1)
+        .select(col("column_name"), col("v").as("top_value"),
+          col("n").as("top_count"))
+      val nd = counts.groupBy(col("column_name"))
+        .agg(count(lit(1)).as("n_distinct"))
+      top.join(nd, "column_name")
+        .select(col("column_name"), col("n_distinct"),
+          col("top_value"), col("top_count"))
+    },
+    Some(s"""
+      WITH pairs AS (${CatCols.map(c =>
+        s"SELECT '$c' AS column_name, $c AS v FROM lineitem")
+        .mkString(" UNION ALL ")}),
+      counts AS (
+        SELECT column_name, v, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+      top AS (
+        SELECT column_name, v AS top_value, n AS top_count,
+               row_number() OVER (PARTITION BY column_name
+                                  ORDER BY n DESC, v) AS rk
+        FROM counts),
+      nd AS (SELECT column_name, COUNT(*) AS n_distinct FROM counts GROUP BY 1)
+      SELECT column_name, n_distinct, top_value, top_count
+      FROM top JOIN nd USING (column_name) WHERE rk = 1"""))
+
+  /** Z-order (Morton curve) layout over `events(user_id, ts)`: interleave the
+    * low 16 bits of the two dimensions into a 32-bit curve position, derive
+    * the layout bucket from the curve's TOP 5 bits (32 buckets), and report
+    * each bucket's dimension envelope. The envelope shows why the layout
+    * works: every bucket is tight in BOTH user_id-space and time-space, so a
+    * scan with predicates on either dimension prunes most buckets (the
+    * min/max file statistics any parquet reader checks).
+    *
+    * Scale shape: the curve position and bucket are per-row bit math riding
+    * the scan — no sort, no window, no sampling pass. A writer would
+    * `repartitionByRange($"zval")` + sortWithinPartitions to get one tight
+    * file per bucket; the bucket agg here is one uniform-key shuffle.
+    */
+  val zorderLayout = GQuery(
+    "z1_zorder_layout",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val x = pmod(col("user_id"), lit(65536L))
+      val y = pmod(expr("unix_millis(ts) div 1000"), lit(65536L))
+      val zval = (0 until 16).map { j =>
+        (shiftright(x, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j))) +
+          (shiftright(y, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1)))
+      }.reduce(_ + _)
+      e.select(x.as("x"), y.as("y"), zval.as("zval"))
+        .withColumn("bucket", shiftright(col("zval"), 27))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
+    },
+    Some {
+      val terms = (0 until 16).map { j =>
+        s"(((x >> $j) & 1) * ${1L << (2 * j)} + ((y >> $j) & 1) * ${1L << (2 * j + 1)})"
+      }.mkString(" + ")
+      s"""
+      WITH d AS (
+        SELECT user_id % 65536 AS x,
+               (epoch_ms(ts) // 1000) % 65536 AS y
+        FROM events),
+      z AS (SELECT x, y, $terms AS zval FROM d)
+      SELECT zval >> 27 AS bucket, COUNT(*) AS n_events,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             MIN(zval) AS min_z, MAX(zval) AS max_z
+      FROM z GROUP BY 1"""
+    })
+
+  override def queries: Seq[GQuery] =
+    Seq(numericProfile, categoricalProfile, zorderLayout)
+}

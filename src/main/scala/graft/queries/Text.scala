@@ -151,10 +151,15 @@ object Text extends QueryPack {
     (s, dir) => {
       val toks = docs(s, dir)
         .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
-      val tf = toks.groupBy(col("lang"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val df = toks.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // ONE scan + ONE shuffle over the raw tokens: the per-doc partial
+      // aggregate (with map-side combine) feeds both tf (sum over docs) and
+      // df (count of docs) — vs the naive two-scan plan (tf groupBy + a
+      // distinct + df groupBy) that tokenizes and shuffles the corpus twice.
+      val perDoc = toks.groupBy(col("doc_id"), col("lang"), col("token"))
+        .agg(count(lit(1)).as("tf_doc"))
+      val tf = perDoc.groupBy(col("lang"), col("token"))
+        .agg(sum(col("tf_doc")).as("tf"))
+      val df = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, "token").crossJoin(broadcast(n))
         .select(
@@ -369,7 +374,64 @@ object Text extends QueryPack {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM b GROUP BY 1, 2, 3"""))
 
+  /** Vocabulary capping: keep the top-40 corpus tokens (by frequency, ties
+    * by token), rewrite every other token to `<unk>`, and reassemble each
+    * document in order — the `<unk>`-substitution step of a fixed-vocabulary
+    * LM pipeline.
+    *
+    * Scale shape: one token-count aggregate (uniform keys), a rank to pick
+    * the vocabulary (vocab-sized, tiny), then a BROADCAST membership join
+    * against the exploded tokens and one groupBy(doc_id) to reassemble —
+    * the corpus is never shuffled by token, and the per-doc sort is bounded
+    * by document length. In-order reassembly uses array_sort over (pos,
+    * token) structs, not collect_list order (which is partition-dependent).
+    */
+  val vocabCap = GQuery(
+    "tx11_vocab_cap",
+    (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val rk = row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tok")))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", rk).filter(col("rk") <= 40)
+        .select(col("tok"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .select(col("doc_id"), col("pos"),
+          when(col("in_vocab").isNotNull, col("tok"))
+            .otherwise(lit("<unk>")).as("t2"))
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("t2")))),
+            x => x("t2")), " ").as("capped_text"),
+          sum(when(col("t2") === "<unk>", 1L).otherwise(0L)).as("n_unk"),
+          count(lit(1)).as("n_tokens"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '\S+')) AS tok,
+               unnest(range(0, len(regexp_extract_all(text, '\S+')))) AS pos
+        FROM documents),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, COUNT(*) AS n,
+                 row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+          FROM toks GROUP BY tok) WHERE rk <= 40),
+      capped AS (
+        SELECT t.doc_id, t.pos,
+               CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<unk>' END AS t2
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+      SELECT doc_id,
+             string_agg(t2, ' ' ORDER BY pos) AS capped_text,
+             CAST(SUM(CASE WHEN t2 = '<unk>' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk,
+             COUNT(*) AS n_tokens
+      FROM capped GROUP BY doc_id"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
-      bigramStats, decontamination, lmScores, mixSplit)
+      bigramStats, decontamination, lmScores, mixSplit, vocabCap)
 }

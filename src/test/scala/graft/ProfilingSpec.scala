@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the profiling/layout pack and the round-2 dedup/text adds:
+  * bloom-pruned incremental dedup is EXACT (equals the plain anti-join),
+  * vocab capping preserves token order and count, the numeric profile is a
+  * single-scan plan, and z-order buckets are tight in both dimensions.
+  */
+class ProfilingSpec extends AnyFunSuite {
+
+  private lazy val spark = Session.builder("profiling-spec").getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dd12: bloom-pruned result equals the plain hash semi-join (exact)") {
+    val out = queries.Dedup.bloomIncremental.run(spark, dir)
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val plain = d.filter(col("doc_id") % 2 === 1).as("b")
+      .join(d.filter(col("doc_id") % 2 === 0).select(col("h")).distinct()
+        .withColumn("c", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("c"), lit(false)).as("in_corpus"))
+    assert(out.select("doc_id", "in_corpus").exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(out.select("doc_id", "in_corpus")).count() === 0)
+    // and the batch side is fully covered, one row per odd doc
+    assert(out.count() === d.filter(col("doc_id") % 2 === 1).count())
+  }
+
+  test("tx11: capped text preserves token order/count; unk counts add up") {
+    val out = queries.Text.vocabCap.run(spark, dir)
+    val orig = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n0"))
+      .filter(col("n0") > 0)
+    // token count survives the rewrite (order-preserving reassembly)
+    val joined = out.join(orig, "doc_id")
+    assert(joined.filter(col("n_tokens") =!= col("n0")).count() === 0)
+    assert(out.count() === orig.count())
+    // every non-<unk> token in the capped text is one of the top-40, and
+    // the <unk> count matches the rewritten text
+    val recount = out.filter(
+      size(filter(split(col("capped_text"), " "), t => t === "<unk>"))
+        .cast("long") =!= col("n_unk"))
+    assert(recount.count() === 0)
+    val vocabSize = out
+      .select(explode(split(col("capped_text"), " ")).as("t"))
+      .filter(col("t") =!= "<unk>").distinct().count()
+    assert(vocabSize <= 40)
+  }
+
+  test("prof1: single scan of lineitem (one aggregate, no self-union)") {
+    val out = queries.Profiling.numericProfile.run(spark, dir)
+    val plan = out.queryExecution.optimizedPlan.toString
+    // one scan: exactly one leaf relation in the plan (Spark rewrites the
+    // 8 exact count-distincts into a single scan + Expand, not 8 scans)
+    assert("(?m)^\\s*\\+?-? ?Relation ".r.findAllIn(plan).size === 1, plan)
+    assert(out.count() === 8)
+    // spot-check against directly computed values
+    val li = Tables.load(spark, dir, "lineitem")
+    val row = out.filter(col("column_name") === "l_quantity").head()
+    assert(row.getAs[Long]("n_rows") === li.count())
+    assert(row.getAs[Long]("n_nulls") === li.filter(col("l_quantity").isNull).count())
+    assert(row.getAs[Double]("min_value") ===
+      li.agg(min(col("l_quantity")).cast("double")).head().getDouble(0))
+  }
+
+  test("prof2: one shuffle profiles both categorical columns") {
+    val out = queries.Profiling.categoricalProfile.run(spark, dir)
+    assert(out.count() === 2)
+    val li = Tables.load(spark, dir, "lineitem")
+    val expect = li.groupBy(col("l_returnflag")).count()
+      .orderBy(col("count").desc, col("l_returnflag")).head()
+    val row = out.filter(col("column_name") === "l_returnflag").head()
+    assert(row.getAs[String]("top_value") === expect.getString(0))
+    assert(row.getAs[Long]("top_count") === expect.getLong(1))
+    assert(row.getAs[Long]("n_distinct") ===
+      li.select(col("l_returnflag")).distinct().count())
+  }
+
+  test("z1: buckets are tight envelopes (better than random layout)") {
+    val out = queries.Profiling.zorderLayout.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    // every bucket's z-range is disjoint (buckets are curve segments)
+    val sorted = out.sortBy(_.getAs[Long]("bucket"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_z") < b.getAs[Long]("min_z"))
+      case _ => ()
+    }
+    // envelope area of each bucket is far below the global envelope
+    // (locality: the curve keeps both dims bounded within a bucket)
+    val globalY = out.map(_.getAs[Long]("max_y")).max -
+      out.map(_.getAs[Long]("min_y")).min
+    sorted.foreach { r =>
+      val dy = r.getAs[Long]("max_y") - r.getAs[Long]("min_y")
+      assert(dy * 4 <= globalY + 4,
+        s"bucket ${r.getAs[Long]("bucket")} y-envelope $dy vs global $globalY")
+    }
+  }
+}
