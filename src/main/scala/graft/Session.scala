@@ -24,6 +24,9 @@ object Session {
       .withExtensions(graft.plans.BandJoinRewrite.extension)
       // physical sort-merge as-of join — see graft.plans.AsofJoinPlan
       .withExtensions(graft.plans.AsofJoinPlan.extension)
+      // the native dedup/similarity kernels as SQL functions
+      // (graft_poly_hash, graft_minhash_sig, ...) — see GraftFunctions
+      .withExtensions(graft.functions.GraftFunctions.extension)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -200,7 +200,59 @@ object Multimodal extends QueryPack {
              CASE WHEN std > 0 THEN (CAST(v AS DOUBLE) - mean) / std END AS z
       FROM f JOIN m ON f.kind = m.kind AND f.feat_idx = m.feat_idx"""))
 
+  /** Media near-duplicate pairs: perceptual-hash-style dedup over the
+    * payloads — every media's frame hashes collapse into a 32-bit SimHash
+    * "perceptual fingerprint", and pairs within Hamming distance 3 are
+    * surfaced by the dd10 pigeonhole band join (4 exact 8-bit bands ⇒ ≤3
+    * differing bits always share a band — PERFECT recall, no cross join).
+    * With a real codec the frame hashes become decoded-frame features; the
+    * fingerprint/banding plan is unchanged.
+    *
+    * The oracle brute-forces the O(n²) Hamming space (fine at oracle
+    * scale); the engine plan is the banded hash join that survives 100 TB.
+    */
+  val mediaNearDup = GQuery(
+    "mm8_media_near_dup",
+    (s, dir) => {
+      import graft.functions.TextHash.simhash32
+      val fp = media(s, dir)
+        .select(col("media_id"), col("content").cast("string").as("t"))
+        .select(col("media_id"),
+          transform(Media.sampleFrames(col("t"), 1, 20), f => f("frame_hash"))
+            .as("hs"))
+        .select(col("media_id"), simhash32(col("hs")).as("fp"))
+        .persist() // feeds both sides of the band self-join
+      val bands = fp.select(col("media_id"), col("fp"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "band_val")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.media_id") < col("b.media_id"))
+        .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int").as("hamming"))
+        .distinct()
+    },
+    Some {
+      val sub = "substr(text, CAST(i*32+1 AS INT), 32)"
+      s"""
+      WITH fh AS (
+        SELECT doc_id AS media_id,
+               list_transform(
+                 list_filter(range(0, 20), i -> length($sub) > 0),
+                 i -> ${graft.functions.TextHash.sqlPolyHash(sub)}) AS hs
+        FROM documents),
+      s AS (SELECT media_id, ${graft.functions.TextHash.sqlSimhash32("hs")} AS fp
+            FROM fh)
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM s a JOIN s b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    })
+
   override def queries: Seq[GQuery] =
     Seq(manifest, features, frames, kindStats, resized, audioChunks,
-      featureZscores)
+      featureZscores, mediaNearDup)
 }

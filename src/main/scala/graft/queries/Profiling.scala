@@ -121,11 +121,7 @@ object Profiling extends QueryPack {
       val e = Tables.load(s, dir, "events")
       val x = pmod(col("user_id"), lit(65536L))
       val y = pmod(expr("unix_millis(ts) div 1000"), lit(65536L))
-      val zval = (0 until 16).map { j =>
-        (shiftright(x, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j))) +
-          (shiftright(y, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1)))
-      }.reduce(_ + _)
-      e.select(x.as("x"), y.as("y"), zval.as("zval"))
+      e.select(x.as("x"), y.as("y"), graft.functions.Morton.z16(x, y).as("zval"))
         .withColumn("bucket", shiftright(col("zval"), 27))
         .groupBy(col("bucket"))
         .agg(
@@ -135,9 +131,7 @@ object Profiling extends QueryPack {
           min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
     },
     Some {
-      val terms = (0 until 16).map { j =>
-        s"(((x >> $j) & 1) * ${1L << (2 * j)} + ((y >> $j) & 1) * ${1L << (2 * j + 1)})"
-      }.mkString(" + ")
+      val terms = graft.functions.Morton.sqlZ16("x", "y")
       s"""
       WITH d AS (
         SELECT user_id % 65536 AS x,

@@ -431,7 +431,51 @@ object Text extends QueryPack {
              COUNT(*) AS n_tokens
       FROM capped GROUP BY doc_id"""))
 
+  /** Per-language percentile quality gate: keep documents at or below their
+    * LANGUAGE's median mean-token-length — relative (distribution-based)
+    * filtering rather than tx2's absolute thresholds, which is how real
+    * pipelines avoid tuning one cutoff across languages with different
+    * typography.
+    *
+    * Determinism: the score is integer-quantized (chars·1000 div tokens) so
+    * the exact percentile interpolates between integers — an exact double in
+    * ANY engine — and the boundary comparison can't drift by an ulp. Scale
+    * shape: one small per-language aggregate (exact percentile; at 100 TB
+    * swap `percentile` → `approx_percentile`, same plan), broadcast back
+    * over the corpus — the gate itself rides the scan.
+    */
+  val qualityGate = GQuery(
+    "tx12_quality_percentile_gate",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_c"))
+        .filter(col("n_tok") > 0)
+        .withColumn("score_milli", expr("n_c * 1000 div n_tok"))
+      val med = d.groupBy(col("lang"))
+        .agg(expr("percentile(score_milli, 0.5d)").as("lang_median"))
+      d.join(broadcast(med), "lang")
+        .select(col("doc_id"), col("lang"), col("score_milli"),
+          col("lang_median"),
+          (col("score_milli").cast("double") <= col("lang_median")).as("passed"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '\S+')) AS n_tok,
+               CAST(length(text) AS BIGINT) AS n_c
+        FROM documents),
+      d2 AS (
+        SELECT doc_id, lang, (n_c * 1000) // n_tok AS score_milli
+        FROM d WHERE n_tok > 0),
+      m AS (
+        SELECT lang, quantile_cont(score_milli, 0.5) AS lang_median
+        FROM d2 GROUP BY lang)
+      SELECT doc_id, d2.lang, score_milli, lang_median,
+             CAST(score_milli AS DOUBLE) <= lang_median AS passed
+      FROM d2 JOIN m ON d2.lang = m.lang"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
-      bigramStats, decontamination, lmScores, mixSplit, vocabCap)
+      bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate)
 }

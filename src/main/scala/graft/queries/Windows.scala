@@ -316,8 +316,38 @@ object Windows extends QueryPack {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)"""))
 
+  /** Next-event training pairs: for every event, the user's next event type
+    * and the gap to it — the (context → label) example extraction step of a
+    * next-action prediction pipeline. One shuffle on user_id; the per-user
+    * sort is bounded by per-user history, and the gap is exact integer
+    * epoch-ms arithmetic (no float time math). Ties on ts break by event_id
+    * so the pairing is deterministic under any partitioning.
+    */
+  val nextEventPairs = GQuery(
+    "w14_next_event_pairs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("ms", expr("unix_millis(ts)"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("gap_ms", lead(col("ms"), 1).over(w) - col("ms"))
+        .filter(col("next_type").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("ctx_type"), col("next_type"), col("gap_ms"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id, event_type AS ctx_type,
+               lead(event_type, 1) OVER w AS next_type,
+               lead(epoch_ms(ts), 1) OVER w - epoch_ms(ts) AS gap_ms
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id, ctx_type, next_type, gap_ms
+      FROM p WHERE next_type IS NOT NULL"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
       eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
-      rankFamily)
+      rankFamily, nextEventPairs)
 }

@@ -66,4 +66,39 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(saltedAgg.except(plainAgg).count() === 0L)
     assert(plainAgg.except(saltedAgg).count() === 0L)
   }
+
+  test("native kernels are registered SQL functions (GraftFunctions)") {
+    import graft.functions.TextHash
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // scalar paths agree with the Column API on real corpus data
+    val viaSql = spark.sql("""
+      SELECT doc_id, graft_poly_hash(text) AS h,
+             graft_simhash32(transform(regexp_extract_all(text, '\\S+', 0),
+                                       t -> graft_poly_hash(t))) AS sh
+      FROM documents""")
+    val viaCol = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), TextHash.polyHash(col("text")).as("h"),
+        TextHash.simhash32(transform(TextHash.tokens(col("text")),
+          t => TextHash.polyHash(t))).as("sh"))
+    assert(viaSql.exceptAll(viaCol).count() === 0L)
+    assert(viaCol.exceptAll(viaSql).count() === 0L)
+    // static-parameter kernels: k / planes as literals
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(array(7L, 11L, 13L), 4) AS s").head()
+      .getSeq[Long](0)
+    assert(sig.length === 4)
+    val dot = spark.sql(
+      "SELECT graft_dot_q(array(1L,2L,3L), array(4L,5L,6L)) AS d").head().getLong(0)
+    assert(dot === 32L)
+    val bucket = spark.sql("""
+      SELECT graft_lsh_bucket(transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)), 4) AS b
+      FROM embeddings LIMIT 5""")
+    assert(bucket.collect().forall { r => val b = r.getLong(0); b >= 0 && b < 16 })
+    // a non-literal static parameter is rejected at analysis, not silently
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(array(1L), CAST(rand()*4 AS INT))")
+        .collect()
+    }
+  }
 }
