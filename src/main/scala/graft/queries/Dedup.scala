@@ -592,8 +592,73 @@ object Dedup extends QueryPack {
       SELECT b.doc_id, b.h AS text_hash, c.h IS NOT NULL AS in_corpus
       FROM batch b LEFT JOIN corpus c ON b.h = c.h"""))
 
+  /** Maximal repeated spans: dd9 found which 5-token windows recur across
+    * documents; dd13 merges ADJACENT repeated window positions within each
+    * document into maximal spans `[span_start, span_end]` (token indexes) —
+    * the span-level output an exact-substring training-data deduper actually
+    * removes (windows are the fixed-length probes; runs of overlapping hits
+    * are one repeated passage).
+    *
+    * Plan shape, all linear: positional windows ride the scan (shifted-slice
+    * zip, no distinct); the repeated-fingerprint set is one uniform-key
+    * groupBy; membership joins back on the fingerprint; islands form with
+    * the classic pos − row_number() gaps-and-islands trick — one doc_id
+    * shuffle whose per-doc sort is bounded by document length. No pair
+    * enumeration anywhere, so cost stays linear in corpus token count.
+    */
+  val maximalSpans = GQuery(
+    "dd13_maximal_repeated_spans",
+    (s, dir) => {
+      val K = 5
+      val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
+      val n = greatest(size(col("t")) - (K - 1), lit(0))
+      val joined = (2 to K).foldLeft(slice(col("t"), lit(1), n)) { (acc, j) =>
+        zip_with(acc, slice(col("t"), lit(j), n), (a, b) => concat_ws(" ", a, b))
+      }
+      val w = toks.select(col("doc_id"),
+        posexplode(transform(joined, x => polyHash(x))).as(Seq("pos", "fp")))
+      val rep = w.groupBy(col("fp"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("fp"))
+      val hits = w.join(rep, "fp").select(col("doc_id"), col("pos"))
+      val grp = col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+      hits.withColumn("grp", grp)
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(
+          min(col("pos")).as("span_start"),
+          (max(col("pos")) + (K - 1)).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_windows"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+        FROM documents),
+      w0 AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM t WHERE len(toks) >= 5),
+      w AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               ${sqlPolyHash(
+                 "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]")}
+                 AS fp
+        FROM w0),
+      rep AS (
+        SELECT fp FROM w GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+      k AS (SELECT doc_id, pos FROM w JOIN rep USING (fp)),
+      g AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM k)
+      SELECT doc_id, MIN(pos) AS span_start,
+             CAST(MAX(pos) + 4 AS INT) AS span_end,
+             COUNT(*) AS n_windows
+      FROM g GROUP BY doc_id, grp"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
       cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree,
-      normalizedDedup, bloomIncremental)
+      normalizedDedup, bloomIncremental, maximalSpans)
 }

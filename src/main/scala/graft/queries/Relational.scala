@@ -383,8 +383,43 @@ object Relational extends QueryPack {
       EXCEPT
       SELECT user_id FROM events WHERE event_type = 'error' AND value > 95"""))
 
+  /** Correlated subqueries through the SQL surface: a correlated scalar
+    * subquery (is this order its customer's most expensive?) plus a
+    * correlated NOT EXISTS — the patterns analysts write that only work at
+    * scale because Catalyst DECORRELATES them: the scalar subquery becomes
+    * one aggregate + a join on o_custkey, the NOT EXISTS a left-anti join
+    * (PlanSpec pins the decorrelated shape). Both correlates are pure
+    * EQUALITIES — an inequality correlate (e.g. "MAX of the customer's
+    * OTHER orders", o2.o_orderkey <> o.o_orderkey) defeats the aggregate
+    * pushdown and degrades to a per-row re-aggregation (measured: minutes
+    * vs seconds at sf0.1). MAX (not AVG) keeps the compared value
+    * order-independent — exact under any partitioning.
+    */
+  val q13Subqueries = GQuery(
+    "q13_correlated_subqueries",
+    (s, dir) => {
+      Seq("orders", "lineitem").foreach(n =>
+        Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT o.o_orderkey, o.o_custkey,
+               o.o_totalprice >= (SELECT MAX(o2.o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+                 AS is_customer_max,
+               NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey) AS no_lineitems
+        FROM orders o""")
+    },
+    Some("""
+      SELECT o.o_orderkey, o.o_custkey,
+             o.o_totalprice >= (SELECT MAX(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+               AS is_customer_max,
+             NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey) AS no_lineitems
+      FROM orders o"""))
+
   override def queries: Seq[GQuery] =
     Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof,
       q6bAsofMerge, q6cAsofForward, q7Range, q8Pivot, q9AntiSemi,
-      q10Percentiles, q11Cube, q12SetOps)
+      q10Percentiles, q11Cube, q12SetOps, q13Subqueries)
 }

@@ -105,4 +105,49 @@ class PlanSpec extends AnyFunSuite {
     // the plan must not carry the full-struct GetStructField indirection
     assert(p.contains("from_json"), p)
   }
+
+  test("dd12: bloom verify is a broadcast semi join, never a shuffle of the batch") {
+    val p = plan("dd12_bloom_incremental_dedup")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"batch shuffled to meet corpus:\n$p")
+  }
+
+  test("tx11/tx12: vocab and median come back as broadcasts over the corpus") {
+    val v = plan("tx11_vocab_cap")
+    assert(v.contains("BroadcastHashJoin"), v)
+    val g = plan("tx12_quality_percentile_gate")
+    assert(g.contains("BroadcastHashJoin"), g)
+    assert(!g.contains("SortMergeJoin"), g)
+  }
+
+  test("mm8: Hamming pairs come from an equi band join, not a nested loop") {
+    val p = plan("mm8_media_near_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pigeonhole band join degraded:\n$p")
+  }
+
+  test("z1: curve position is per-row math — exactly one shuffle (the agg)") {
+    val p = plan("z1_zorder_layout")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"z-order layout should need no sort/window:\n$p")
+    val exchanges = "\\+- Exchange \\(\\d+\\)".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected the single aggregate exchange:\n$p")
+  }
+
+  test("q13: correlated subqueries decorrelate to aggregate+join / anti join") {
+    val p = plan("q13_correlated_subqueries")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated subquery failed to decorrelate:\n$p")
+    // projected (not filtering) NOT EXISTS → ExistenceJoin hash join
+    assert(p.contains("ExistenceJoin"),
+      s"NOT EXISTS should plan as an existence hash join:\n$p")
+  }
+
+  test("w14: training-pair extraction is one user_id shuffle") {
+    val p = plan("w14_next_event_pairs")
+    val exchanges = "\\+- Exchange \\(\\d+\\)".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected one window exchange:\n$p")
+    assert(p.contains("user_id"), p)
+  }
 }
