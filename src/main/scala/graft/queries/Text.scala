@@ -475,7 +475,57 @@ object Text extends QueryPack {
              CAST(score_milli AS DOUBLE) <= lang_median AS passed
       FROM d2 JOIN m ON d2.lang = m.lang"""))
 
+  /** Corpus-law statistics: Heaps-style vocabulary growth (cumulative
+    * distinct tokens as the corpus grows in doc_id order, bucketed by 50
+    * docs) — the saturation curve that tells a data pipeline whether more
+    * raw data still adds vocabulary. The naive "distinct over every prefix"
+    * is quadratic; this is the linear formulation: a token contributes to
+    * growth exactly at its FIRST document, so cumulative vocabulary = running
+    * sum of first-occurrence counts per bucket. One token aggregate + one
+    * bucket aggregate + a window over the (tiny) bucket axis.
+    */
+  val vocabGrowth = GQuery(
+    "tx13_vocab_growth",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val firstDoc = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+        .groupBy((col("fd") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("new_tokens"))
+      val volume = toks.groupBy((col("doc_id") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("bucket_tokens"))
+      volume.join(firstDoc, Seq("bucket"), "left")
+        .select(col("bucket"), col("bucket_tokens"),
+          coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+        .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+        .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents),
+      fd AS (
+        SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+               COUNT(*) AS new_tokens
+        FROM (SELECT tok, MIN(doc_id) AS doc_id FROM toks GROUP BY tok)
+        GROUP BY 1),
+      vol AS (
+        SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+               COUNT(*) AS bucket_tokens
+        FROM toks GROUP BY 1)
+      SELECT v.bucket, v.bucket_tokens,
+             COALESCE(f.new_tokens, 0) AS new_tokens,
+             SUM(v.bucket_tokens) OVER (ORDER BY v.bucket
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             SUM(COALESCE(f.new_tokens, 0)) OVER (ORDER BY v.bucket
+               ROWS UNBOUNDED PRECEDING) AS cum_vocab
+      FROM vol v LEFT JOIN fd f ON v.bucket = f.bucket"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
-      bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate)
+      bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
+      vocabGrowth)
 }

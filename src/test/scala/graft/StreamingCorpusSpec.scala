@@ -126,4 +126,67 @@ class StreamingCorpusSpec extends AnyFunSuite {
       assert(kept === Set(0L, 1L, 3L))
     } finally q.stop()
   }
+
+  test("composed corpus pipeline: quality gate → watermark dedup → LSH relay") {
+    import spark.implicits._
+    import graft.functions.TextHash.tokens
+    implicit val sqlCtx = spark.sqlContext
+    // the pipe1 stages on the LIVE path. Stage boundary between the dedup
+    // query and the LSH query is a relay (a Kafka topic / delta table in
+    // production) — chaining two arbitrary stateful operators in one query
+    // is not the deployment shape anyway.
+    val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // inject exact duplicates (re-crawls) with new ids
+    val withDupes = raw ++ raw.take(30).map { case (id, t) => (id + 100000L, t) }
+
+    val feed = MemoryStream[(Long, String)]
+    val stage1 = feed.toDF.toDF("doc_id", "text")
+      // stage 1: structural quality gate (stateless, rides the scan)
+      .filter(size(tokens($"text")) >= 5)
+      // stage 2: exact dedup on content hash, state bounded by watermark
+      .withColumn("arrival_ts", lit(ts("2024-01-01 10:00:00")))
+      .withColumn("text_hash", sha2($"text", 256))
+      .withWatermark("arrival_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("text_hash")
+    val q1 = stage1.writeStream.format("memory")
+      .queryName("pipe_stage12").outputMode("append").start()
+    try {
+      feed.addData(withDupes.take(300))
+      q1.processAllAvailable()
+      feed.addData(withDupes.drop(300))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val survivors = spark.table("pipe_stage12").select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    // dedup dropped every injected re-crawl (first arrival wins)
+    val batchExpected = withDupes
+      .filter(_._2.split("\\s+").count(_.nonEmpty) >= 5)
+      .groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSet
+    assert(survivors.toSet === batchExpected)
+
+    // stage 3: online LSH near-dup candidates over the deduped stream
+    val relay = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingLsh.candidatePairs(
+      graft.streaming.StreamingLsh.bandRows(relay.toDF.toDF("doc_id", "text")), 0.5)
+      .writeStream.format("memory").queryName("pipe_stage3")
+      .outputMode("append").start()
+    try {
+      relay.addData(survivors)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val pairs = spark.table("pipe_stage3")
+      .select($"docA", $"docB").as[(Long, Long)].collect().toSet
+    val ids = survivors.map(_._1).toSet
+    // candidates only among survivors, and none between exact duplicates
+    // (those were removed upstream)
+    assert(pairs.forall { case (a, b) => ids(a) && ids(b) })
+    // matches the batch dd4 candidate set restricted to >= 0.5 agreement
+    val batchPairs = queries.Dedup.lshCandidates
+      .run(spark, "/root/testdata/sf0.001")
+      .filter($"sig_agreement" >= 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === batchPairs)
+  }
 }
