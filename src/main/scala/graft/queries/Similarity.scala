@@ -340,7 +340,44 @@ object Similarity extends QueryPack {
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored QUALIFY rank <= $K"""))
 
+  /** Index-quality evaluation: per-query recall@K of the IVF index (sim2)
+    * against the exact brute-force truth (sim1) — the metric every ANN
+    * deployment monitors to tune its probe budget. Composes the two existing
+    * pipelines (same plans, same broadcast-query/streaming-corpus shape) and
+    * grades them with one semi join + two tiny aggregates over K·|queries|
+    * rows. At 100 TB the truth side runs over a SAMPLED query set — grading
+    * cost is query-set-sized, never corpus-sized.
+    */
+  val recallEval = GQuery(
+    "sim9_recall_eval",
+    (s, dir) => {
+      val exact = knnBrute.run(s, dir).select(col("query_id"), col("neighbor_id"))
+      val approx = knnIvf.run(s, dir).select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_truth"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_at_k",
+          col("n_hits").cast("double") / col("n_truth").cast("double"))
+    },
+    for (ex <- knnBrute.oracle; ap <- knnIvf.oracle) yield s"""
+      WITH exact AS ($ex),
+      approx AS ($ap),
+      hits AS (
+        SELECT e.query_id, COUNT(*) AS n_hits
+        FROM exact e JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY 1),
+      truth AS (SELECT query_id, COUNT(*) AS n_truth FROM exact GROUP BY 1)
+      SELECT t.query_id, n_truth,
+             COALESCE(n_hits, 0) AS n_hits,
+             CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE)
+               AS recall_at_k
+      FROM truth t LEFT JOIN hits ON t.query_id = hits.query_id""")
+
   override def queries: Seq[GQuery] =
     Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched,
-      knnPq, knnFiltered)
+      knnPq, knnFiltered, recallEval)
 }

@@ -113,4 +113,48 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("online serving: streamed query batches match batch sim1 exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextHash._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // queries arrive as a stream; each micro-batch runs the sim1 scoring
+    // plan (batch DataFrame API inside foreachBatch) against the static
+    // indexed corpus — the production online-ANN serving shape: per-batch
+    // broadcast of the (small) query set, corpus streamed, per-query top-k
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("qv"))
+      .withColumn("norm", sqrt(dotQ($"qv", $"qv").cast("double")))
+      .persist()
+    val results = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val feed = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val stream = feed.toDF.toDF("query_id")
+    val q = stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      val queries = batch.join(corpus, $"query_id" === $"vec_id")
+        .select($"query_id", $"qv".as("q_qv"), $"norm".as("q_norm"))
+      val rk = row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"cosine".desc, $"neighbor_id"))
+      corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          (dotQ($"qv", $"q_qv") / ($"norm" * $"q_norm")).as("cosine"))
+        .withColumn("rank", rk).filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .collect()
+        .foreach(r => results.synchronized {
+          results += ((r.getLong(0), r.getLong(1), r.getInt(2))) })
+      ()
+    }.start()
+    try {
+      feed.addData(0L, 1L, 2L)
+      q.processAllAvailable()
+      feed.addData(3L, 4L, 5L, 6L, 7L, 8L, 9L)
+      q.processAllAvailable()
+    } finally { q.stop(); corpus.unpersist() }
+    val batchTruth = graft.queries.Similarity.knnBrute.run(spark, dir)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(results.toSet === batchTruth)
+  }
 }
