@@ -68,6 +68,15 @@ object GraftFunctions {
         DotQMulti(args.head, args(1))
       }))
 
+    ext.injectFunction((FunctionIdentifier("graft_minhash_merge"),
+      new ExpressionInfo(classOf[MinHashMerge].getName, "graft_minhash_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_minhash_merge expects (sig, k), got ${args.length} args")
+        MinHashMerge(args.head, litInt("graft_minhash_merge", args(1), "k"))
+          .toAggregateExpression()
+      }))
+
     ext.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketExpr].getName, "graft_lsh_bucket"),
       (args: Seq[Expression]) => {

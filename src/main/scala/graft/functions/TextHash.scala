@@ -129,6 +129,16 @@ object TextHash {
       (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
         (m, i) => least(m, ((lit(2) * i + 1) * s + lit(7919L) * (i + 1)) % Mod)))
 
+  /** MinHash-UNION sketch AGGREGATE: element-wise min of the group's
+    * signatures — exactly the signature of the pooled shingle set (custom
+    * [[MinHashMerge]] TypedImperativeAggregate; constant k-long state,
+    * mergeable, partitioning-independent).
+    */
+  def minhashMerge(sig: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      MinHashMerge(org.apache.spark.sql.GraftColumn.expr(sig), k)
+        .toAggregateExpression())
+
   /** DuckDB SQL for [[minhashSig]] over a BIGINT-list expression `hs`. */
   def sqlMinhashSig(hs: String, k: Int): String =
     s"list_transform(range(0, $k), i -> COALESCE(list_min(" +

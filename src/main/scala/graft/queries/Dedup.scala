@@ -657,8 +657,56 @@ object Dedup extends QueryPack {
              COUNT(*) AS n_windows
       FROM g GROUP BY doc_id, grp"""))
 
+  /** Cross-SOURCE similarity via mergeable MinHash sketches: every source's
+    * documents collapse into one k=16 signature (the [[graft.functions
+    * .MinHashMerge]] custom aggregate — element-wise min, which IS the
+    * signature of the source's pooled shingle set), then pairwise sketch
+    * agreement estimates the Jaccard overlap between sources — the
+    * "which data sources duplicate each other" triage a mixture designer
+    * runs before weighting.
+    *
+    * Scale shape: per-doc signing rides the scan; the sketch aggregate
+    * carries 128 BYTES of state per source through an ordinary partial/
+    * final hash aggregate (map-side combined, partitioning-independent);
+    * the pairwise stage touches only |sources|² sketch rows — never
+    * documents. This is the sketch pattern (constant-size mergeable state)
+    * that replaces corpus-pair joins entirely at 100 TB.
+    */
+  val sourceSketch = GQuery(
+    "dd14_source_minhash_sketch",
+    (s, dir) => {
+      val sig = docs(s, dir)
+        .select(col("source"), tokens(col("text")).as("toks"))
+        .select(col("source"), shingles3(col("toks")).as("sh"))
+        .select(col("source"), transform(col("sh"), x => polyHash(x)).as("hs"))
+        .select(col("source"), minhashSig(col("hs"), 16).as("sig"))
+      val sk = sig.groupBy(col("source")).agg(minhashMerge(col("sig"), 16).as("sk"))
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(
+          col("a.source").as("source_a"), col("b.source").as("source_b"),
+          (size(filter(zip_with(col("a.sk"), col("b.sk"),
+            (x, y) => x === y), bb => bb)).cast("double") / 16.0)
+            .as("est_jaccard"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT source,
+               ${sqlMinhashSig(
+                 s"list_transform(${sqlShingles3("regexp_extract_all(text, '\\S+')")}, " +
+                 s"sh -> ${sqlPolyHash("sh")})", 16)} AS sig
+        FROM documents),
+      e AS (
+        SELECT source, CAST(unnest(range(0, 16)) AS INT) AS i, unnest(sig) AS v
+        FROM d),
+      sk AS (SELECT source, i, MIN(v) AS mv FROM e GROUP BY 1, 2)
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
+               AS est_jaccard
+      FROM sk a JOIN sk b ON a.i = b.i AND a.source < b.source
+      GROUP BY 1, 2"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
       cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree,
-      normalizedDedup, bloomIncremental, maximalSpans)
+      normalizedDedup, bloomIncremental, maximalSpans, sourceSketch)
 }
