@@ -14,6 +14,7 @@ import org.apache.spark.sql.streaming.Trigger
   *     out=/tmp/blocks [checkpoint=/tmp/ckpt] [skipEmpty=true]
   *     [txEvents=a,b] [blockEvents=c] [nth=10] [ordered=true]
   *     [maxHeightsPerTrigger=10000] [trigger=availableNow|<interval>]
+  *     [stateStore=rocksdb]
   * }}}
   *
   * Spark mappings: history+live merge, gap-fill, restart resume and dedup
@@ -40,7 +41,17 @@ object Main {
     val path = opts.getOrElse("path",
       graft.blocks.FixtureSource.DefaultTemplates)
     val out = opts.getOrElse("out", sys.error("out=<dir> is required"))
-    val spark = Session.get("graft-stream")
+    // stateStore=rocksdb switches stateful operators (dedup, session windows,
+    // stream joins) to the RocksDB provider: state spills off-heap to local
+    // disk with changelog checkpointing to the checkpoint location — the
+    // production backend when per-executor state outgrows the in-memory
+    // HDFSBackedStateStore (100 TB-scale dedup horizons)
+    val builder = Session.builder("graft-stream")
+    if (opts.get("stateStore").contains("rocksdb"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
 
     var reader = spark.readStream.format("blockfeed").option("path", path)
     Seq("from", "to", "maxHeightsPerTrigger", "heightsPerPartition")

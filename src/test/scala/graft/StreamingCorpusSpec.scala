@@ -127,6 +127,35 @@ class StreamingCorpusSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful dedup runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production state backend (Main's stateStore=rocksdb flag): state
+    // off-heap on local disk, changelog to the checkpoint — verify the
+    // bundled provider actually loads and produces identical results
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = MemoryStream[(Long, Timestamp, String)]
+      val q = feed.toDF.toDF("doc_id", "arrival_ts", "text")
+        .withColumn("text_hash", sha2(col("text"), 256))
+        .withWatermark("arrival_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("text_hash")
+        .writeStream.format("memory").queryName("sc_rocks").outputMode("append")
+        .start()
+      try {
+        feed.addData(
+          (0L, ts("2024-01-01 10:00:00"), "alpha"),
+          (1L, ts("2024-01-01 10:01:00"), "beta"),
+          (2L, ts("2024-01-01 10:02:00"), "alpha"))
+        q.processAllAvailable()
+        val kept = spark.table("sc_rocks").select($"doc_id").collect()
+          .map(_.getLong(0)).toSet
+        assert(kept === Set(0L, 1L))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("composed corpus pipeline: quality gate → watermark dedup → LSH relay") {
     import spark.implicits._
     import graft.functions.TextHash.tokens
