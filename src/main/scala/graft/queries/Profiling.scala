@@ -145,6 +145,61 @@ object Profiling extends QueryPack {
       FROM z GROUP BY 1"""
     })
 
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pairwise Pearson correlation of the numeric measure columns in ONE
+    * scan: every moment (Σx, Σx², Σxy for all column pairs) is a DECIMAL
+    * sum in a single multi-expression aggregate — exact and associative, so
+    * the moments are bit-identical under any partitioning — and the r
+    * formula then runs in double on those exact inputs (same expression
+    * sequence in both engines ⇒ deterministic). The naive per-pair
+    * `df.stat.corr` loop scans the table C(n,2) times and sums doubles in
+    * partition order (non-deterministic); this is one scan, deterministic,
+    * and the unpivot touches a 1-row result.
+    */
+  val correlationMatrix = GQuery(
+    "prof3_correlation_matrix",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val pairs = CorrCols.combinations(2).map(p => (p(0), p(1))).toSeq
+      def d(c: String) = col(c).cast("decimal(28,6)")
+      val aggs: Seq[Column] =
+        count(lit(1)).cast("double").as("n") +:
+        (CorrCols.flatMap(c => Seq(
+          sum(d(c)).cast("double").as(s"s__$c"),
+          sum((d(c) * d(c)).cast("decimal(38,6)")).cast("double").as(s"ss__$c"))) ++
+         pairs.map { case (a, b) =>
+           sum((d(a) * d(b)).cast("decimal(38,6)")).cast("double").as(s"sp__${a}__$b")
+         })
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = s"stack(${pairs.size}, " + pairs.map { case (a, b) =>
+        s"'$a', '$b', " +
+          s"(n * sp__${a}__$b - s__$a * s__$b) / " +
+          s"(sqrt(n * ss__$a - s__$a * s__$a) * sqrt(n * ss__$b - s__$b * s__$b))"
+      }.mkString(", ") + ") as (col_x, col_y, pearson_r)"
+      one.select(expr(stackExpr))
+    },
+    Some {
+      val pairs = CorrCols.combinations(2).map(p => (p(0), p(1))).toSeq
+      def d(c: String) = s"CAST($c AS DECIMAL(28,6))"
+      val moments =
+        "CAST(COUNT(*) AS DOUBLE) AS n, " +
+        CorrCols.map(c =>
+          s"CAST(SUM(${d(c)}) AS DOUBLE) AS s__$c, " +
+          s"CAST(SUM(CAST(${d(c)} * ${d(c)} AS DECIMAL(38,6))) AS DOUBLE) AS ss__$c")
+          .mkString(", ") + ", " +
+        pairs.map { case (a, b) =>
+          s"CAST(SUM(CAST(${d(a)} * ${d(b)} AS DECIMAL(38,6))) AS DOUBLE) AS sp__${a}__$b"
+        }.mkString(", ")
+      val rows = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_x, '$b' AS col_y, " +
+          s"(n * sp__${a}__$b - s__$a * s__$b) / " +
+          s"(sqrt(n * ss__$a - s__$a * s__$a) * sqrt(n * ss__$b - s__$b * s__$b)) " +
+          s"AS pearson_r FROM m"
+      }.mkString(" UNION ALL ")
+      s"WITH m AS (SELECT $moments FROM lineitem) $rows"
+    })
+
   override def queries: Seq[GQuery] =
-    Seq(numericProfile, categoricalProfile, zorderLayout)
+    Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix)
 }

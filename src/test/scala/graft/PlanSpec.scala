@@ -144,6 +144,12 @@ class PlanSpec extends AnyFunSuite {
       s"NOT EXISTS should plan as an existence hash join:\n$p")
   }
 
+  test("dd14: the sketch aggregate partial-aggregates (map-side combine)") {
+    val p = plan("dd14_source_minhash_sketch")
+    assert(p.contains("partial_graft_minhash_merge"),
+      s"MinHashMerge lost its partial phase — sketches would shuffle raw rows:\n$p")
+  }
+
   test("w14: training-pair extraction is one user_id shuffle") {
     val p = plan("w14_next_event_pairs")
     val exchanges = "\\+- Exchange \\(\\d+\\)".r.findAllIn(p).size
