@@ -346,8 +346,90 @@ object Windows extends QueryPack {
       SELECT user_id, event_id, ctx_type, next_type, gap_ms
       FROM p WHERE next_type IS NOT NULL"""))
 
+  /** Ordered conversion funnel per session: within each 30-minute-gap
+    * session, the first `view`, the first `click` AT OR AFTER that view,
+    * and the first `purchase` at or after that click — the strictly-ordered
+    * funnel (a click before any view does not count) every product
+    * analytics stack computes.
+    *
+    * Plan shape: session ids come from the lag/running-sum idiom (row-level
+    * ids, which `session_window`'s aggregate-only API cannot give); the
+    * three funnel stages are conditional MIN aggregates over the same
+    * (user_id, session_id) key — the exchange is reused across stages, and
+    * every stage's state is one timestamp per session. Gap comparison is
+    * exact integer epoch-ms (no interval semantics drift).
+    */
+  val funnel = GQuery(
+    "w15_session_funnel",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = ev(s, dir)
+        .withColumn("ms", expr("unix_millis(ts)"))
+        .withColumn("new_session",
+          when(lag(col("ms"), 1).over(byUser).isNull ||
+            col("ms") - lag(col("ms"), 1).over(byUser) > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val v = base.groupBy(col("user_id"), col("sid"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          min(when(col("event_type") === "view", col("ts"))).as("view_ts"))
+      val c = base.join(v, Seq("user_id", "sid"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(when(col("event_type") === "click" &&
+          col("ts") >= col("view_ts"), col("ts"))).as("click_ts"))
+      val p = base.join(c, Seq("user_id", "sid"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("click_ts"), col("ts"))).as("purchase_ts"))
+      v.join(c, Seq("user_id", "sid")).join(p, Seq("user_id", "sid"))
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("view_ts").isNotNull.as("reached_view"),
+          col("click_ts").isNotNull.as("reached_click"),
+          col("purchase_ts").isNotNull.as("reached_purchase"))
+    },
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT *, SUM(new_session) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked),
+      v AS (
+        SELECT user_id, sid, MIN(ts) AS session_start, COUNT(*) AS n_events,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+        FROM numbered GROUP BY 1, 2),
+      c AS (
+        SELECT n.user_id, n.sid,
+               MIN(CASE WHEN n.event_type = 'click' AND n.ts >= v.view_ts
+                        THEN n.ts END) AS click_ts
+        FROM numbered n JOIN v ON n.user_id = v.user_id AND n.sid = v.sid
+        GROUP BY 1, 2),
+      p AS (
+        SELECT n.user_id, n.sid,
+               MIN(CASE WHEN n.event_type = 'purchase' AND n.ts >= c.click_ts
+                        THEN n.ts END) AS purchase_ts
+        FROM numbered n JOIN c ON n.user_id = c.user_id AND n.sid = c.sid
+        GROUP BY 1, 2)
+      SELECT v.user_id, v.session_start, v.n_events,
+             v.view_ts IS NOT NULL AS reached_view,
+             c.click_ts IS NOT NULL AS reached_click,
+             p.purchase_ts IS NOT NULL AS reached_purchase
+      FROM v
+      JOIN c ON v.user_id = c.user_id AND v.sid = c.sid
+      JOIN p ON v.user_id = p.user_id AND v.sid = p.sid"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
       eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
-      rankFamily, nextEventPairs)
+      rankFamily, nextEventPairs, funnel)
 }
