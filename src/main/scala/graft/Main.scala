@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.Trigger
   *     out=/tmp/blocks [checkpoint=/tmp/ckpt] [skipEmpty=true]
   *     [txEvents=a,b] [blockEvents=c] [nth=10] [ordered=true]
   *     [maxHeightsPerTrigger=10000] [trigger=availableNow|<interval>]
-  *     [stateStore=rocksdb]
+  *     [stateStore=rocksdb] [sink=blockfiles]
   * }}}
   *
   * Spark mappings: history+live merge, gap-fill, restart resume and dedup
@@ -80,12 +80,24 @@ object Main {
           .select("height", "chain_id", "num_txs", "historical").show(false)
       }).flatten
 
-    var writer = filtered.writeStream
-      .foreachBatch(BlockSinks.multiSink(sinks))
-      .trigger(opts.get("trigger") match {
-        case None | Some("availableNow") => Trigger.AvailableNow()
-        case Some(interval) => Trigger.ProcessingTime(interval)
-      })
+    val trigger = opts.get("trigger") match {
+      case None | Some("availableNow") => Trigger.AvailableNow()
+      case Some(interval) => Trigger.ProcessingTime(interval)
+    }
+    // sink=blockfiles routes through the DSv2 writer (atomic-move task
+    // commits) instead of foreachBatch — the single-sink production path;
+    // foreachBatch remains the K8 multi-sink / events-mode fan-out
+    var writer =
+      if (opts.get("sink").contains("blockfiles") &&
+          eventSink.isEmpty && opts.get("nth").isEmpty)
+        BlockSinks.fileFrames(filtered)
+          .select(org.apache.spark.sql.functions.col("height"),
+            org.apache.spark.sql.functions.col("json"))
+          .writeStream.format("blockfiles").option("path", out)
+          .trigger(trigger)
+      else filtered.writeStream
+        .foreachBatch(BlockSinks.multiSink(sinks))
+        .trigger(trigger)
     opts.get("checkpoint").foreach(c => writer = writer.option("checkpointLocation", c))
     val q = writer.start()
     q.awaitTermination()
