@@ -705,8 +705,56 @@ object Dedup extends QueryPack {
       FROM sk a JOIN sk b ON a.i = b.i AND a.source < b.source
       GROUP BY 1, 2"""))
 
+  /** The full production near-dup step: dd4's LSH CANDIDATES verified with
+    * the EXACT shingle Jaccard — estimation proposes, exact math disposes.
+    * dd2 computes exact Jaccard for every co-occurring pair (the audit
+    * tool); this computes it only for banding candidates, so verification
+    * cost is bounded by the candidate count the band parameters control —
+    * the composition that actually ships at 100 TB. Per-pair verification
+    * is an in-memory array intersection (bounded by document length), not
+    * a join.
+    */
+  val verifiedNearDups = GQuery(
+    "dd15_verified_near_dups",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+      val cand = lshCandidates.run(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("sig_agreement"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(
+          col("doc_a"), col("doc_b"), col("sig_agreement"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) -
+              size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"))
+            .as("exact_jaccard"))
+        .withColumn("verified", col("exact_jaccard") >= 0.5)
+    },
+    lshCandidates.oracle.map(dd4Sql => s"""
+      WITH cand AS ($dd4Sql),
+      sh AS (
+        SELECT doc_id, ${sqlShingles3("regexp_extract_all(text, '\\S+')")} AS sh
+        FROM documents),
+      scored AS (
+        SELECT c.doc_a, c.doc_b, c.sig_agreement,
+               CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                    AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh) -
+                    len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                    AS DOUBLE) AS exact_jaccard
+        FROM cand c
+        JOIN sh a ON c.doc_a = a.doc_id
+        JOIN sh b ON c.doc_b = b.doc_id)
+      SELECT doc_a, doc_b, sig_agreement, exact_jaccard,
+             exact_jaccard >= 0.5 AS verified
+      FROM scored"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
       cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree,
-      normalizedDedup, bloomIncremental, maximalSpans, sourceSketch)
+      normalizedDedup, bloomIncremental, maximalSpans, sourceSketch,
+      verifiedNearDups)
 }

@@ -428,8 +428,44 @@ object Windows extends QueryPack {
       JOIN c ON v.user_id = c.user_id AND v.sid = c.sid
       JOIN p ON v.user_id = p.user_id AND v.sid = p.sid"""))
 
+  /** Cohort retention: users grouped by the DAY of their first event, and
+    * for each (cohort, day-offset) cell, how many of that cohort's users
+    * were active — the retention matrix behind every engagement dashboard.
+    * Two shuffles, both on uniform keys: min(ts) per user (the cohort
+    * assignment, broadcast-joinable back), then the distinct
+    * (cohort, offset, user) aggregate. Offsets are exact integer day
+    * arithmetic on date-truncated timestamps.
+    */
+  val cohortRetention = GQuery(
+    "w16_cohort_retention",
+    (s, dir) => {
+      val firstDay = ev(s, dir).groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+        .join(broadcast(firstDay), "user_id")
+        .select(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).as("day_offset"),
+          col("user_id"))
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id),
+      act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+             CAST(date_diff('day', cohort_day, d) AS INT) AS day_offset,
+             COUNT(DISTINCT act.user_id) AS n_users
+      FROM act JOIN f ON act.user_id = f.user_id
+      GROUP BY 1, 2"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
       eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
-      rankFamily, nextEventPairs, funnel)
+      rankFamily, nextEventPairs, funnel, cohortRetention)
 }
