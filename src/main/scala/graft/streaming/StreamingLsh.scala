@@ -20,12 +20,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     uniform keys the batch join shuffles on, so no hot state peers;
   *   - each new doc compares only against its band-bucket's residents
   *     (the LSH candidate guarantee), never the corpus;
-  *   - a production deployment bounds residency with
-  *     `GroupStateTimeout.EventTimeTimeout` (evict signatures older than
-  *     the dedup horizon, exactly like `dropDuplicatesWithinWatermark`
-  *     bounds the exact-dedup state). NoTimeout here keeps the bounded
-  *     fixture-driven specs deterministic; the eviction switch is one
-  *     argument.
+  *   - residency is bounded by the dedup horizon: [[candidatePairsEvicting]]
+  *     drops resident signatures the upstream watermark has passed and
+  *     clears idle buckets via `GroupStateTimeout.EventTimeTimeout` —
+  *     exactly how `dropDuplicatesWithinWatermark` bounds exact-dedup
+  *     state. [[candidatePairs]] (NoTimeout) is the bounded-input variant
+  *     the batch-equivalence specs drive.
   *
   * Emission semantics: a pair sharing MULTIPLE bands is emitted once per
   * shared band (band-local state cannot see other bands). Batch dd4 appends
@@ -61,6 +61,77 @@ object StreamingLsh {
       .select(col("band").cast("int").as("band"), col("bandHash"),
         col("doc_id").as("docId"), col("sig"))
       .as[BandRow]
+  }
+
+  final case class TimedBandRow(
+      band: Int, bandHash: Long, docId: Long, sig: Seq[Long],
+      eventTime: java.sql.Timestamp)
+
+  /** [[bandRows]] with the document's event-time TIMESTAMP carried through
+    * (the watermark column must reach the stateful operator) — the input to
+    * the watermark-evicting variant. Callers apply the dedup horizon with
+    * `.withWatermark("eventTime", H)` on the result.
+    */
+  def bandRowsTimed(docs: DataFrame): Dataset[TimedBandRow] = {
+    implicit val enc: Encoder[TimedBandRow] = Encoders.product[TimedBandRow]
+    bandRows(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id").as("docId"),
+        col("arrival_ts").as("eventTime")), "docId")
+      .select(col("band"), col("bandHash"), col("docId"), col("sig"),
+        col("eventTime"))
+      .as[TimedBandRow]
+  }
+
+  /** Watermark-bounded variant of [[candidatePairs]]: resident signatures
+    * whose event time has fallen behind the current watermark are dropped
+    * before matching (a document only dedups against documents inside the
+    * dedup horizon = the upstream watermark delay — exactly
+    * `dropDuplicatesWithinWatermark`'s contract, applied to near-dup
+    * state), and buckets idle past the watermark clear entirely via
+    * event-time timeout. State is bounded by arrivals-per-horizon per
+    * bucket no matter how long the stream runs.
+    *
+    * The caller owns the watermark:
+    * `bandRowsTimed(docs).withWatermark("eventTime", H)`.
+    */
+  def candidatePairsEvicting(rows: Dataset[TimedBandRow],
+                             minAgreement: Double): Dataset[CandPair] = {
+    implicit val stateEnc: Encoder[Seq[(Long, Seq[Long], Long)]] =
+      Encoders.kryo[Seq[(Long, Seq[Long], Long)]]
+    implicit val outEnc: Encoder[CandPair] = Encoders.product[CandPair]
+    implicit val keyEnc: Encoder[(Int, Long)] = Encoders.product[(Int, Long)]
+    rows.groupByKey(r => (r.band, r.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), arrivals: Iterator[TimedBandRow],
+         state: GroupState[Seq[(Long, Seq[Long], Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            // evict residents the watermark has passed — outside the horizon
+            val resident = state.getOption.getOrElse(Seq.empty)
+              .filter(_._3 >= wm)
+            val fresh = arrivals
+              .map(r => (r.docId, r.sig, r.eventTime.getTime)).toSeq
+              .distinctBy(_._1).filterNot(f => resident.exists(_._1 == f._1))
+            val pool = resident ++ fresh
+            val out = for {
+              f <- fresh
+              other <- pool
+              if other._1 != f._1
+              a = math.min(f._1, other._1)
+              b = math.max(f._1, other._1)
+              if resident.exists(_._1 == other._1) || other._1 < f._1
+              agreement = f._2.zip(other._2).count { case (x, y) => x == y } / K.toDouble
+              if agreement >= minAgreement
+            } yield CandPair(a, b, agreement)
+            state.update(pool)
+            // clear the bucket once the watermark passes its newest resident
+            if (pool.nonEmpty)
+              state.setTimeoutTimestamp(pool.map(_._3).max + 1)
+            out.iterator
+          }
+      }
   }
 
   /** The stateful band join: per (band, band_hash) bucket, compare arrivals

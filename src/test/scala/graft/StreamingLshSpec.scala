@@ -51,6 +51,38 @@ class StreamingLshSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("event-time eviction: out-of-horizon residents stop producing pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val feed = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = feed.toDF.toDF("doc_id", "text", "arrival_ts")
+    val q = graft.streaming.StreamingLsh.candidatePairsEvicting(
+      graft.streaming.StreamingLsh.bandRowsTimed(docs)
+        .withWatermark("eventTime", "10 minutes"), 0.5)
+      .writeStream.format("memory").queryName("slsh_evict")
+      .outputMode("append").start()
+    try {
+      feed.addData((1L, text, t("2024-01-01 10:00:00")))          // A
+      q.processAllAvailable()
+      // unrelated doc advances the watermark past A + 10 minutes
+      feed.addData((2L, "completely different words entirely here now",
+        t("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // B = same content as A, but A is now outside the horizon: no pair
+      feed.addData((3L, text, t("2024-01-01 11:01:00")))          // B
+      q.processAllAvailable()
+      // C = same content, inside B's horizon: pair (B, C) fires
+      feed.addData((4L, text, t("2024-01-01 11:02:00")))          // C
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("slsh_evict").select("docA", "docB")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((3L, 4L)),
+      s"expected only the in-horizon pair, got $pairs")
+  }
+
   test("chunking invariance: 1 batch vs many batches, same pair set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
