@@ -752,9 +752,74 @@ object Dedup extends QueryPack {
              exact_jaccard >= 0.5 AS verified
       FROM scored"""))
 
+  /** SEMANTIC dedup clusters (the SemDeDup shape, Abbas et al. '23): group
+    * embeddings whose cosine similarity exceeds a threshold into
+    * transitive clusters — candidates from the 8-plane random-hyperplane
+    * LSH buckets (vectors agreeing on every hyperplane sign), exact
+    * quantized-integer cosine verification, then
+    * [[graft.operators.ConnectedComponents]] for the closure. A
+    * keep-one-per-cluster policy (dd8) applied on top is embedding-level
+    * dedup of paraphrases/translations that text hashing can't see.
+    *
+    * Scale shape: bucket join on the sign key (never a cross join; probe
+    * multiplicity is bucket occupancy, tuned by plane count), exact verify
+    * only on co-bucketed pairs, cluster closure over the (sparse) verified
+    * edge set. The oracle recomputes the same bucket rule digit-for-digit
+    * (same integer hyperplane hashes), so candidate generation — not just
+    * scoring — sits on the gate.
+    */
+  val semanticClusters = GQuery(
+    "dd16_semantic_clusters",
+    (s, dir) => {
+      val q = emb(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("norm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+        .withColumn("bucket", lshBucket(col("qv"), 8))
+        .persist() // both sides of the bucket self-join
+      val edges = q.as("a").join(q.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          (dotQ(col("a.qv"), col("b.qv")) / (col("a.norm") * col("b.norm")))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .select(col("src"), col("dst"))
+      val cc = graft.operators.ConnectedComponents.run(edges, "src", "dst")
+      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "component")
+        .select(col("vertex").as("vec_id"), col("component").as("cluster_id"),
+          col("cluster_size"))
+    },
+    Some(s"""
+      WITH RECURSIVE q0 AS (
+        SELECT vec_id, ${sqlQuantize("embedding")} AS qv FROM embeddings),
+      q AS (
+        SELECT vec_id, qv,
+               sqrt(CAST(${sqlDotQ("qv", "qv")} AS DOUBLE)) AS norm,
+               ${graft.functions.TextHash.sqlLshBucket("qv", 8)} AS bucket
+        FROM q0),
+      pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM q a JOIN q b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE CAST(${sqlDotQ("a.qv", "b.qv")} AS DOUBLE) / (a.norm * b.norm)
+              >= 0.3),
+      und AS (
+        SELECT src, dst FROM pairs
+        UNION
+        SELECT dst, src FROM pairs),
+      walk(v, label) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN und e ON e.src = w.v),
+      cc AS (SELECT v AS vec_id, MIN(label) AS cluster_id FROM walk GROUP BY v)
+      SELECT vec_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cc"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
       cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree,
       normalizedDedup, bloomIncremental, maximalSpans, sourceSketch,
-      verifiedNearDups)
+      verifiedNearDups, semanticClusters)
 }
