@@ -86,7 +86,14 @@ object Main {
     }
     // sink=blockfiles routes through the DSv2 writer (atomic-move task
     // commits) instead of foreachBatch — the single-sink production path;
-    // foreachBatch remains the K8 multi-sink / events-mode fan-out
+    // foreachBatch remains the K8 multi-sink / events-mode fan-out.
+    // The DSv2 path cannot host the events=/nth= fan-outs, so that
+    // combination is a conflict, not a silent fallback.
+    if (opts.get("sink").contains("blockfiles") &&
+        (eventSink.nonEmpty || opts.get("nth").nonEmpty))
+      sys.error("sink=blockfiles cannot be combined with events=/nth= " +
+        "(those run through the foreachBatch multi-sink); drop sink= or " +
+        "the fan-out options")
     var writer =
       if (opts.get("sink").contains("blockfiles") &&
           eventSink.isEmpty && opts.get("nth").isEmpty)

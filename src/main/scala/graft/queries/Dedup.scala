@@ -211,10 +211,18 @@ object Dedup extends QueryPack {
         FROM documents)
       SELECT doc_id, ${sqlSimhash32("hs")} AS simhash FROM d"""))
 
-  /** Embedding-cosine near-dup: top-20 most similar embedding pairs via
-    * exact quantized integer math (see [[graft.functions.TextHash.quantize]]).
-    * At scale the pair source becomes the LSH/IVF candidate join; the scoring
-    * math is unchanged.
+  /** Embedding-cosine near-dup: top-20 most similar CO-BUCKETED embedding
+    * pairs — the dd16 sign-bucket equi-join as the pair source, exact
+    * quantized integer cosine (see [[graft.functions.TextHash.quantize]])
+    * as the score. The oracle recomputes the identical bucket rule
+    * digit-for-digit, so candidate generation sits on the gate, not just
+    * scoring.
+    *
+    * Scale shape: bucket equi-join on the 8-plane sign key — per-bucket
+    * occupancy is n/2^planes, and the plane count is the knob that keeps it
+    * O(1) as n grows (more planes = more buckets); NEVER the all-pairs
+    * O(n²) join. The brute-force all-pairs formulation survives only as
+    * [[cosinePairsBrute]], the spec-side recall oracle.
     */
   val cosinePairs = GQuery(
     "dd6_embedding_cosine_pairs",
@@ -222,7 +230,11 @@ object Dedup extends QueryPack {
       val q = emb(s, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("qv"))
         .withColumn("norm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
-      val pairs = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("bucket", lshBucket(col("qv"), 8))
+        .persist() // both sides of the bucket self-join
+      val pairs = q.as("a").join(q.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
         .select(
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           (dotQ(col("a.qv"), col("b.qv")) / (col("a.norm") * col("b.norm")))
@@ -238,16 +250,34 @@ object Dedup extends QueryPack {
         SELECT vec_id, ${sqlQuantize("embedding")} AS qv
         FROM embeddings),
       q AS (
-        SELECT vec_id, qv, sqrt(CAST(${sqlDotQ("qv", "qv")} AS DOUBLE)) AS norm
+        SELECT vec_id, qv, sqrt(CAST(${sqlDotQ("qv", "qv")} AS DOUBLE)) AS norm,
+               ${graft.functions.TextHash.sqlLshBucket("qv", 8)} AS bucket
         FROM q0),
       pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                CAST(${sqlDotQ("a.qv", "b.qv")} AS DOUBLE) / (a.norm * b.norm)
                  AS cosine
-        FROM q a JOIN q b ON a.vec_id < b.vec_id)
+        FROM q a JOIN q b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, cosine,
              row_number() OVER (ORDER BY cosine DESC, vec_a, vec_b) AS rk
       FROM pairs QUALIFY rk <= 20"""))
+
+  /** Spec-only recall oracle for [[cosinePairs]]: the exact all-pairs
+    * formulation (O(n²) — audit tool, never the driver query). Specs assert
+    * dd6's bucketed pairs score identically here and measure candidate
+    * recall against the exact top-k.
+    */
+  def cosinePairsBrute(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("norm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dotQ(col("a.qv"), col("b.qv")) / (col("a.norm") * col("b.norm")))
+          .as("cosine"))
+  }
 
   /** The composed corpus-cleaning pipeline — what an LLM-data user actually
     * runs end-to-end: exact dedup (keep min doc_id per content hash) →
@@ -575,7 +605,12 @@ object Dedup extends QueryPack {
       val d = docs(s, dir).select(col("doc_id"), sha2(col("text"), 256).as("h"))
       val corpus = d.filter(col("doc_id") % 2 === 0)
       val batch = d.filter(col("doc_id") % 2 === 1)
-      val bloom = corpus.stat.bloomFilter("h", 100000L, 0.01)
+      // size the sketch from the actual corpus cardinality (a fixed capacity
+      // silently degrades fpp toward 1 as the corpus outgrows it, and the
+      // "drops ~99% of the batch map-side" property evaporates); the count
+      // is one columnar-scan aggregate over a table we scan anyway
+      val corpusKeys = math.max(corpus.count(), 1000L)
+      val bloom = corpus.stat.bloomFilter("h", corpusKeys, 0.01)
       val bc = s.sparkContext.broadcast(bloom)
       val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
       val confirmed = batch.filter(mightContain(col("h")))

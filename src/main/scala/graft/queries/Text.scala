@@ -518,10 +518,10 @@ object Text extends QueryPack {
         FROM toks GROUP BY 1)
       SELECT v.bucket, v.bucket_tokens,
              COALESCE(f.new_tokens, 0) AS new_tokens,
-             SUM(v.bucket_tokens) OVER (ORDER BY v.bucket
-               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-             SUM(COALESCE(f.new_tokens, 0)) OVER (ORDER BY v.bucket
-               ROWS UNBOUNDED PRECEDING) AS cum_vocab
+             CAST(SUM(v.bucket_tokens) OVER (ORDER BY v.bucket
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             CAST(SUM(COALESCE(f.new_tokens, 0)) OVER (ORDER BY v.bucket
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       FROM vol v LEFT JOIN fd f ON v.bucket = f.bucket"""))
 
   override def queries: Seq[GQuery] =

@@ -431,10 +431,13 @@ object Windows extends QueryPack {
   /** Cohort retention: users grouped by the DAY of their first event, and
     * for each (cohort, day-offset) cell, how many of that cohort's users
     * were active — the retention matrix behind every engagement dashboard.
-    * Two shuffles, both on uniform keys: min(ts) per user (the cohort
-    * assignment, broadcast-joinable back), then the distinct
-    * (cohort, offset, user) aggregate. Offsets are exact integer day
-    * arithmetic on date-truncated timestamps.
+    * Shuffles all land on uniform keys: min(ts) per user (the cohort
+    * assignment), a shuffle join back on user_id — deliberately NOT
+    * broadcast: firstDay has one row per USER, which grows with the data
+    * and would OOM executors at scale (a per-user aggregate is not a
+    * dimension table; PlanSpec pins the no-broadcast shape) — then the
+    * distinct (cohort, offset, user) aggregate. Offsets are exact integer
+    * day arithmetic on date-truncated timestamps.
     */
   val cohortRetention = GQuery(
     "w16_cohort_retention",
@@ -444,7 +447,7 @@ object Windows extends QueryPack {
       ev(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d"))
         .distinct()
-        .join(broadcast(firstDay), "user_id")
+        .join(firstDay.hint("shuffle_hash"), "user_id")
         .select(col("cohort_day"),
           datediff(col("d"), col("cohort_day")).as("day_offset"),
           col("user_id"))

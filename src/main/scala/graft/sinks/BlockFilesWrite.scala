@@ -124,15 +124,20 @@ class BlockFilesWriter(dir: String, hIdx: Int, jIdx: Int, attempt: String)
     Files.write(tmp, json.getBytes("UTF-8"))
     pending += tmp
     try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      // hard-link the fully-written tmp into place: atomic content AND a
+      // race-safe never-overwrite (link throws FileAlreadyExistsException
+      // atomically, unlike ATOMIC_MOVE which on POSIX silently REPLACES an
+      // existing target — the reference's FileOutput never overwrites)
+      Files.createLink(target, tmp)
       written += 1
     } catch {
       // a concurrent attempt finalized the same height first — identical
       // deterministic content, so losing the race is a skip, not an error
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); skipped += 1
+      case _: java.nio.file.FileAlreadyExistsException => skipped += 1
+    } finally {
+      Files.deleteIfExists(tmp)
+      pending.clear()
     }
-    pending.clear()
   }
 
   override def commit(): WriterCommitMessage = BlockFilesCommit(written, skipped)

@@ -46,21 +46,32 @@ object StreamingLsh {
     * bit-identical to the batch dd4 pipeline (same TextHash kernels).
     */
   def bandRows(docs: DataFrame): Dataset[BandRow] = {
-    import TextHash._
     implicit val enc: Encoder[BandRow] = Encoders.product[BandRow]
+    banded(docs).select(col("band"), col("bandHash"), col("docId"), col("sig"))
+      .as[BandRow]
+  }
+
+  /** The signing/banding projection chain, carrying any extra columns
+    * (e.g. the event-time) straight through — NO join back onto the input:
+    * a streaming self-join would be an unwatermarked stream-stream join
+    * whose state grows forever.
+    */
+  private def banded(docs: DataFrame, carry: String*): DataFrame = {
+    import TextHash._
+    val c = carry.map(col)
     docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles3(col("toks")).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), s => polyHash(s)).as("hs"))
-      .select(col("doc_id"), minhashSig(col("hs"), K).as("sig"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id") +: tokens(col("text")).as("toks") +: c: _*)
+      .select(col("doc_id") +: shingles3(col("toks")).as("sh") +: c: _*)
+      .select(col("doc_id") +:
+        transform(col("sh"), s => polyHash(s)).as("hs") +: c: _*)
+      .select(col("doc_id") +: minhashSig(col("hs"), K).as("sig") +: c: _*)
+      .select(col("doc_id") +: col("sig") +:
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
           aggregate(slice(col("sig"), b * (K / Bands) + 1, lit(K / Bands)),
             lit(0L), (acc, v) => (acc * 31 + v) % Mod)))
-          .as(Seq("band", "bandHash")))
-      .select(col("band").cast("int").as("band"), col("bandHash"),
-        col("doc_id").as("docId"), col("sig"))
-      .as[BandRow]
+          .as(Seq("band", "bandHash")) +: c: _*)
+      .select(col("band").cast("int").as("band") +: col("bandHash") +:
+        col("doc_id").as("docId") +: col("sig") +: c: _*)
   }
 
   final case class TimedBandRow(
@@ -74,9 +85,7 @@ object StreamingLsh {
     */
   def bandRowsTimed(docs: DataFrame): Dataset[TimedBandRow] = {
     implicit val enc: Encoder[TimedBandRow] = Encoders.product[TimedBandRow]
-    bandRows(docs.select(col("doc_id"), col("text")))
-      .join(docs.select(col("doc_id").as("docId"),
-        col("arrival_ts").as("eventTime")), "docId")
+    banded(docs.withColumn("eventTime", col("arrival_ts")), "eventTime")
       .select(col("band"), col("bandHash"), col("docId"), col("sig"),
         col("eventTime"))
       .as[TimedBandRow]

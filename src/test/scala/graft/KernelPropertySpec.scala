@@ -102,4 +102,47 @@ class KernelPropertySpec extends AnyFunSuite {
           (col("n") < 3 && col("ns") =!= 0))
     assert(bad.count() === 0)
   }
+
+  test("ProtoMini: random byte garbage returns, never hangs or throws") {
+    // hostile tx bytes must yield None (or a parse) within a bounded walk —
+    // no negative length-delimited sizes cycling pos backwards, no varint
+    // reads past a nested reader's end. Runs single-threaded with a hard
+    // wall-clock budget so a regression to the infinite-loop behavior
+    // fails fast instead of wedging the suite.
+    val raw = sample(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray), 2000)
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    raw.foreach { bytes =>
+      graft.blocks.ProtoMini.txMeta(bytes) // must return; Option either way
+      assert(System.nanoTime() < deadline, "ProtoMini fuzz exceeded budget")
+    }
+  }
+
+  test("ProtoMini: corrupted VALID transactions never hang the parser") {
+    // mutation fuzz: take a well-formed encoded Tx and flip bytes —
+    // corruption inside nested messages exercises the negative-length and
+    // truncated-varint paths that pure random bytes rarely reach
+    def ld(field: Int, bytes: Array[Byte]): Array[Byte] = {
+      // single-byte varint length is fine for test payloads < 128 bytes
+      require(bytes.length < 128)
+      Array(((field << 3) | 2).toByte, bytes.length.toByte) ++ bytes
+    }
+    val coin = ld(1, "uatom".getBytes("UTF-8")) ++ ld(2, "12345".getBytes("UTF-8"))
+    val fee = ld(1, coin)
+    val auth = ld(2, fee)
+    val body = ld(2, "a memo string".getBytes("UTF-8"))
+    val tx = ld(1, body) ++ ld(2, auth)
+    assert(graft.blocks.ProtoMini.txMeta(tx)
+      .contains(graft.blocks.ProtoMini.TxMeta("12345", "uatom", "a memo string")))
+    val rnd = new scala.util.Random(42)
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    (0 until 2000).foreach { _ =>
+      val m = tx.clone()
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      graft.blocks.ProtoMini.txMeta(m) // must return
+      assert(System.nanoTime() < deadline, "ProtoMini mutation fuzz exceeded budget")
+    }
+  }
 }

@@ -77,4 +77,36 @@ class NewOpsPropertySpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the corpus actually exercises the check
     assert(banded === brute)
   }
+
+  test("dd6 bucketed pairs score identically to the brute-force oracle") {
+    // dd6's pair source is the 8-plane sign-bucket join; every pair it
+    // emits must exist in the exact all-pairs scoring with the SAME cosine
+    // (the bucket join may only SELECT pairs, never alter their score).
+    val brute = graft.queries.Dedup.cosinePairsBrute(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = SparkEntry.queries("dd6_embedding_cosine_pairs")(spark, dir)
+      .select(col("vec_a"), col("vec_b"), col("cosine")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key), s"pair $key not in exact all-pairs set")
+      assert(brute(key) === r.getDouble(2), s"score drift on $key")
+    }
+    // candidate recall on genuinely-near pairs: every brute pair at
+    // cosine >= 0.9 must be co-bucketed (identical vectors share every
+    // sign, and near-identical ones agree on each plane w.p. ~0.9+; on
+    // this fixed corpus a miss means the bucket rule broke, not bad luck)
+    val near = brute.filter(_._2 >= 0.9).keySet
+    if (near.nonEmpty) {
+      import graft.functions.TextHash._
+      val b = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), lshBucket(quantize(col("embedding")), 8).as("bk"))
+      val coBucketed = b.as("a").join(b.as("b"),
+          col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(near.subsetOf(coBucketed),
+        s"missed near-dup pairs: ${near.diff(coBucketed)}")
+    }
+  }
 }

@@ -57,6 +57,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("dd6_embedding_cosine_pairs").contains("TakeOrderedAndProject"))
   }
 
+  test("dd6: pairs come from the sign-bucket equi join, never all-pairs") {
+    val p = plan("dd6_embedding_cosine_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"dd6 degraded to an all-pairs join:\n$p")
+  }
+
   test("sim1: the query side broadcasts; the corpus is never shuffled whole") {
     val p = plan("sim1_knn_bruteforce")
     assert(p.contains("BroadcastExchange"), p)
@@ -148,6 +154,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("dd14_source_minhash_sketch")
     assert(p.contains("partial_graft_minhash_merge"),
       s"MinHashMerge lost its partial phase — sketches would shuffle raw rows:\n$p")
+  }
+
+  test("w16: the cohort join must NOT broadcast the per-user aggregate") {
+    // firstDay is one row per USER — it grows with the data, so a broadcast
+    // is an executor OOM at scale, not an optimization. The scale-safe plan
+    // is a shuffle hash join on the uniform user_id key (hinted, so the
+    // tiny-SF auto-broadcast can't sneak back in).
+    val p = plan("w16_cohort_retention")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"per-user aggregate must not be broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffle hash join:\n$p")
   }
 
   test("w14: training-pair extraction is one user_id shuffle") {
