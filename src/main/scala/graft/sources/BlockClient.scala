@@ -13,6 +13,20 @@ import scala.jdk.CollectionConverters._
   * fixture-file transport (same layout as the reference's golden templates)
   * keeps everything offline-testable — SURVEY §7.1's `file://` mode.
   */
+object BlockClient {
+  /** Transport selection by path scheme: `http://` / `https://` → the live
+    * JSON-RPC node transport; anything else is a fixture directory (the
+    * offline `file://` mode of SURVEY §7.1). One option (`path`) drives
+    * both, mirroring the reference's single `node` URI
+    * (`net/OkHttpAdapter.kt:76`, scheme-switched the same way).
+    */
+  def open(path: String): BlockClient =
+    if (path != null &&
+        (path.startsWith("http://") || path.startsWith("https://")))
+      new HttpBlockClient(path.stripSuffix("/"))
+    else new FileBlockClient(path)
+}
+
 trait BlockClient extends Serializable {
 
   /** Node's current chain height (`abci_info`). */
@@ -134,4 +148,91 @@ final class FileBlockClient(dir: String) extends BlockClient {
       .toSeq.sortBy { case (l, h, _) => (l, -(h - l)) }
       .map { case (_, _, p) => readFile(p) }
   }
+}
+
+/** Live-node transport: Tendermint HTTP RPC (URI endpoints `abci_info`,
+  * `block`, `block_results`, `blockchain`, `status`) over plain
+  * `HttpURLConnection` — the reference's `TendermintServiceOpenApiClient`
+  * surface (`clients/TendermintBlockFetcher.kt:36–63`) without the OkHttp /
+  * generated-client stack. Timeout budgets follow the reference's defaults
+  * (`net/OkHttpAdapter.kt:21–28`: connect 90 s, read 60 s); per-call retry
+  * with exponential backoff is layered on by [[RetryingBlockClient]]
+  * exactly as for the file transport.
+  *
+  * Error taxonomy (drives T4 retry semantics):
+  *   - connect/read failures and HTTP 429/502/503/504 → `IOException`
+  *     (transient; retried with backoff, then surfaced as a task failure);
+  *   - other non-200 responses (e.g. the node's "height not available"
+  *     error) → `None`, parity with [[FileBlockClient]]'s missing file;
+  *   - 200 bodies carrying a JSON-RPC `error` member → `None`.
+  *
+  * Serializable + stateless (one connection per call): instances ship to
+  * executors inside reader factories; each Spark task holds at most one
+  * in-flight request, so cluster-wide fetch concurrency = task parallelism
+  * (the reference's `concurrency` knob in `getBlocks`, scaled out).
+  */
+final class HttpBlockClient(
+    base: String,
+    connectTimeoutMillis: Int = 90000,
+    readTimeoutMillis: Int = 60000)
+  extends BlockClient {
+
+  private def get(pathAndQuery: String): Option[String] = {
+    val conn = java.net.URI.create(s"$base$pathAndQuery").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMillis)
+    conn.setReadTimeout(readTimeoutMillis)
+    conn.setRequestMethod("GET")
+    conn.setRequestProperty("Accept", "application/json")
+    try {
+      val code = conn.getResponseCode
+      if (code == 200) {
+        val in = conn.getInputStream
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        // JSON-RPC-level error in a 200 envelope = absent, not transient
+        if ("\"error\"\\s*:".r.findFirstIn(body).isDefined) None else Some(body)
+      } else {
+        Option(conn.getErrorStream).foreach(es => try es.readAllBytes() finally es.close())
+        if (code == 429 || code == 502 || code == 503 || code == 504)
+          throw new java.io.IOException(s"transient HTTP $code from $base$pathAndQuery")
+        None
+      }
+    } finally conn.disconnect()
+  }
+
+  private def field(json: String, name: String): Option[Long] =
+    s""""$name"\\s*:\\s*"?(\\d+)"?""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+
+  override def currentHeight(): Long =
+    get("/abci_info").flatMap(field(_, "last_block_height"))
+      .getOrElse(throw new IllegalStateException(s"no last_block_height from $base/abci_info"))
+
+  /** `/status` carries the node's retained window (`earliest_block_height`,
+    * pruning-aware) and live tip; nodes without it fall back to
+    * genesis..abci_info. A synced node is DENSE across that window, so
+    * availability is arithmetic — zero per-height probes.
+    */
+  override def availableHeights(from: Long, to: Long): Seq[Long] = {
+    val status = get("/status")
+    val earliest = status.flatMap(field(_, "earliest_block_height")).getOrElse(1L)
+    val latest = status.flatMap(field(_, "latest_block_height"))
+      .getOrElse(currentHeight())
+    val lo = math.max(from, math.max(1L, earliest))
+    val hi = math.min(to, latest)
+    if (hi < lo) Seq.empty else (lo to hi)
+  }
+
+  override def block(height: Long): Option[String] =
+    get(s"/block?height=$height")
+
+  override def blockResults(height: Long): Option[String] =
+    get(s"/block_results?height=$height")
+
+  /** 20-height pages — `TENDERMINT_MAX_QUERY_RANGE` (`EventStream.kt:73`),
+    * one GET per page, aligned to `from`.
+    */
+  override def metaPages(from: Long, to: Long): Seq[String] =
+    (from to to by 20L).iterator.flatMap { lo =>
+      get(s"/blockchain?minHeight=$lo&maxHeight=${math.min(lo + 19, to)}")
+    }.toSeq
 }

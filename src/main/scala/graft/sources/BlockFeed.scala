@@ -112,7 +112,7 @@ class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
   extends Scan {
 
   private val path = options.get("path")
-  private def client: BlockClient = new FileBlockClient(path)
+  private def client: BlockClient = BlockClient.open(path)
 
   private val prunedOrdinals: Array[Int] =
     required.fieldNames.map(n => BlockFeed.RawFields.indexOf(n))
@@ -179,7 +179,7 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
                           minNumTxs: Int)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private val client = new FileBlockClient(path)
+  private val client = BlockClient.open(path)
   /** Chain tip at stream construction: the history/live provenance boundary
     * (reference `combinedFlow` captures the same thing, `MultiplexFlow.kt:88`).
     */
@@ -250,7 +250,7 @@ class BlockFeedReaderFactory(path: String, prunedOrdinals: Array[Int],
     // T4: executor-side fetches retry transient I/O with the reference's
     // exponential backoff before surfacing a task failure
     new BlockFeedPartitionReader(
-      new RetryingBlockClient(new FileBlockClient(path)), p, prunedOrdinals, minNumTxs)
+      new RetryingBlockClient(BlockClient.open(path)), p, prunedOrdinals, minNumTxs)
   }
 }
 

@@ -1,0 +1,134 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Local Tendermint-RPC stub replaying the reference's golden templates over
+  * real HTTP (zero egress): the transport-level twin of the fixture dir, so
+  * the SAME 100/29/6/106 ground truth gates the network client.
+  *
+  * Chain model (a real node is DENSE, unlike a fixture file listing): the
+  * 100 historical heights serve their own template files; the 6 live slots
+  * directly above the historical tip serve the `live` fixture payloads
+  * (content heights 3126935–3126940 — exactly what a subscriber would see
+  * arrive next). `abci_info` reports the tip at "stream start"; `/status`
+  * reports the advanced live tip — the same start-tip/live split the file
+  * fixture encodes via its abci template vs block listing.
+  *
+  * `failNext(n)` makes the next n requests return HTTP 503 — the T4
+  * transient-failure path, exercised end-to-end through the retry decorator.
+  */
+final class StubRpcServer(dir: String,
+                          histFrom: Long = 2270370L, histTo: Long = 2270469L,
+                          liveCount: Int = 6, liveSrcFrom: Long = 3126935L) {
+
+  val liveFrom: Long = histTo + 1
+  @volatile var latest: Long = histTo + liveCount
+  private val failures = new AtomicInteger(0)
+  private val requests = new AtomicInteger(0)
+
+  def failNext(n: Int): Unit = failures.set(n)
+  def requestCount: Int = requests.get()
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+
+  def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split("&").flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  private def send(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.getResponseBody.close()
+  }
+
+  /** `${var:-default}` resolution — templates served over HTTP arrive
+    * concrete, as from a real node.
+    */
+  private def resolved(path: String, vars: Map[String, String]): String = {
+    val raw = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    "\\$\\{([a-zA-Z0-9_]+)(?::-([^}]*))?\\}".r.replaceAllIn(raw, m => {
+      val v = vars.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))
+      scala.util.matching.Regex.quoteReplacement(v)
+    })
+  }
+
+  /** Chain height → template file height (live slots serve live payloads). */
+  private def srcHeight(h: Long): Long =
+    if (h >= liveFrom && h < liveFrom + liveCount) liveSrcFrom + (h - liveFrom) else h
+
+  private def handle(ex: HttpExchange): Unit = {
+    requests.incrementAndGet()
+    if (failures.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      send(ex, 503, """{"error":"stub transient failure"}""")
+      return
+    }
+    val q = query(ex)
+    ex.getRequestURI.getPath match {
+      case "/abci_info" =>
+        send(ex, 200, resolved(s"$dir/abci_info/success.json",
+          Map("last_block_height" -> histTo.toString)))
+      case "/status" =>
+        send(ex, 200,
+          s"""{"jsonrpc":"2.0","id":-1,"result":{"sync_info":{
+             |"earliest_block_height":"$histFrom",
+             |"latest_block_height":"$latest"}}}""".stripMargin)
+      case "/block" | "/block_results" =>
+        val sub = ex.getRequestURI.getPath.stripPrefix("/")
+        q.get("height").map(_.toLong) match {
+          case Some(h) =>
+            val p = Paths.get(s"$dir/$sub/${srcHeight(h)}.json")
+            if (Files.exists(p)) send(ex, 200, resolved(p.toString, Map.empty))
+            else send(ex, 404,
+              s"""{"jsonrpc":"2.0","id":-1,"error":{"code":-32603,"message":"height $h is not available"}}""")
+          case None => send(ex, 400, """{"error":"height required"}""")
+        }
+      case "/blockchain" =>
+        (q.get("minHeight").map(_.toLong), q.get("maxHeight").map(_.toLong)) match {
+          case (Some(lo), Some(hi)) =>
+            val exact = Paths.get(s"$dir/blockchain/$lo-$hi.json")
+            // exact page, else the widest template page intersecting [lo,hi]
+            // (readers filter to wanted heights, a real node would trim)
+            val page =
+              if (Files.exists(exact)) Some(exact)
+              else {
+                val d = Paths.get(s"$dir/blockchain")
+                import scala.jdk.CollectionConverters._
+                Files.list(d).iterator().asScala
+                  .flatMap { p =>
+                    p.getFileName.toString.stripSuffix(".json").split("-") match {
+                      case Array(a, b) =>
+                        (a.toLongOption, b.toLongOption) match {
+                          case (Some(l), Some(h)) if h >= lo && l <= hi => Some((h - l, p))
+                          case _ => None
+                        }
+                      case _ => None
+                    }
+                  }.toSeq.sortBy(-_._1).headOption.map(_._2)
+              }
+            page match {
+              case Some(p) => send(ex, 200, resolved(p.toString, Map.empty))
+              case None => send(ex, 404,
+                """{"jsonrpc":"2.0","id":-1,"error":{"code":-32603,"message":"no such page"}}""")
+            }
+          case _ => send(ex, 400, """{"error":"minHeight/maxHeight required"}""")
+        }
+      case _ => send(ex, 404, """{"error":"no such endpoint"}""")
+    }
+  }
+
+  server.createContext("/", (ex: HttpExchange) => try handle(ex) finally ex.close())
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  def stop(): Unit = server.stop(0)
+}
