@@ -38,7 +38,44 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // streaming envelope vs BASELINE.md: backfill blocks/s (reference
+    // implies tens/s at concurrency 16) and per-block processing latency
+    // (must sit far under the 6 s/block live rate). Measured through the
+    // real micro-batch connector + noop sink, full-schema rows.
+    val streaming = if (args.nonEmpty) "" else {
+      try {
+        import org.apache.spark.sql.streaming.Trigger
+        val t = graft.blocks.FixtureSource.DefaultTemplates
+        def drain(maxPerTrigger: Int): (Double, Int) = {
+          val t0 = System.nanoTime()
+          val q = spark.readStream.format("blockfeed")
+            .option("path", t)
+            .option("from", "2270370").option("to", "2270469")
+            .option("maxHeightsPerTrigger", maxPerTrigger.toString).load()
+            .writeStream.format("noop")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination(300000)
+          ((System.nanoTime() - t0) / 1e9, q.recentProgress.length)
+        }
+        val (backfillSecs, _) = drain(40) // 100 blocks, multi-batch backfill
+        // live shape: 10 single-block triggers over the last 10 heights
+        val t0 = System.nanoTime()
+        val live = spark.readStream.format("blockfeed")
+          .option("path", t)
+          .option("from", "2270460").option("to", "2270469")
+          .option("maxHeightsPerTrigger", "1").load()
+          .writeStream.format("noop")
+          .trigger(Trigger.AvailableNow()).start()
+        live.awaitTermination(300000)
+        val liveSecs = (System.nanoTime() - t0) / 1e9
+        val backfillRate = 100.0 / backfillSecs
+        val perBlock = liveSecs / 10.0
+        s""","streaming":{"backfill_blocks_per_sec":$backfillRate,""" +
+          s""""per_block_latency_sec":$perBlock,""" +
+          s""""baseline_backfill_blocks_per_sec":30,"baseline_block_interval_sec":6}"""
+      } catch { case _: Throwable => "" }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$streaming}""")
     spark.stop()
   }
 }

@@ -22,6 +22,21 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // fitted-model dumps: the oracle replays sim5/sim7's post-fit stages in
+    // SQL from these relations (written INSIDE each query's dir so the
+    // compare only sees the top-level result parquet); the fits are
+    // bit-deterministic, so this re-fit equals the model the query used
+    Seq(
+      "sim5_knn_ivf_trained" -> (() => graft.queries.Similarity.sim5Model(spark, sfDir)),
+      "sim7_knn_pq_adc" -> (() => graft.queries.Similarity.sim7Model(spark, sfDir)))
+      .foreach { case (name, model) =>
+        if (selected.contains(name))
+          try model().coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name/_model")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name model dump failed: ${e.getMessage}")
+          }
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,8 +49,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // resolve model-dump references against the actual output dir
+    val out = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{GRAFT_OUT}", out))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

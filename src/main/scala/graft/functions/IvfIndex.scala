@@ -67,6 +67,16 @@ object IvfIndex {
       .withColumn("qnorm",
         sqrt(TextHash.dotQ(col("qv"), col("qv")).cast("double")))
       .persist() // scanned once per Lloyd iteration + once for final assign
+    assign(v, withNorms(fitCentroids(spark, v, k, iters))).drop("qnorm")
+  }
+
+  /** The trained model alone: (cell, cq) after `iters` Lloyd steps — what a
+    * deployment persists, and what the DuckDB oracle re-derives assignment
+    * from (bit-deterministic: exact integer sums, fixed init, so a re-fit
+    * reproduces the dumped model exactly). `v` must carry (vec_id, qv,
+    * qnorm).
+    */
+  def fitCentroids(spark: SparkSession, v: DataFrame, k: Int, iters: Int): DataFrame = {
     var centroids = materialize(spark, v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"),
         // init centroids are the vectors themselves: already at 1e4 scale,
@@ -86,6 +96,6 @@ object IvfIndex {
               round(e("s").cast("double") * 10000.0d / e("n").cast("double"))
                 .cast("long")).as("cq")))
     }
-    assign(v, withNorms(centroids)).drop("qnorm")
+    centroids
   }
 }

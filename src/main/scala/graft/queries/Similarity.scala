@@ -181,6 +181,18 @@ object Similarity extends QueryPack {
     * asserts recall@$K against the exact brute-force answer and
     * run-to-run determinism.
     */
+  /** sim5's fitted coarse quantizer (cell, cq) — dumped by Verify next to
+    * the query result so the oracle re-derives assignment + scoring in SQL
+    * from the SAME model (the fit is bit-deterministic, so re-fitting here
+    * reproduces the model the query used).
+    */
+  def sim5Model(s: SparkSession, dir: String): DataFrame =
+    graft.functions.IvfIndex.fitCentroids(
+      s,
+      quantized(s, dir).select(col("vec_id"), col("qv"))
+        .withColumn("qnorm", sqrt(dotQ(col("qv"), col("qv")).cast("double"))),
+      k = 8, iters = 2)
+
   val knnIvfTrained = GQuery(
     "sim5_knn_ivf_trained",
     (s, dir) => {
@@ -201,7 +213,40 @@ object Similarity extends QueryPack {
           .orderBy(col("cosine").desc, col("neighbor_id")))
       scored.withColumn("rank", rk).filter(col("rank") <= K)
     },
-    None)
+    // the FIT is not SQL-expressible, but given the dumped model the
+    // assignment + scoring stages are: the oracle reads the centroids
+    // Verify wrote next to the result ({GRAFT_OUT} → outDir) and replays
+    // nearest-cell assignment and in-cell scoring digit-for-digit
+    Some(s"""
+      WITH q AS ($sqlQuantized),
+      c0 AS (
+        SELECT cell, cq
+        FROM read_parquet('{GRAFT_OUT}/sim5_knn_ivf_trained/_model/*.parquet')),
+      c AS (
+        SELECT cell, cq,
+               sqrt(CAST(${sqlDotQ("cq", "cq")} AS DOUBLE)) AS cnorm
+        FROM c0),
+      assigned AS (
+        SELECT vec_id, qv, norm, cell FROM (
+          SELECT q.vec_id, q.qv, q.norm, c.cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY CAST(${sqlDotQ("q.qv", "c.cq")} AS DOUBLE)
+                            / (q.norm * c.cnorm) DESC, c.cell) AS crk
+          FROM q CROSS JOIN c)
+        WHERE crk = 1),
+      queries AS (
+        SELECT vec_id AS query_id, cell AS q_cell, qv AS q_qv, norm AS q_norm
+        FROM assigned WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT query_id, a.vec_id AS neighbor_id,
+               CAST(${sqlDotQ("a.qv", "q_qv")} AS DOUBLE) / (a.norm * q_norm)
+                 AS cosine
+        FROM assigned a JOIN queries
+          ON a.cell = q_cell AND a.vec_id <> query_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored QUALIFY rank <= $K"""))
 
   /** Batched brute-force kNN: identical result set to sim1, different
     * physical shape — the query batch travels as ONE broadcast row of
@@ -252,6 +297,14 @@ object Similarity extends QueryPack {
     * practically SQL-expressible → rows-only driver check; SimilaritySpec
     * asserts recall@$K against sim1 and run-to-run determinism.
     */
+  /** sim7's fitted PQ codebook (sub, cell, cq) — dumped by Verify for the
+    * SQL oracle (deterministic fit, same contract as [[sim5Model]]).
+    */
+  def sim7Model(s: SparkSession, dir: String): DataFrame =
+    graft.functions.PqIndex.fitEncode(
+      s, quantized(s, dir).select(col("vec_id"), col("qv")),
+      m = 4, subDim = 16, ks = 8, iters = 1)._1
+
   val knnPq = GQuery(
     "sim7_knn_pq_adc",
     (s, dir) => {
@@ -296,7 +349,61 @@ object Similarity extends QueryPack {
             .orderBy(col("cosine").desc, col("neighbor_id"))))
         .filter(col("rank") <= K)
     },
-    None)
+    // fit is spec-gated; encoding + ADC + re-rank replay in SQL from the
+    // dumped codebook: per-subspace argmin-L2 codes (same integer distance
+    // and tie-break), per-query LUT dots, ADC sums, top-15 pool, exact
+    // re-rank — every stage after the fit sits on the oracle gate
+    Some(s"""
+      WITH q AS ($sqlQuantized),
+      cb AS (
+        SELECT sub, cell, cq
+        FROM read_parquet('{GRAFT_OUT}/sim7_knn_pq_adc/_model/*.parquet')),
+      subv AS (
+        SELECT vec_id, s.sub, list_slice(qv, s.sub*16 + 1, s.sub*16 + 16) AS sqv
+        FROM q, (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) s),
+      codes AS (
+        SELECT vec_id, sub, cell FROM (
+          SELECT v.vec_id, v.sub, c.cell,
+                 row_number() OVER (PARTITION BY v.vec_id, v.sub
+                   ORDER BY CAST(${sqlDotQ("c.cq", "c.cq")} AS BIGINT)
+                            - 2 * CAST(${sqlDotQ("v.sqv", "c.cq")} AS BIGINT),
+                            c.cell) AS crk
+          FROM subv v JOIN cb c ON v.sub = c.sub)
+        WHERE crk = 1),
+      queries AS (SELECT vec_id, qv, norm FROM q WHERE vec_id < $NQueries),
+      lut AS (
+        SELECT qq.vec_id AS query_id, c.sub, c.cell,
+               CAST(${sqlDotQ("list_slice(qq.qv, c.sub*16 + 1, c.sub*16 + 16)", "c.cq")}
+                    AS BIGINT) AS dot
+        FROM queries qq CROSS JOIN cb c),
+      adc AS (
+        SELECT l.query_id, k.vec_id, CAST(SUM(l.dot) AS BIGINT) AS adc
+        FROM codes k JOIN lut l ON k.sub = l.sub AND k.cell = l.cell
+        WHERE k.vec_id <> l.query_id
+        GROUP BY 1, 2),
+      approx AS (
+        SELECT a.query_id, a.vec_id,
+               CAST(a.adc AS DOUBLE) / (n.norm * qn.norm) AS approx_cos
+        FROM adc a
+        JOIN q n ON a.vec_id = n.vec_id
+        JOIN queries qn ON a.query_id = qn.vec_id),
+      cand AS (
+        SELECT query_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY approx_cos DESC, vec_id) AS crk
+          FROM approx)
+        WHERE crk <= ${3 * K}),
+      rer AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               CAST(${sqlDotQ("x.qv", "qq.qv")} AS DOUBLE) / (x.norm * qq.norm)
+                 AS cosine
+        FROM cand c
+        JOIN q x ON c.vec_id = x.vec_id
+        JOIN queries qq ON c.query_id = qq.vec_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rer QUALIFY rank <= $K"""))
 
   /** Filtered ("hybrid") search: a metadata predicate composes with the
     * vector top-k — here, nearest neighbors restricted to OTHER coarse
