@@ -29,7 +29,12 @@ import scala.jdk.CollectionConverters._
   * `heights` (S2: explicit comma-separated height list, `List<Long>
   * .toBlockData`, `HistoricalBlockFlow.kt:52` — batch mode only),
   * `heightsPerPartition` (default 128 = reference `DEFAULT_BATCH_SIZE`),
-  * `maxHeightsPerTrigger` (default 10000 = reference live buffer).
+  * `maxHeightsPerTrigger` (default 10000 = reference live buffer),
+  * `ws` (S7–S9: websocket subscribe URL, e.g. the node's `/websocket`
+  * endpoint — the stream's tip then comes from pushed `NewBlock` events via
+  * [[WsSubscription]] instead of per-trigger polling; block data still
+  * flows through the partitioned RPC readers, the reference's
+  * `WsBlockDataFlow.kt:48` subscribe-then-fetch split).
   */
 class BlockFeedProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "blockfeed"
@@ -197,8 +202,23 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
   // and stops even if the chain keeps advancing.
   @volatile private var availableNowCap: Option[Long] = None
 
+  /** S7–S9 push mode: a driver-side websocket subscription replaces tip
+    * polling (`ws` option). A node that pushes height h is dense through h,
+    * so availability below the pushed tip is arithmetic — zero RPCs on the
+    * offset path.
+    */
+  private val subscription: Option[WsSubscription] =
+    Option(options.get("ws")).map(new WsSubscription(_))
+
   private def tip: Long = {
-    val t = client.availableHeights(from, to).lastOption.getOrElse(from - 1)
+    val t = subscription match {
+      case Some(sub) =>
+        // before the first push, the tip captured at stream start stands in
+        math.max(from - 1,
+          math.min(sub.pushedTip.getOrElse(startCurrentHeight), to))
+      case None =>
+        client.availableHeights(from, to).lastOption.getOrElse(from - 1)
+    }
     availableNowCap.map(math.min(t, _)).getOrElse(t)
   }
 
@@ -217,8 +237,13 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
       case m: ReadMaxRows => m.maxRows()
       case _ => maxPerTrigger.toLong
     }
-    val next = client.availableHeights(s + 1, tip).take(cap.toInt)
-    if (next.isEmpty) HeightOffset(s) else HeightOffset(next.max)
+    if (subscription.isDefined) {
+      // dense below the pushed tip: advance arithmetically, no RPC
+      HeightOffset(math.max(s, math.min(s + cap, tip)))
+    } else {
+      val next = client.availableHeights(s + 1, tip).take(cap.toInt)
+      if (next.isEmpty) HeightOffset(s) else HeightOffset(next.max)
+    }
   }
 
   override def latestOffset(): Offset =
@@ -228,7 +253,10 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[HeightOffset].height
     val e = end.asInstanceOf[HeightOffset].height
-    client.availableHeights(s + 1, e)
+    val heights =
+      if (subscription.isDefined) if (e > s) (s + 1) to e else Seq.empty
+      else client.availableHeights(s + 1, e)
+    heights
       .grouped(options.getInt("heightsPerPartition", 128))
       .map(h => HeightRangePartition(h.toArray, startCurrentHeight, metaMode))
       .toArray[InputPartition]
@@ -239,7 +267,7 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
 
   override def deserializeOffset(json: String): Offset = HeightOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = subscription.foreach(_.close())
 }
 
 class BlockFeedReaderFactory(path: String, prunedOrdinals: Array[Int],

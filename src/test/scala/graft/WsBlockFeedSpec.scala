@@ -1,0 +1,138 @@
+package graft
+
+import graft.sources.WsSubscription
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S7–S9: the websocket subscribe transport against a local RFC 6455 stub
+  * (zero egress). The subscription must track pushed NewBlock tips, apply
+  * the reference decode policy (noise drops, panic fails, malformed
+  * restarts), survive connection drops, and — wired into the connector —
+  * drive a live tail with ZERO tip-polling RPCs while reproducing the same
+  * golden-fixture ground truth as the polling transports.
+  */
+class WsBlockFeedSpec extends AnyFunSuite {
+
+  private val T = graft.blocks.FixtureSource.DefaultTemplates
+  private lazy val spark: SparkSession = Session.builder("graft-ws-test").getOrCreate()
+
+  private def eventually(timeoutMillis: Long = 10000)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + timeoutMillis * 1000000L
+    while (System.nanoTime() < deadline && !cond) Thread.sleep(20)
+    assert(cond)
+  }
+
+  private def withWs[A](f: StubWsServer => A): A = {
+    val ws = new StubWsServer
+    try f(ws) finally ws.stop()
+  }
+
+  test("subscribe handshake + pushed tips, including fragmented frames") {
+    withWs { ws =>
+      val sub = new WsSubscription(ws.url)
+      try {
+        eventually()(ws.subscriptions == 1)
+        assert(sub.pushedTip.isEmpty)
+        ws.push(100L)
+        assert(sub.awaitTip(100L, 5000))
+        // out-of-order push never regresses the tip
+        ws.push(50L)
+        ws.push(101L)
+        assert(sub.awaitTip(101L, 5000))
+        assert(sub.pushedTip.contains(101L))
+        // fragmented text frame is reassembled before decode
+        ws.pushFragmented(ws.newBlockJson(102L))
+        assert(sub.awaitTip(102L, 5000))
+      } finally sub.close()
+    }
+  }
+
+  test("decode policy: noise drops with counters, panic poisons the stream") {
+    withWs { ws =>
+      val sub = new WsSubscription(ws.url)
+      try {
+        eventually()(ws.subscriptions == 1)
+        ws.pushRaw("""{"jsonrpc":"2.0","id":1,"result":{"foo":1}}""") // Unknown
+        ws.pushRaw("""{"jsonrpc":"2.0","id":1,"result":{}}""")        // Empty
+        eventually()(sub.dropped == 2)
+        ws.push(7L)
+        assert(sub.awaitTip(7L, 5000)) // noise did not kill the stream
+        // Panic → recorded failure → next tip read throws (query-fail path)
+        ws.pushRaw("""{"jsonrpc":"2.0","id":1,"result":{"response":{"code":1,"log":"panic: boom"}}}""")
+        eventually()(
+          try { sub.pushedTip; false }
+          catch { case _: graft.sources.DecodeCascade.PanicException => true })
+      } finally sub.close()
+    }
+  }
+
+  test("malformed frame tears down for resubscribe; drops reconnect") {
+    withWs { ws =>
+      val sub = new WsSubscription(ws.url, reconnectBaseMillis = 20L)
+      try {
+        eventually()(ws.subscriptions == 1)
+        ws.push(5L)
+        assert(sub.awaitTip(5L, 5000))
+        // reference: DecoderEncodingException restarts the flow
+        ws.pushRaw("{not json")
+        eventually()(ws.subscriptions == 2 && sub.malformed == 1)
+        // hard connection drop → reconnect + resubscribe
+        ws.dropAll()
+        eventually()(ws.subscriptions == 3)
+        ws.push(9L)
+        assert(sub.awaitTip(9L, 5000))
+        assert(sub.reconnects >= 2)
+      } finally sub.close()
+    }
+  }
+
+  test("S9 live tail over ws: pushed events drive the stream, zero polling") {
+    val rpc = new StubRpcServer(T)
+    try withWs { ws =>
+      val q = spark.readStream.format("blockfeed")
+        .option("path", rpc.base)
+        .option("from", "latest")
+        .option("ws", ws.url)
+        .load()
+        .writeStream.format("memory").queryName("bf_ws_live")
+        .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      try {
+        eventually(30000)(ws.subscriptions == 1)
+        val liveHeights = rpc.liveFrom until (rpc.liveFrom + 6)
+        liveHeights.foreach(ws.push)
+        eventually(60000)(spark.table("bf_ws_live").count() == 6L)
+        val got = spark.table("bf_ws_live").cache()
+        assert(got.filter(col("historical")).count() === 0L)
+        assert(got.select("height").distinct().count() === 6L)
+        // zero tip-polling: once fetches are done, an idle second of
+        // triggers must not touch the RPC node at all
+        val settled = rpc.requestCount
+        Thread.sleep(1000)
+        assert(rpc.requestCount === settled)
+        // and the whole run was 1 abci_info + 6 block + 6 block_results
+        assert(settled === 13)
+      } finally q.stop()
+    } finally rpc.stop()
+  }
+
+  test("S13 backfill in ws mode: dense arithmetic ranges, no /status calls") {
+    val rpc = new StubRpcServer(T)
+    try withWs { ws =>
+      val q = spark.readStream.format("blockfeed")
+        .option("path", rpc.base)
+        .option("from", "2270370")
+        .option("maxHeightsPerTrigger", "40")
+        .option("ws", ws.url)
+        .load()
+        .writeStream.format("memory").queryName("bf_ws_backfill")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // before any push the start-tip stands in: exactly the 100 historical
+      val got = spark.table("bf_ws_backfill")
+      assert(got.count() === 100L)
+      assert(got.filter(col("historical")).count() === 100L)
+    } finally rpc.stop()
+  }
+}
