@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.Dedup,
     graft.queries.Multimodal,
     graft.queries.Similarity,
-    graft.queries.Profiling)
+    graft.queries.Profiling,
+    graft.queries.Sampling)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import graft.functions.TextHash.{shinglesK, sqlShinglesK, tokens}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data composition — the stage between
+  * cleaning and tokenization where a pipeline decides WHICH cleaned
+  * documents make the mix. Everything is deterministic-by-construction:
+  * sampling decisions come from a Knuth multiplicative hash of the stable
+  * document id (pure BIGINT arithmetic, identical in any engine — never
+  * `rand()`, which would be irreproducible across retries/engines), so a
+  * re-run of the pipeline at 100 TB selects byte-identical corpora.
+  *
+  * 100 TB shapes: samp1 is a map-only filter (no shuffle at all); samp2 is
+  * one hash-shuffle on the stratum key with a bounded per-group window;
+  * samp3's rate table is a per-language aggregate (≤ #langs rows —
+  * broadcast-safe by construction, unlike a per-user aggregate) joined back
+  * as a true dimension.
+  */
+object Sampling extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** `u(doc_id)` ∈ [0, 2^32): Knuth multiplicative hash — uniform enough
+    * for rate sampling, exact in BIGINT math on both engines.
+    */
+  private def u(id: Column): Column = (id * 2654435761L) % 4294967296L
+  private val SqlU = "(doc_id * 2654435761) % 4294967296"
+
+  /** Stratified Bernoulli sampling: per-language keep rates applied via the
+    * hash threshold `u < rate·2^32`. Thresholds are exact integer constants
+    * so membership is a pure integer comparison.
+    */
+  val stratifiedSample = GQuery(
+    "samp1_stratified_sample",
+    (s, dir) => docs(s, dir)
+      .withColumn("sample_key", u(col("doc_id")))
+      .withColumn("threshold",
+        when(col("lang") === "en", 2147483648L)   // 0.5
+          .when(col("lang") === "fr", 2147483648L) // 0.5
+          .when(col("lang") === "de", 1073741824L) // 0.25
+          .when(col("lang") === "es", 1073741824L) // 0.25
+          .otherwise(536870912L))                  // zh 0.125
+      .filter(col("sample_key") < col("threshold"))
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_key")),
+    Some(s"""
+      SELECT doc_id, lang, source, $SqlU AS sample_key
+      FROM documents
+      WHERE $SqlU < CASE lang
+        WHEN 'en' THEN 2147483648 WHEN 'fr' THEN 2147483648
+        WHEN 'de' THEN 1073741824 WHEN 'es' THEN 1073741824
+        ELSE 536870912 END"""))
+
+  /** Deterministic "reservoir" of k=20 per source stratum: rank by the hash
+    * (uniform ⇒ a uniform k-sample) with doc_id as total tie-break. The
+    * reference point is reservoir sampling; hash-rank is its deterministic,
+    * rerun-stable, merge-friendly equivalent (top-k by hash is a mergeable
+    * partial aggregate — partitions keep local top-k, merge keeps top-k).
+    */
+  val reservoirPerStratum = GQuery(
+    "samp2_reservoir_per_source",
+    (s, dir) => {
+      val rk = row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("sample_key"), col("doc_id")))
+      docs(s, dir)
+        .withColumn("sample_key", u(col("doc_id")))
+        .withColumn("rk", rk)
+        .filter(col("rk") <= 20)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("sample_key"))
+    },
+    Some(s"""
+      SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, sample_key FROM (
+        SELECT source, doc_id, $SqlU AS sample_key,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY $SqlU, doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 20"""))
+
+  /** Domain/language mixture resampling: given a char budget (20% of the
+    * corpus) split EQUALLY across languages, derive each language's keep
+    * rate `min(1, target/lang_chars)` from a per-language aggregate and
+    * sample by hash threshold. This is the "data mixing" step that rebalances
+    * a web-skewed corpus toward a target composition. The rate table is
+    * ≤ #langs rows — an aggregate that stays a broadcastable dimension at
+    * any corpus size (contrast w16's per-user aggregate).
+    */
+  val mixtureResample = GQuery(
+    "samp3_mixture_resample",
+    (s, dir) => {
+      val langChars = docs(s, dir).groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("lang_chars"))
+        .withColumn("total_chars",
+          sum(col("lang_chars")).over(Window.partitionBy()))
+        .withColumn("n_langs",
+          count(lit(1)).over(Window.partitionBy()))
+        // equal share of a 20% budget; exact integer inputs → one double
+        // division each, deterministic across engines
+        .withColumn("rate", least(lit(1.0),
+          col("total_chars").cast("double") * 0.2 /
+            col("n_langs").cast("double") / col("lang_chars").cast("double")))
+        .select(col("lang"), col("lang_chars"), col("rate"))
+      docs(s, dir)
+        .join(broadcast(langChars), "lang")
+        .withColumn("sample_key", u(col("doc_id")))
+        .filter(col("sample_key").cast("double") < col("rate") * 4294967296.0)
+        .select(col("doc_id"), col("lang"), col("rate"), col("sample_key"))
+    },
+    Some(s"""
+      WITH lc AS (
+        SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+        FROM documents GROUP BY 1),
+      rates AS (
+        SELECT lang, lang_chars,
+               least(1.0,
+                 CAST(SUM(lang_chars) OVER () AS DOUBLE) * 0.2
+                   / CAST(COUNT(*) OVER () AS DOUBLE)
+                   / CAST(lang_chars AS DOUBLE)) AS rate
+        FROM lc)
+      SELECT d.doc_id, d.lang, r.rate, $SqlU AS sample_key
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE CAST($SqlU AS DOUBLE) < r.rate * 4294967296.0"""))
+
+  /** The end-to-end training-mix pipeline, stages composed the way a real
+    * corpus build runs them: language filter → structural quality gate →
+    * exact dedup (keep min doc_id per sha256) → decontamination against a
+    * benchmark probe set (any shared 4-gram disqualifies — the standard
+    * n-gram-overlap test-set scrub) → stratified hash sampling. The output
+    * is the shippable sample manifest.
+    *
+    * Scale shapes are the proven per-stage ones: per-row predicates ride
+    * the scan; the dedup keeper election is one uniform hash-shuffle; the
+    * probe set is corpus-independent (benchmark-sized) and broadcasts; the
+    * sample decision is the samp1 integer threshold. Near-dup removal at
+    * this spot is pipe1/dd15's LSH stage — elided here to keep the oracle
+    * tractable, not because it wouldn't compose.
+    */
+  val trainingMix = GQuery(
+    "pipe2_training_mix",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val nTok = size(tokens(col("text")))
+      val base = d.filter(col("lang").isin("en", "de", "es", "fr"))
+        .withColumn("n_tokens", nTok.cast("long"))
+        .filter(col("n_tokens") >= 5 &&
+          length(col("text")).cast("double") / col("n_tokens").cast("double") <= 15.0)
+      val keepers = base.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      val uniq = base.withColumn("h", sha2(col("text"), 256))
+        .join(keepers, "h")
+        .filter(col("doc_id") === col("keeper_id"))
+      val probes = d.filter(col("doc_id") < 5)
+        .select(explode(shinglesK(tokens(col("text")), 4)).as("shingle"))
+        .distinct()
+      val contaminated = uniq
+        .select(col("doc_id"), explode(shinglesK(tokens(col("text")), 4)).as("shingle"))
+        .join(broadcast(probes), "shingle")
+        .select("doc_id").distinct()
+      uniq.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("sample_key", u(col("doc_id")))
+        .withColumn("threshold",
+          when(col("lang") === "en" || col("lang") === "fr", 2147483648L)
+            .otherwise(1073741824L))
+        .filter(col("sample_key") < col("threshold"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("sample_key"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text, lang, source,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE lang IN ('en','de','es','fr')
+          AND len(regexp_extract_all(text, '\\S+')) >= 5
+          AND CAST(length(text) AS DOUBLE)
+              / len(regexp_extract_all(text, '\\S+')) <= 15.0),
+      uniq AS (
+        SELECT * FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id
+          FROM base)
+        WHERE doc_id = keeper_id),
+      probe AS (
+        SELECT DISTINCT
+          unnest(${sqlShinglesK("regexp_extract_all(text, '\\S+')", 4)}) AS shingle
+        FROM documents WHERE doc_id < 5),
+      contam AS (
+        SELECT DISTINCT u.doc_id
+        FROM (SELECT doc_id,
+                unnest(${sqlShinglesK("regexp_extract_all(text, '\\S+')", 4)})
+                  AS shingle
+              FROM uniq) u
+        JOIN probe USING (shingle))
+      SELECT doc_id, lang, source, n_tokens, $SqlU AS sample_key
+      FROM uniq LEFT JOIN contam USING (doc_id)
+      WHERE contam.doc_id IS NULL
+        AND $SqlU < CASE WHEN lang IN ('en','fr')
+                         THEN 2147483648 ELSE 1073741824 END"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(stratifiedSample, reservoirPerStratum, mixtureResample, trainingMix)
+}

@@ -484,7 +484,83 @@ object Similarity extends QueryPack {
                AS recall_at_k
       FROM truth t LEFT JOIN hits ON t.query_id = hits.query_id""")
 
+  /** Embedding outlier detection: per-label centroid distance z-scores —
+    * the "flag vectors that do not belong to their cluster" QA pass a
+    * pipeline runs over fresh embeddings. Determinism by construction:
+    * the per-dimension centroid is kept as the exact integer pair (Σv, n),
+    * each vector's distance NUMERATOR `Σ_pos (v·n − Σv)²` is exact BIGINT
+    * (scale-equivalent to true squared distance within a label — z-scores
+    * are invariant under the positive per-label 1/n² factor), and the
+    * per-label moments are exact DECIMAL sums (the prof3 pattern); doubles
+    * appear only in the final mean/std/z arithmetic on exact inputs.
+    *
+    * Scale shape: the explode is map-side (×64 rows, no shuffle); the
+    * centroid table (label×64 rows) and the label-stats table (|labels|
+    * rows) are true broadcast dimensions; the only data-sized shuffles are
+    * the uniform-key per-vector aggregations.
+    */
+  val embeddingOutliers = GQuery(
+    "sim10_embedding_outliers",
+    (s, dir) => {
+      val ex = quantized(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("qv")).as(Seq("pos", "v")))
+      val cent = ex.groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      val perVec = ex.join(broadcast(cent), Seq("label", "pos"))
+        .withColumn("diff", col("v") * col("n") - col("sv"))
+        .groupBy(col("vec_id"), col("label"), col("n"))
+        .agg(sum(col("diff") * col("diff")).as("num_sum"))
+      val stats = perVec.groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(col("num_sum").cast("decimal(19,0)")).cast("double").as("s1"),
+          sum(col("num_sum").cast("decimal(19,0)")
+            * col("num_sum").cast("decimal(19,0)")).cast("double").as("s2"))
+        .withColumn("mean_num", col("s1") / col("n_vecs"))
+        .withColumn("std_num",
+          sqrt(col("s2") / col("n_vecs") - col("mean_num") * col("mean_num")))
+        .select(col("label"), col("mean_num"), col("std_num"))
+      perVec.join(broadcast(stats), "label")
+        .select(
+          col("vec_id"), col("label"),
+          (col("num_sum").cast("double")
+            / (col("n") * col("n")).cast("double")).as("dist2"),
+          ((col("num_sum").cast("double") - col("mean_num"))
+            / col("std_num")).as("z"))
+        .filter(col("z") > 1.5)
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id, label, ${sqlQuantize("embedding")} AS qv
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, label, s.i AS pos, qv[s.i + 1] AS v
+        FROM q, (SELECT CAST(unnest(range(0, 64)) AS INT) AS i) s),
+      cent AS (
+        SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2),
+      pervec AS (
+        SELECT vec_id, e.label, n,
+               CAST(SUM((v * n - sv) * (v * n - sv)) AS BIGINT) AS num_sum
+        FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+        GROUP BY 1, 2, 3),
+      stats AS (
+        SELECT label, COUNT(*) AS n_vecs,
+               CAST(SUM(CAST(num_sum AS DECIMAL(19,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(num_sum AS DECIMAL(19,0))
+                 * CAST(num_sum AS DECIMAL(19,0))) AS DOUBLE) AS s2
+        FROM pervec GROUP BY 1),
+      z AS (
+        SELECT vec_id, p.label,
+               CAST(num_sum AS DOUBLE) / CAST(n * n AS DOUBLE) AS dist2,
+               (CAST(num_sum AS DOUBLE) - s1 / n_vecs)
+                 / sqrt(s2 / n_vecs - (s1 / n_vecs) * (s1 / n_vecs)) AS z
+        FROM pervec p JOIN stats st ON p.label = st.label)
+      SELECT vec_id, label, dist2, z FROM z WHERE z > 1.5"""))
+
   override def queries: Seq[GQuery] =
     Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched,
-      knnPq, knnFiltered, recallEval)
+      knnPq, knnFiltered, recallEval, embeddingOutliers)
 }

@@ -524,8 +524,109 @@ object Text extends QueryPack {
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       FROM vol v LEFT JOIN fd f ON v.bucket = f.bucket"""))
 
+  /** PII detect + redact — the scrubbing pass every pretraining pipeline
+    * runs before anything else. The fixture corpus is synthetic word soup
+    * with no natural PII, so the query PLANTS a deterministic contact block
+    * per row (`doc_id%3` emails, `doc_id%2` phone numbers) and the operator
+    * under test is the detect/count/redact pass over the combined text:
+    * codegen'd per-row regex work, shuffle-free — the 100 TB shape is a
+    * map-only scan. The redaction is verified byte-exactly via md5 of the
+    * scrubbed text against the oracle's RE2 replacement.
+    */
+  val piiScan = GQuery(
+    "tx14_pii_scan",
+    (s, dir) => {
+      val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "555-[0-9]{4}"
+      val email = concat(lit("doc"), col("doc_id"), lit("@"),
+        col("source"), lit(".example.com"))
+      val phone = concat(lit("555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      // plain concatenation of leading-space blocks: concat_ws would differ
+      // between engines on empty segments (DuckDB skips them, Spark keeps)
+      val planted = concat(col("text"),
+        concat_ws("", array_repeat(concat(lit(" "), email),
+          (col("doc_id") % 3).cast("int"))),
+        concat_ws("", array_repeat(concat(lit(" "), phone),
+          (col("doc_id") % 2).cast("int"))))
+      docs(s, dir)
+        .select(col("doc_id"), planted.as("full_text"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("full_text"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("full_text"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("full_text"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]")).as("redacted_md5"))
+    },
+    Some("""
+      WITH planted AS (
+        SELECT doc_id,
+               text ||
+                 COALESCE(array_to_string(list_transform(range(0, doc_id % 3),
+                   i -> concat(' doc', doc_id, '@', source, '.example.com')), ''), '') ||
+                 COALESCE(array_to_string(list_transform(range(0, doc_id % 2),
+                   i -> concat(' 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))), ''), '')
+                 AS full_text
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(full_text,
+               '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(full_text, '555-[0-9]{4}')) AS BIGINT)
+               AS n_phones,
+             md5(regexp_replace(
+               regexp_replace(full_text,
+                 '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+               '555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+      FROM planted"""))
+
+  /** Fixed-size token chunking with overlap (window 64, stride 48) — the
+    * context-window prep step between cleaning and tokenization. Chunk
+    * starts come from an integer sequence per doc (explode, no window
+    * function), slices are array ops on the token list, and each chunk is
+    * identity-checked via md5 of its joined text. Map-side only: rows
+    * expand ×(n/48) with no shuffle — the 100 TB shape.
+    */
+  val chunking = GQuery(
+    "tx15_chunking",
+    (s, dir) => {
+      val C = 64
+      val S = 48L
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)),
+            lit(S))).as("start"))
+        .filter(col("start") < col("n"))
+        .select(col("doc_id"),
+          (col("start") / S).cast("long").as("chunk_id"),
+          slice(col("toks"), (col("start") + 1L).cast("int"), lit(C)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+        FROM documents),
+      starts AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, greatest(n, 1), 48)) AS start
+        FROM toks)
+      SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+             CAST(len(list_slice(toks, start + 1, least(start + 64, n)))
+               AS BIGINT) AS n_chunk_tokens,
+             md5(array_to_string(
+               list_slice(toks, start + 1, least(start + 64, n)), ' '))
+               AS chunk_md5
+      FROM starts WHERE start < n"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
-      vocabGrowth)
+      vocabGrowth, piiScan, chunking)
 }

@@ -173,4 +173,30 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected one window exchange:\n$p")
     assert(p.contains("user_id"), p)
   }
+
+  test("samp1/tx14/tx15: sampling and scrubbing ride the scan — zero exchanges") {
+    // hash-threshold sampling, PII redaction, and chunking are per-row
+    // work; at 100 TB any shuffle here would dominate the whole pipeline
+    for (n <- Seq("samp1_stratified_sample", "tx14_pii_scan", "tx15_chunking")) {
+      val p = plan(n)
+      assert(!p.contains("Exchange"), s"$n must be map-only:\n$p")
+    }
+  }
+
+  test("samp3/sim10: rate and stats aggregates come back as broadcast dims") {
+    // per-LANGUAGE / per-LABEL aggregates are bounded by the domain size —
+    // true dimensions (contrast w16's per-user aggregate, which is not)
+    for (n <- Seq("samp3_mixture_resample", "sim10_embedding_outliers")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n rate/stats join must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n degraded to a shuffle join:\n$p")
+    }
+  }
+
+  test("pipe2: probe set broadcasts; no nested-loop anywhere in the cascade") {
+    val p = plan("pipe2_training_mix")
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cascade planned a nested loop:\n$p")
+  }
 }
