@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.Trigger
   *     out=/tmp/blocks [checkpoint=/tmp/ckpt] [skipEmpty=true]
   *     [txEvents=a,b] [blockEvents=c] [nth=10] [ordered=true]
   *     [maxHeightsPerTrigger=10000] [trigger=availableNow|<interval>]
-  *     [stateStore=rocksdb] [sink=blockfiles]
+  *     [stateStore=rocksdb] [sink=blockfiles] [ws=ws://node/websocket]
   * }}}
   *
   * Spark mappings: history+live merge, gap-fill, restart resume and dedup
@@ -54,7 +54,9 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     var reader = spark.readStream.format("blockfeed").option("path", path)
-    Seq("from", "to", "maxHeightsPerTrigger", "heightsPerPartition")
+    // ws=<url>: push-based tips from the node's websocket (S7–S9) instead
+    // of per-trigger polling; path= stays the RPC endpoint for block data
+    Seq("from", "to", "maxHeightsPerTrigger", "heightsPerPartition", "ws")
       .foreach(k => opts.get(k).foreach(v => reader = reader.option(k, v)))
     val raw = reader.load()
 
