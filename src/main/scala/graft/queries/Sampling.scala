@@ -200,6 +200,67 @@ object Sampling extends QueryPack {
         AND $SqlU < CASE WHEN lang IN ('en','fr')
                          THEN 2147483648 ELSE 1073741824 END"""))
 
+  /** Sequence packing: assign the tx15-style chunks to fixed 1024-token
+    * training packs by greedy sequential fill — the batch-prep step that
+    * turns a cleaned corpus into dense training sequences (pack fill rate
+    * is the efficiency metric). A chunk joins the pack its cumulative
+    * START falls in (the standard streaming-packing approximation — packs
+    * are closed in order, never revisited). Chunk sizes are pure
+    * arithmetic (`min(64, n−start)`) — no token materialization at all.
+    *
+    * Packing is deliberately SHARD-local — the window partitions by
+    * (lang, source), never globally — so at 100 TB each window partition
+    * is one shard's chunks (packs never cross shards, matching how packed
+    * examples are written file-by-file) and no single ordering bottleneck
+    * exists.
+    */
+  val sequencePacking = GQuery(
+    "samp4_sequence_packing",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"), col("start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n"),
+          explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)),
+            lit(48L))).as("start"))
+        .filter(col("start") < col("n"))
+        .withColumn("chunk_tokens", least(lit(64L), col("n") - col("start")))
+        .withColumn("cum", sum(col("chunk_tokens")).over(w))
+        .withColumn("pack_id", expr("(cum - chunk_tokens) div 1024"))
+        .groupBy(col("lang"), col("source"), col("pack_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("pack_tokens"))
+        .withColumn("fill_rate", col("pack_tokens").cast("double") / 1024.0)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, source,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+        FROM documents),
+      st AS (
+        SELECT doc_id, lang, source, n,
+               unnest(range(0, greatest(n, 1), 48)) AS start
+        FROM t),
+      ch AS (
+        SELECT doc_id, lang, source, start,
+               least(64, n - start) AS chunk_tokens
+        FROM st WHERE start < n),
+      cm AS (
+        SELECT *, SUM(chunk_tokens) OVER (PARTITION BY lang, source
+                    ORDER BY doc_id, start
+                    ROWS UNBOUNDED PRECEDING) AS cum
+        FROM ch)
+      SELECT lang, source, CAST((cum - chunk_tokens) // 1024 AS BIGINT) AS pack_id,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens,
+             CAST(SUM(chunk_tokens) AS DOUBLE) / 1024.0 AS fill_rate
+      FROM cm GROUP BY 1, 2, 3"""))
+
   override def queries: Seq[GQuery] =
-    Seq(stratifiedSample, reservoirPerStratum, mixtureResample, trainingMix)
+    Seq(stratifiedSample, reservoirPerStratum, mixtureResample, trainingMix,
+      sequencePacking)
 }

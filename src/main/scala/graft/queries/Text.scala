@@ -625,8 +625,47 @@ object Text extends QueryPack {
                AS chunk_md5
       FROM starts WHERE start < n"""))
 
+  /** Per-document duplicated-n-gram rate: what fraction of a document's
+    * distinct 4-grams also appear in OTHER documents — the repetition /
+    * boilerplate signal (the RefinedWeb/CCNet family of "duplicated
+    * n-gram fraction" filters), and the per-doc view of what dd2/dd4
+    * decide pairwise. One shuffle on the uniform shingle key to get
+    * document frequencies, one per-doc aggregate; the rate is a double
+    * division of exact counts.
+    */
+  val dupNgramRate = GQuery(
+    "tx16_dup_ngram_rate",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), explode(shinglesK(tokens(col("text")), 4)).as("shingle"))
+        .distinct()
+      val df = sh.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      sh.join(df, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("dup_rate",
+          col("n_shared").cast("double") / col("n_shingles").cast("double"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(${sqlShinglesK("regexp_extract_all(text, '\\S+')", 4)})
+                 AS shingle
+        FROM documents),
+      df AS (
+        SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_rate
+      FROM sh JOIN df USING (shingle)
+      GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
-      vocabGrowth, piiScan, chunking)
+      vocabGrowth, piiScan, chunking, dupNgramRate)
 }

@@ -109,4 +109,119 @@ class NewOpsPropertySpec extends AnyFunSuite {
         s"missed near-dup pairs: ${near.diff(coBucketed)}")
     }
   }
+
+  test("tx15 chunks reassemble to the original token stream") {
+    import graft.functions.TextHash.tokens
+    // rebuild chunk ARRAYS with tx15's exact expressions, then stitch:
+    // every chunk contributes its first 48 tokens (the stride), the final
+    // chunk contributes everything — flatten must equal the original list
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+    val chunks = d
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)), lit(48L)))
+          .as("start"))
+      .filter(col("start") < col("n"))
+      .select(col("doc_id"), col("toks"), col("n"), col("start"),
+        slice(col("toks"), (col("start") + 1L).cast("int"), lit(64)).as("chunk"))
+    val stitched = chunks
+      .withColumn("is_last", col("start") + 48L >= col("n"))
+      .withColumn("contrib",
+        when(col("is_last"), col("chunk")).otherwise(slice(col("chunk"), 1, 48)))
+      .groupBy(col("doc_id"), col("toks"))
+      .agg(flatten(sort_array(collect_list(struct(col("start"), col("contrib")))
+        .as("cs")).getField("contrib")).as("rebuilt"))
+    assert(stitched.filter(col("rebuilt") =!= col("toks")).count() === 0)
+    // overlap invariant: consecutive full chunks share exactly 16 tokens
+    val overlaps = chunks.filter(col("start") + 64L <= col("n"))
+      .filter(col("start") + 48L < col("n"))
+      .filter(size(col("chunk")) =!= 64)
+    assert(overlaps.count() === 0)
+  }
+
+  test("tx14 redaction is idempotent and leaves no residual PII") {
+    val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "555-[0-9]{4}"
+    val email = concat(lit("doc"), col("doc_id"), lit("@"),
+      col("source"), lit(".example.com"))
+    val phone = concat(lit("555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val planted = concat(col("text"),
+      concat_ws("", array_repeat(concat(lit(" "), email),
+        (col("doc_id") % 3).cast("int"))),
+      concat_ws("", array_repeat(concat(lit(" "), phone),
+        (col("doc_id") % 2).cast("int"))))
+    val red = regexp_replace(regexp_replace(planted, emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+    val checked = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(planted, lit(emailRe), lit(0))).as("ne"),
+        size(regexp_extract_all(planted, lit(phoneRe), lit(0))).as("np"),
+        size(regexp_extract_all(red, lit(emailRe), lit(0))).as("res_e"),
+        size(regexp_extract_all(red, lit(phoneRe), lit(0))).as("res_p"),
+        (regexp_replace(regexp_replace(red, emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]") === red).as("idempotent"))
+    // detector finds exactly what was planted; redaction removes all of it
+    // and a second pass is a no-op
+    assert(checked.filter(col("ne") =!= (col("doc_id") % 3).cast("int") ||
+      col("np") =!= (col("doc_id") % 2).cast("int")).count() === 0)
+    assert(checked.filter(col("res_e") =!= 0 || col("res_p") =!= 0).count() === 0)
+    assert(checked.filter(!col("idempotent")).count() === 0)
+  }
+
+  test("samp1 is deterministic and hits its per-language rates") {
+    val a = SparkEntry.queries("samp1_stratified_sample")(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = SparkEntry.queries("samp1_stratified_sample")(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b) // rerun-stable: same corpus in, same sample out
+    val total = Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("samp1_stratified_sample")(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = Map("en" -> 0.5, "fr" -> 0.5, "de" -> 0.25, "es" -> 0.25,
+      "zh" -> 0.125)
+    target.foreach { case (lang, rate) =>
+      val n = total(lang)
+      val k = kept.getOrElse(lang, 0L).toDouble
+      // 4-sigma binomial envelope: a multiplicative-hash pathology would
+      // blow straight through it; sampling noise will not
+      val sigma = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(k - n * rate) <= 4 * sigma + 1,
+        s"$lang: kept $k of $n at target rate $rate")
+    }
+  }
+
+  test("samp4 packs: shard totals conserved, interior packs near-full") {
+    val packs = SparkEntry.queries("samp4_sequence_packing")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    // per-shard token conservation vs the chunk arithmetic
+    import graft.functions.TextHash.tokens
+    val chunkTotals = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .select(col("lang"), col("source"), col("n"),
+        explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)), lit(48L)))
+          .as("start"))
+      .filter(col("start") < col("n"))
+      .groupBy("lang", "source")
+      .agg(sum(least(lit(64L), col("n") - col("start"))).as("tot"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val packTotals = packs.groupBy(p => (p._1, p._2))
+      .view.mapValues(_.map(_._4).sum).toMap
+    assert(packTotals === chunkTotals)
+    // greedy-start packing: every interior pack lands within one chunk of
+    // the 1024 budget (the straddling chunk is counted where it starts)
+    val lastPack = packs.groupBy(p => (p._1, p._2))
+      .view.mapValues(_.map(_._3).max).toMap
+    packs.filter(p => p._3 < lastPack((p._1, p._2))).foreach { p =>
+      assert(p._4 >= 1024 - 63 && p._4 <= 1024 + 63,
+        s"interior pack ${p._1}/${p._2}#${p._3} has ${p._4} tokens")
+    }
+  }
 }
