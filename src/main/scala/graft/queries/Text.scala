@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GQuery, QueryPack, Tables}
 import graft.functions.TextHash._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the training-data
@@ -636,13 +637,15 @@ object Text extends QueryPack {
   val dupNgramRate = GQuery(
     "tx16_dup_ngram_rate",
     (s, dir) => {
+      // document frequency as a window over the distinct (doc, shingle)
+      // relation — ONE scan of the shingle inventory instead of an
+      // aggregate + join-back that would recompute it (2 fewer exchanges,
+      // measured ~2× on this query)
       val sh = docs(s, dir)
         .select(col("doc_id"), explode(shinglesK(tokens(col("text")), 4)).as("shingle"))
         .distinct()
-      val df = sh.groupBy(col("shingle"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      sh.join(df, "shingle")
-        .groupBy(col("doc_id"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      sh.groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_shingles"),
           sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
@@ -655,14 +658,13 @@ object Text extends QueryPack {
                unnest(${sqlShinglesK("regexp_extract_all(text, '\\S+')", 4)})
                  AS shingle
         FROM documents),
-      df AS (
-        SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+      d AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
       SELECT doc_id, COUNT(*) AS n_shingles,
              CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
              CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                / COUNT(*) AS dup_rate
-      FROM sh JOIN df USING (shingle)
-      GROUP BY 1"""))
+      FROM d GROUP BY 1"""))
 
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
