@@ -218,4 +218,89 @@ class StreamingCorpusSpec extends AnyFunSuite {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(pairs === batchPairs)
   }
+
+  test("pipe2 tail on the live path: decontaminate + sample, batch-identical") {
+    import spark.implicits._
+    import graft.functions.TextHash.{shinglesK, tokens}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the probe set is benchmark-sized and corpus-independent: built once
+    // batch-side and shipped as a broadcast membership structure.
+    // Contamination is a PER-ROW property (does this doc share a probe
+    // 4-gram?), so the streaming shape is a stateless membership check —
+    // no anti-join against a stream-derived relation (which Structured
+    // Streaming rightly refuses: the right side would be unbounded state)
+    val probes = Tables.load(spark, dir, "documents")
+      .filter($"doc_id" < 5)
+      .select(explode(shinglesK(tokens($"text"), 4)).as("shingle"))
+      .distinct()
+    val probeShingles: Seq[String] = probes.as[String].collect().toSeq
+    def tail(df: org.apache.spark.sql.DataFrame) = df
+      .filter(size(array_intersect(shinglesK(tokens($"text"), 4),
+        typedLit(probeShingles))) === 0)
+      .withColumn("sample_key", ($"doc_id" * 2654435761L) % 4294967296L)
+      .filter($"sample_key" < 2147483648L)
+      .select($"doc_id")
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val feed = MemoryStream[(Long, String)]
+    val q = tail(feed.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pipe2_live").start()
+    try {
+      feed.addData(docs.take(200)); q.processAllAvailable()
+      feed.addData(docs.drop(200)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pipe2_live").as[Long].collect().toSet
+    // semantic equivalence vs the RELATIONAL batch formulation (pipe2's
+    // broadcast join + anti join): the per-row membership check must select
+    // exactly the same documents
+    val batchDocs = docs.toDF("doc_id", "text")
+    val contaminated = batchDocs
+      .select($"doc_id", explode(shinglesK(tokens($"text"), 4)).as("shingle"))
+      .join(broadcast(probes), "shingle")
+      .select("doc_id").distinct()
+    val batch = batchDocs.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("sample_key", ($"doc_id" * 2654435761L) % 4294967296L)
+      .filter($"sample_key" < 2147483648L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+    // the probe documents contaminate themselves out of the stream too
+    assert(streamed.intersect((0L until 5L).toSet).isEmpty)
+  }
+
+  test("online embedding outlier scoring against a broadcast model") {
+    import spark.implicits._
+    import graft.functions.TextHash.quantize
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // model-apply in streaming: the per-label centroid/stat table is model
+    // state (domain-bounded, built batch-side like sim10), broadcast into
+    // the stream; scoring fresh embeddings is then a stateless projection —
+    // the shape an embedding-QA monitor runs on a live ingest feed
+    val q0 = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label", quantize($"embedding").as("qv"))
+    val ex = q0.select($"vec_id", $"label", posexplode($"qv").as(Seq("pos", "v")))
+    val cent = ex.groupBy($"label", $"pos")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    // score = exact integer distance numerator vs the broadcast centroids
+    def score(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"label", posexplode($"qv").as(Seq("pos", "v")))
+      .join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("diff", $"v" * $"n" - $"sv")
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"diff" * $"diff").as("num_sum"))
+    val vecs = q0.as[(Long, Int, Seq[Long])].collect().toSeq
+    val feed = MemoryStream[(Long, Int, Seq[Long])]
+    val q = score(feed.toDF.toDF("vec_id", "label", "qv"))
+      .writeStream.format("memory").queryName("outlier_live")
+      .outputMode("update").start()
+    try {
+      feed.addData(vecs); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("outlier_live")
+      .select($"vec_id", $"num_sum").as[(Long, Long)].collect().toMap
+    val batch = score(q0).select($"vec_id", $"num_sum")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch && batch.nonEmpty)
+  }
 }
