@@ -58,16 +58,25 @@ object Sampling extends QueryPack {
   /** Deterministic "reservoir" of k=20 per source stratum: rank by the hash
     * (uniform ⇒ a uniform k-sample) with doc_id as total tie-break. The
     * reference point is reservoir sampling; hash-rank is its deterministic,
-    * rerun-stable, merge-friendly equivalent (top-k by hash is a mergeable
-    * partial aggregate — partitions keep local top-k, merge keeps top-k).
+    * rerun-stable, merge-friendly equivalent — and the plan IS the
+    * mergeable two-phase shape: a salted local top-k first (32-way
+    * parallel inside every stratum), then the final top-k over ≤ 32·k
+    * survivors per stratum. A single window per source would serialize
+    * each stratum through one partition — the classic top-k-per-group
+    * scale trap; phase one caps what the final window ever sees.
     */
   val reservoirPerStratum = GQuery(
     "samp2_reservoir_per_source",
     (s, dir) => {
+      val local = row_number().over(
+        Window.partitionBy(col("source"), pmod(col("doc_id"), lit(32L)))
+          .orderBy(col("sample_key"), col("doc_id")))
       val rk = row_number().over(Window.partitionBy(col("source"))
         .orderBy(col("sample_key"), col("doc_id")))
       docs(s, dir)
         .withColumn("sample_key", u(col("doc_id")))
+        .withColumn("lrk", local)
+        .filter(col("lrk") <= 20) // a global top-20 row is top-20 in its salt
         .withColumn("rk", rk)
         .filter(col("rk") <= 20)
         .select(col("source"), col("rk").cast("long").as("rk"),

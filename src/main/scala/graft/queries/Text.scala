@@ -666,8 +666,67 @@ object Text extends QueryPack {
                / COUNT(*) AS dup_rate
       FROM d GROUP BY 1"""))
 
+  /** The filter RULEBOOK: named boolean quality rules evaluated per
+    * document with exact integer arithmetic (Gopher-style explainable
+    * filtering — a pipeline needs to know WHICH rule dropped a document,
+    * not just that one did). All per-row work riding the scan; thresholds
+    * in integer milli-units so no float boundary can drift between
+    * engines. `keep` = no rule fired.
+    */
+  val qualityRules = GQuery(
+    "tx17_quality_rules",
+    (s, dir) => {
+      val stop = Seq("the", "and", "of", "to", "a", "is",
+        "der", "die", "und", "ist", "das", "nicht",
+        "el", "la", "que", "los", "una", "es",
+        "le", "les", "des", "et", "une", "est")
+      val d = docs(s, dir).select(col("doc_id"),
+        tokens(col("text")).as("toks"),
+        length(col("text")).cast("long").as("n_c"))
+        .select(col("doc_id"), col("n_c"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(filter(col("toks"), w => lower(w).isin(stop: _*)))
+            .cast("long").as("n_stop"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      d.select(col("doc_id"),
+        (col("n_tok") < 10).as("r_too_short"),
+        when(col("n_tok") > 0, expr("n_c * 1000 div n_tok") > 8000)
+          .otherwise(lit(true)).as("r_long_words"),
+        (col("n_stop") === 0).as("r_no_stopwords"),
+        (col("n_distinct") * 1000 < col("n_tok") * 400).as("r_repetitive"))
+        .withColumn("keep",
+          !col("r_too_short") && !col("r_long_words") &&
+            !col("r_no_stopwords") && !col("r_repetitive"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+               CAST(length(text) AS BIGINT) AS n_c
+        FROM documents),
+      d AS (
+        SELECT doc_id, n_c,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(len(list_filter(toks, w -> lower(w) IN (
+                 'the','and','of','to','a','is',
+                 'der','die','und','ist','das','nicht',
+                 'el','la','que','los','una','es',
+                 'le','les','des','et','une','est'))) AS BIGINT) AS n_stop,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        FROM t),
+      r AS (
+        SELECT doc_id,
+               n_tok < 10 AS r_too_short,
+               CASE WHEN n_tok > 0 THEN (n_c * 1000) // n_tok > 8000
+                    ELSE true END AS r_long_words,
+               n_stop = 0 AS r_no_stopwords,
+               n_distinct * 1000 < n_tok * 400 AS r_repetitive
+        FROM d)
+      SELECT *, NOT (r_too_short OR r_long_words OR r_no_stopwords
+                     OR r_repetitive) AS keep
+      FROM r"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
-      vocabGrowth, piiScan, chunking, dupNgramRate)
+      vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules)
 }
