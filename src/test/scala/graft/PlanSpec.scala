@@ -183,6 +183,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tx17: the quality rulebook is per-row work riding the scan — zero exchanges") {
+    val p = plan("tx17_quality_rules")
+    assert(!p.contains("Exchange"), s"tx17 must be map-only:\n$p")
+  }
+
+  test("samp2: per-stratum top-k is the salted two-phase shape, not one window") {
+    // a single window per source serializes each stratum through one
+    // partition; the salted local top-k caps the final window's input at
+    // 32*k rows per stratum. Shape: exactly two Window ops, two exchanges.
+    val p = plan("samp2_reservoir_per_source")
+    val windows = "\\bWindow \\(\\d+\\)".r.findAllIn(p).size
+    val exchanges = "\\+- Exchange \\(\\d+\\)".r.findAllIn(p).size
+    assert(windows === 2, s"expected salted+final windows:\n$p")
+    assert(exchanges === 2, s"expected two window exchanges:\n$p")
+  }
+
   test("samp3/sim10: rate and stats aggregates come back as broadcast dims") {
     // per-LANGUAGE / per-LABEL aggregates are bounded by the domain size —
     // true dimensions (contrast w16's per-user aggregate, which is not)
