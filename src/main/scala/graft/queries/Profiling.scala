@@ -200,6 +200,41 @@ object Profiling extends QueryPack {
       s"WITH m AS (SELECT $moments FROM lineitem) $rows"
     })
 
+  /** Exact interpolated quantiles (p1/p25/p50/p75/p99) for every numeric
+    * column in ONE aggregate — the distribution half of the profile that
+    * prof1's min/max can't see (skew, heavy tails, discretization). Kept
+    * EXACT here so the oracle checks values (DuckDB `quantile_cont` and
+    * Spark `percentile` share the p·(n−1) interpolation definition); at
+    * 100 TB the drop-in is `approx_percentile` — a bounded, mergeable
+    * sketch with the same output shape — whose tolerance-equivalence is
+    * asserted in SqlSurfaceSpec.
+    */
+  val quantileProfile = GQuery(
+    "prof4_exact_quantiles",
+    (s, dir) => {
+      val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+      val psSql = ps.mkString("array(", ", ", ")")
+      val li = Tables.load(s, dir, "lineitem")
+      val one = li.agg(
+        expr(s"percentile(CAST(${NumCols.head} AS DOUBLE), $psSql)")
+          .as(s"q__${NumCols.head}"),
+        NumCols.tail.map(c =>
+          expr(s"percentile(CAST($c AS DOUBLE), $psSql)").as(s"q__$c")): _*)
+      val stackExpr = s"stack(${NumCols.size}, " +
+        NumCols.map(c => s"'$c', q__$c").mkString(", ") +
+        ") as (column_name, qs)"
+      one.select(expr(stackExpr))
+        .select(col("column_name"), posexplode(col("qs")).as(Seq("pos", "q")))
+        .select(col("column_name"),
+          element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+          col("q"))
+    },
+    Some(NumCols.flatMap(c => Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p => s"""
+      SELECT '$c' AS column_name, CAST($p AS DOUBLE) AS p,
+             quantile_cont(CAST($c AS DOUBLE), $p) AS q
+      FROM lineitem""")).mkString(" UNION ALL ")))
+
   override def queries: Seq[GQuery] =
-    Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix)
+    Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix,
+      quantileProfile)
 }

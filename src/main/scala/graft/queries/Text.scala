@@ -673,31 +673,38 @@ object Text extends QueryPack {
     * in integer milli-units so no float boundary can drift between
     * engines. `keep` = no rule fired.
     */
+  /** The tx17 rule projection over any (doc_id, text) relation — shared by
+    * the batch GQuery and the streaming path (stateless per-row ⇒ the same
+    * expression tree runs unchanged on a stream; equivalence asserted in
+    * StreamingCorpusSpec).
+    */
+  def qualityRuleCols(in: DataFrame): DataFrame = {
+    val stop = Seq("the", "and", "of", "to", "a", "is",
+      "der", "die", "und", "ist", "das", "nicht",
+      "el", "la", "que", "los", "una", "es",
+      "le", "les", "des", "et", "une", "est")
+    val d = in.select(col("doc_id"),
+      tokens(col("text")).as("toks"),
+      length(col("text")).cast("long").as("n_c"))
+      .select(col("doc_id"), col("n_c"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(filter(col("toks"), w => lower(w).isin(stop: _*)))
+          .cast("long").as("n_stop"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    d.select(col("doc_id"),
+      (col("n_tok") < 10).as("r_too_short"),
+      when(col("n_tok") > 0, expr("n_c * 1000 div n_tok") > 8000)
+        .otherwise(lit(true)).as("r_long_words"),
+      (col("n_stop") === 0).as("r_no_stopwords"),
+      (col("n_distinct") * 1000 < col("n_tok") * 400).as("r_repetitive"))
+      .withColumn("keep",
+        !col("r_too_short") && !col("r_long_words") &&
+          !col("r_no_stopwords") && !col("r_repetitive"))
+  }
+
   val qualityRules = GQuery(
     "tx17_quality_rules",
-    (s, dir) => {
-      val stop = Seq("the", "and", "of", "to", "a", "is",
-        "der", "die", "und", "ist", "das", "nicht",
-        "el", "la", "que", "los", "una", "es",
-        "le", "les", "des", "et", "une", "est")
-      val d = docs(s, dir).select(col("doc_id"),
-        tokens(col("text")).as("toks"),
-        length(col("text")).cast("long").as("n_c"))
-        .select(col("doc_id"), col("n_c"),
-          size(col("toks")).cast("long").as("n_tok"),
-          size(filter(col("toks"), w => lower(w).isin(stop: _*)))
-            .cast("long").as("n_stop"),
-          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-      d.select(col("doc_id"),
-        (col("n_tok") < 10).as("r_too_short"),
-        when(col("n_tok") > 0, expr("n_c * 1000 div n_tok") > 8000)
-          .otherwise(lit(true)).as("r_long_words"),
-        (col("n_stop") === 0).as("r_no_stopwords"),
-        (col("n_distinct") * 1000 < col("n_tok") * 400).as("r_repetitive"))
-        .withColumn("keep",
-          !col("r_too_short") && !col("r_long_words") &&
-            !col("r_no_stopwords") && !col("r_repetitive"))
-    },
+    (s, dir) => qualityRuleCols(docs(s, dir)),
     Some("""
       WITH t AS (
         SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
@@ -725,8 +732,96 @@ object Text extends QueryPack {
                      OR r_repetitive) AS keep
       FROM r"""))
 
+  /** BM25 lexical retrieval: probe documents (doc_id < 5) as QUERIES
+    * against the rest of the corpus, Lucene-parameter BM25
+    * (k1 = 1.2, b = 0.75, idf = ln((N − df + ½)/(df + ½) + 1)), top-10
+    * hits per query. Complements sim1–sim9's dense retrieval with the
+    * sparse/lexical path every retrieval stack pairs it with.
+    *
+    * Scale shape: corpus statistics are exact integers (N, Σdl — one
+    * bounded narrow aggregate, broadcast); the exploded token stream is
+    * semi-restricted by the BROADCAST query-term set BEFORE any shuffle,
+    * so only matched tokens ever aggregate (the full-vocabulary inverted
+    * index is never built); the restricted postings — the probe-set-sized
+    * retrieval working set — materialize once (`localCheckpoint`, the dd7
+    * diamond-breaking pattern) and feed both the df count and the scoring
+    * join; the per-(query, doc) sum shuffles on uniform composite keys;
+    * top-k is the samp2 salted two-phase window, so no single partition
+    * ever sees more than 32·k survivors per query.
+    */
+  val bm25TopK = GQuery(
+    "tx18_bm25_topk",
+    (s, dir) => {
+      val corpus = docs(s, dir).filter(col("doc_id") >= 5)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("dl"))
+      val stats = corpus.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      val qterms = docs(s, dir).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+      val postings = corpus
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .join(broadcast(qterms.select(col("term")).distinct()), "term")
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      // postings rows are distinct (doc, term): df is a plain row count
+      val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val avgdl = col("total_dl").cast("double") / col("n_docs")
+      val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      val contrib = idf * ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))))
+      val scored = postings
+        .join(broadcast(qterms), "term")
+        .join(broadcast(dfreq), "term")   // both probe-set-sized dims
+        .crossJoin(broadcast(stats))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(contrib).as("score"), count(lit(1)).cast("long").as("n_terms"))
+      val local = row_number().over(
+        Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(32L)))
+          .orderBy(col("score").desc, col("doc_id")))
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id")))
+      scored
+        .withColumn("lrk", local).filter(col("lrk") <= 10)
+        .withColumn("rk", rk).filter(col("rk") <= 10)
+        .select(col("query_id"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("n_terms"), col("score"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        FROM documents WHERE doc_id >= 5),
+      c2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM corpus),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM c2),
+      p0 AS (SELECT doc_id, dl, unnest(toks) AS term FROM c2),
+      postings AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+      q AS (
+        SELECT doc_id AS query_id,
+               unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS term
+        FROM documents WHERE doc_id < 5),
+      dfreq AS (
+        SELECT term, COUNT(*) AS df FROM postings
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+      scored AS (
+        SELECT q.query_id, postings.doc_id,
+               SUM( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                    * ((tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(total_dl AS DOUBLE) / n_docs))))) ) AS score,
+               COUNT(*) AS n_terms
+        FROM postings JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY 1, 2)
+      SELECT query_id, rk, doc_id, n_terms, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rk
+        FROM scored) WHERE rk <= 10"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
-      vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules)
+      vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules, bm25TopK)
 }

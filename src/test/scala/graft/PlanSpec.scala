@@ -199,6 +199,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges === 2, s"expected two window exchanges:\n$p")
   }
 
+  test("tx18: df and scoring share the one materialized postings set; dims broadcast") {
+    val p = plan("tx18_bm25_topk")
+    assert(!p.contains("SortMergeJoin"), s"query-term dim degraded to shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the restricted postings materialize ONCE and feed both branches —
+    // the corpus is never re-tokenized for the df count
+    val rdd = "\\(\\d+\\) Scan ExistingRDD".r.findAllIn(p).size
+    val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(rdd === 2, s"expected the checkpointed postings on both sides:\n$p")
+    assert(pq === 2, s"expected only the qterms + stats scans:\n$p")
+  }
+
   test("samp3/sim10: rate and stats aggregates come back as broadcast dims") {
     // per-LANGUAGE / per-LABEL aggregates are bounded by the domain size —
     // true dimensions (contrast w16's per-user aggregate, which is not)

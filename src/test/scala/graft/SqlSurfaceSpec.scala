@@ -44,6 +44,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val fastMedian = ev.stat.approxQuantile("value", Array(0.5), 0.01).head
     val spread = ev.select(max(col("value")) - min(col("value"))).head().getDouble(0)
     assert(math.abs(fastMedian - exactMedian) <= 0.05 * spread)
+    // prof4's 100 TB drop-in: the mergeable approx_percentile sketch lands
+    // within tolerance of the exact interpolated quantiles the oracle checks
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    for (c <- Seq("l_quantity", "l_extendedprice")) {
+      val Seq(exQ, apQ) = Seq(
+        expr(s"percentile(CAST($c AS DOUBLE), array(0.25, 0.5, 0.75))"),
+        expr(s"approx_percentile(CAST($c AS DOUBLE), array(0.25, 0.5, 0.75), 1000)"))
+        .map(e => li.agg(e).head().getSeq[Double](0))
+      val sp = li.select(max(col(c)) - min(col(c))).head().get(0).toString.toDouble
+      exQ.zip(apQ).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= 0.05 * sp, s"$c exact=$e approx=$a") }
+    }
   }
 
   test("salted join and salted aggregation match their unsalted plans") {

@@ -48,6 +48,38 @@ class StreamingCorpusSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tx17 rulebook is batch/stream identical on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again today"),
+      (1L, "supercalifragilisticexpialidocious antidisestablishmentarianism"),
+      (2L, "a a a a a a a a a a a a a a a a a a a a"),
+      (3L, "too short"),
+      (4L, ""))
+    def asRows(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toSet
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.queries.Text.qualityRuleCols(stream.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sc_rules").start()
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = asRows(spark.table("sc_rules").collect())
+      val batch = asRows(
+        graft.queries.Text.qualityRuleCols(docs.toDF("doc_id", "text")).collect())
+      assert(streamed === batch)
+      // the rulebook fires as designed on the crafted rows
+      val byId = batch.map(t => t._1 -> t).toMap
+      assert(byId(0L)._6, "clean doc must keep")
+      assert(byId(1L)._3 && !byId(1L)._6, "long-words rule must fire")
+      assert(byId(2L)._5 && !byId(2L)._6, "repetition rule must fire")
+      assert(byId(3L)._2 && !byId(3L)._6, "too-short rule must fire")
+      assert(byId(4L)._2 && byId(4L)._3 && !byId(4L)._6, "empty doc drops")
+    } finally q.stop()
+  }
+
   test("file-source replay: parquet drops stream in as micro-batches") {
     import spark.implicits._
     // the replay path for a K2-style file sink: a directory of parquet
