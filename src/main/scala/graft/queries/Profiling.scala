@@ -234,7 +234,69 @@ object Profiling extends QueryPack {
              quantile_cont(CAST($c AS DOUBLE), $p) AS q
       FROM lineitem""")).mkString(" UNION ALL ")))
 
+  /** Categorical association: Pearson chi-square and Cramér's V between two
+    * categorical columns (documents.lang × documents.source) — the "are these
+    * dimensions independent?" profile a mixture designer checks before
+    * stratifying on one of them.
+    *
+    * Scale shape: ONE groupBy over the corpus builds the contingency table
+    * (|lang|·|source| cells — tiny); margins come from windows over that tiny
+    * table, never a second corpus scan. Each chi-square term is computed from
+    * exact integer counts via the rearrangement
+    * (n·N − r·c)² / (r·c·N) — products stay < 2^63 at these scales and each
+    * double division is a single operation, so the only float summation is
+    * over the handful of cells (6-sig-digit safe).
+    */
+  val categoricalAssoc = GQuery(
+    "prof5_categorical_assoc",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      val withMargins = cells
+        .withColumn("r", sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .withColumn("c", sum(col("n")).over(Window.partitionBy(col("source"))))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+      val term = pow(col("n") * col("tot") - col("r") * col("c"), 2) /
+        ((col("r") * col("c")).cast("double") * col("tot").cast("double"))
+      withMargins
+        .agg(
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          first(col("tot")).as("n_docs"),
+          sum(term).as("chi2"))
+        .select(
+          col("n_langs"), col("n_sources"), col("n_docs"),
+          ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+          col("chi2"),
+          sqrt(col("chi2") / (col("n_docs") *
+            least(col("n_langs") - 1, col("n_sources") - 1)).cast("double"))
+            .as("cramers_v"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2),
+      m AS (
+        SELECT n,
+               SUM(n) OVER (PARTITION BY lang) AS r,
+               SUM(n) OVER (PARTITION BY source) AS c,
+               SUM(n) OVER () AS tot,
+               lang, source
+        FROM cells),
+      agg AS (
+        SELECT COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(MIN(tot) AS BIGINT) AS n_docs,
+               SUM(pow(CAST(n * tot - r * c AS DOUBLE), 2) /
+                   (CAST(r * c AS DOUBLE) * CAST(tot AS DOUBLE))) AS chi2
+        FROM m)
+      SELECT n_langs, n_sources, n_docs,
+             (n_langs - 1) * (n_sources - 1) AS dof, chi2,
+             sqrt(chi2 / CAST(n_docs *
+               least(n_langs - 1, n_sources - 1) AS DOUBLE)) AS cramers_v
+      FROM agg"""))
+
   override def queries: Seq[GQuery] =
     Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix,
-      quantileProfile)
+      quantileProfile, categoricalAssoc)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, QueryPack, Tables}
-import graft.functions.TextHash.{shinglesK, sqlShinglesK, tokens}
+import graft.functions.TextHash.{polyHash, shinglesK, sqlPolyHash, sqlShinglesK, tokens}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -269,7 +269,162 @@ object Sampling extends QueryPack {
              CAST(SUM(chunk_tokens) AS DOUBLE) / 1024.0 AS fill_rate
       FROM cm GROUP BY 1, 2, 3"""))
 
+  /** Leakage-safe GROUPED train/val split: the split key is a hash of the
+    * GROUP (source), not the document, so every document from one source
+    * lands in the same fold — the GroupShuffleSplit discipline that prevents
+    * near-duplicates within a source from straddling train and validation
+    * (tx10's doc-level split cannot guarantee that). Output audits the
+    * split: per (split, lang) doc/source/token totals, where
+    * n_sources_in_both = 0 is the leakage-freedom invariant made visible.
+    *
+    * 100 TB shape: map-only split assignment (hash of a column already on
+    * the row — no join against a group directory), one groupBy for the
+    * audit. The membership invariant is checked with a window over the
+    * per-(lang, source, split) aggregate — corpus-sized work never reaches
+    * the invariant check.
+    */
+  val groupedSplit = GQuery(
+    "samp5_grouped_split",
+    (s, dir) => {
+      val srcU = pmod(polyHash(concat(lit("gsplit:"), col("source"))), lit(100))
+      val tagged = docs(s, dir)
+        .select(col("lang"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          when(srcU < 80, lit("train")).otherwise(lit("val")).as("split"))
+        .groupBy(col("split"), col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      // (split, lang, source) is the aggregate key and split is a pure
+      // function of source, so "rows per (lang, source)" IS "splits this
+      // source appears in" — no DISTINCT-over-window needed (DuckDB lacks
+      // it, and the plain COUNT window is cheaper in Spark too).
+      tagged
+        .withColumn("splits_of_source",
+          count(lit(1))
+            .over(Window.partitionBy(col("lang"), col("source"))))
+        .groupBy(col("split"), col("lang"))
+        .agg(
+          sum(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("splits_of_source") > 1L, 1L).otherwise(0L))
+            .as("n_sources_in_both"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT lang, source,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
+               CASE WHEN ${sqlPolyHash("'gsplit:' || source")} % 100 < 80
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents),
+      persrc AS (
+        SELECT split, lang, source,
+               COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM t GROUP BY 1, 2, 3),
+      flagged AS (
+        SELECT *,
+               COUNT(*) OVER (PARTITION BY lang, source) AS splits_of_source
+        FROM persrc)
+      SELECT split, lang,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_sources,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN splits_of_source > 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_sources_in_both
+      FROM flagged GROUP BY 1, 2"""))
+
+  /** The composed shard-manifest pipeline: exact dedup → leakage-safe
+    * grouped split (samp5's source-hash rule) → stride chunking → shard-
+    * local sequence packing (samp4's windows, now keyed by split as well)
+    * → the per-(split, lang) manifest a training launcher consumes: pack
+    * counts, fill rates, token totals. pipe2 ends at "which documents
+    * ship"; pipe3 ends at "what the trainer reads".
+    *
+    * Scale shapes are the proven per-stage ones: one uniform hash-shuffle
+    * for the keeper election, map-only split tagging, and packing windows
+    * partitioned by (split, lang, source) so packs never cross shards and
+    * no stage sees a global ordering.
+    */
+  val shardManifest = GQuery(
+    "pipe3_shard_manifest",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val keepers = d.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      // keeper map = one row per unique text — corpus-scaled, so pin the
+      // shuffle hash join (the w16 rule: only domain-bounded relations may
+      // broadcast; at oracle SFs Catalyst would otherwise broadcast this)
+      val uniq = d.withColumn("h", sha2(col("text"), 256))
+        .join(keepers.hint("shuffle_hash"), "h")
+        .filter(col("doc_id") === col("keeper_id"))
+      val srcU = pmod(polyHash(concat(lit("gsplit:"), col("source"))), lit(100))
+      val chunks = uniq
+        .select(col("doc_id"), col("lang"), col("source"),
+          when(srcU < 80, lit("train")).otherwise(lit("val")).as("split"),
+          size(tokens(col("text"))).cast("long").as("n"))
+        .select(col("doc_id"), col("lang"), col("source"), col("split"), col("n"),
+          explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)),
+            lit(48L))).as("start"))
+        .filter(col("start") < col("n"))
+        .withColumn("chunk_tokens", least(lit(64L), col("n") - col("start")))
+      val w = Window.partitionBy(col("split"), col("lang"), col("source"))
+        .orderBy(col("doc_id"), col("start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("cum", sum(col("chunk_tokens")).over(w))
+        .withColumn("pack_id", expr("(cum - chunk_tokens) div 1024"))
+        .groupBy(col("split"), col("lang"), col("source"), col("pack_id"))
+        .agg(sum(col("chunk_tokens")).as("pack_tokens"))
+        .groupBy(col("split"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_packs"),
+          sum(col("pack_tokens")).as("total_tokens"),
+          sum(when(col("pack_tokens") === 1024L, 1L).otherwise(0L))
+            .as("n_full_packs"))
+        .withColumn("fill_rate",
+          col("total_tokens").cast("double") /
+            (col("n_packs") * 1024L).cast("double"))
+    },
+    Some(s"""
+      WITH uniq AS (
+        SELECT * FROM (
+          SELECT doc_id, lang, source, text,
+                 MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id
+          FROM documents)
+        WHERE doc_id = keeper_id),
+      t AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN ${sqlPolyHash("'gsplit:' || source")} % 100 < 80
+                    THEN 'train' ELSE 'val' END AS split,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+        FROM uniq),
+      st AS (
+        SELECT doc_id, lang, source, split, n,
+               unnest(range(0, greatest(n, 1), 48)) AS start
+        FROM t),
+      ch AS (
+        SELECT doc_id, lang, source, split, start,
+               least(64, n - start) AS chunk_tokens
+        FROM st WHERE start < n),
+      cm AS (
+        SELECT *, SUM(chunk_tokens) OVER (PARTITION BY split, lang, source
+                    ORDER BY doc_id, start
+                    ROWS UNBOUNDED PRECEDING) AS cum
+        FROM ch),
+      packs AS (
+        SELECT split, lang, source,
+               CAST((cum - chunk_tokens) // 1024 AS BIGINT) AS pack_id,
+               CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens
+        FROM cm GROUP BY 1, 2, 3, 4)
+      SELECT split, lang,
+             COUNT(*) AS n_packs,
+             CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN pack_tokens = 1024 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_full_packs,
+             CAST(SUM(pack_tokens) AS DOUBLE)
+               / CAST(COUNT(*) * 1024 AS DOUBLE) AS fill_rate
+      FROM packs GROUP BY 1, 2"""))
+
   override def queries: Seq[GQuery] =
     Seq(stratifiedSample, reservoirPerStratum, mixtureResample, trainingMix,
-      sequencePacking)
+      sequencePacking, groupedSplit, shardManifest)
 }

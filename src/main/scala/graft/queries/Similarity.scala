@@ -560,7 +560,82 @@ object Similarity extends QueryPack {
         FROM pervec p JOIN stats st ON p.label = st.label)
       SELECT vec_id, label, dist2, z FROM z WHERE z > 1.5"""))
 
+  /** Nearest-centroid classification + confusion matrix: assign every vector
+    * to the closest per-label centroid and cross-tabulate (true label ×
+    * predicted label) — the label-quality / cluster-coherence evaluation an
+    * embedding pipeline runs before trusting its labels.
+    *
+    * Scale shape: centroids come from ONE aggregate over the exploded
+    * vectors (mergeable integer sums), and the scoring side is a BROADCAST
+    * of the |labels|-row centroid table against the streaming corpus — the
+    * corpus is never shuffled. Distance uses the all-integer expansion
+    *   ‖n·v − s‖² = n²·⟨v,v⟩ − 2n·⟨v,s⟩ + ⟨s,s⟩
+    * (s = per-label coordinate SUM, n = label count), so every distance
+    * numerator is an exact int64 and the only double op is one final
+    * division — bit-deterministic ranking, oracle-checkable. (At corpora
+    * where n²·⟨v,v⟩ approaches 2^63 the sums move to decimal(38,0) — the
+    * expansion itself is unchanged.)
+    */
+  val centroidClassify = GQuery(
+    "sim12_centroid_classify",
+    (s, dir) => {
+      val q = quantized(s, dir).select(col("vec_id"), col("label"), col("qv"))
+      val cent = q
+        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .groupBy(col("label").as("clabel"), col("n"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("ps"))
+        .select(col("clabel"), col("n"),
+          transform(col("ps"), p => p.getField("sv")).as("cs"))
+        .withColumn("ss", dotQ(col("cs"), col("cs")))
+      val scored = q
+        .withColumn("vv", dotQ(col("qv"), col("qv")))
+        .crossJoin(broadcast(cent))
+        .select(
+          col("vec_id"), col("label"), col("clabel"),
+          ((col("n") * col("n") * col("vv")
+            - lit(2L) * col("n") * dotQ(col("qv"), col("cs"))
+            + col("ss")).cast("double")
+            / (col("n") * col("n")).cast("double")).as("dist2"))
+      val rk = row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist2"), col("clabel")))
+      scored.withColumn("rk", rk).filter(col("rk") === 1)
+        .groupBy(col("label"), col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n_vecs"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id, label, ${sqlQuantize("embedding")} AS qv
+        FROM embeddings),
+      ex AS (
+        SELECT label, s.i AS pos, qv[s.i + 1] AS v
+        FROM q, (SELECT CAST(unnest(range(0, 64)) AS INT) AS i) s),
+      centp AS (
+        SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2),
+      cent AS (
+        SELECT label AS clabel, n, list(sv ORDER BY pos) AS cs
+        FROM centp GROUP BY 1, 2),
+      cent2 AS (
+        SELECT clabel, n, cs, ${sqlDotQ("cs", "cs")} AS ss FROM cent),
+      scored AS (
+        SELECT vec_id, label, clabel,
+               CAST(n * n * (${sqlDotQ("qv", "qv")})
+                    - 2 * n * (${sqlDotQ("qv", "cs")}) + ss AS DOUBLE)
+                 / CAST(n * n AS DOUBLE) AS dist2
+        FROM q CROSS JOIN cent2),
+      pred AS (
+        SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, clabel) AS rk
+        FROM scored)
+      SELECT label, clabel AS pred_label, COUNT(*) AS n_vecs
+      FROM pred WHERE rk = 1 GROUP BY 1, 2"""))
+
   override def queries: Seq[GQuery] =
     Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched,
-      knnPq, knnFiltered, recallEval, embeddingOutliers)
+      knnPq, knnFiltered, recallEval, embeddingOutliers, centroidClassify)
 }

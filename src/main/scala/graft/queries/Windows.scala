@@ -467,8 +467,48 @@ object Windows extends QueryPack {
       FROM act JOIN f ON act.user_id = f.user_id
       GROUP BY 1, 2"""))
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next_type | prev_type) estimated from counts — the behavioral-model /
+    * anomalous-sequence primitive on top of the w14 pair extraction.
+    *
+    * Scale shape: one shuffle on user_id for the lag, then a groupBy on the
+    * (prev, next) pair — a TYPES²-sized aggregate with map-side partials, so
+    * the second exchange moves only the tiny matrix. The row-normalizing
+    * window runs over that matrix, not the corpus. `prob` is one division of
+    * two exact counts — no float-association drift.
+    */
+  val markovTransitions = GQuery(
+    "w17_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(
+          col("user_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          col("event_type").as("next_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prob",
+          col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events),
+      m AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+             CAST(n AS DOUBLE) /
+               CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+      FROM m"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
       eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
-      rankFamily, nextEventPairs, funnel, cohortRetention)
+      rankFamily, nextEventPairs, funnel, cohortRetention, markovTransitions)
 }

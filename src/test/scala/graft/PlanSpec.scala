@@ -227,4 +227,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"cascade planned a nested loop:\n$p")
   }
+
+  test("pipe3: keeper election shuffles on the hash; no nested loop, no " +
+    "corpus-scaled broadcast") {
+    val p = plan("pipe3_shard_manifest")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"manifest cascade planned a nested loop:\n$p")
+    // the keeper map grows with the corpus (one row per unique text) — it
+    // must NOT broadcast (the w16 anti-pattern); a shuffle join on the
+    // uniform sha key is the scale-safe plan
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-scaled keeper relation must not broadcast:\n$p")
+  }
+
+  test("w17/samp5: transition matrix and grouped split plan no join at all") {
+    // both reduce the corpus to a tiny aggregate before any cross-relation
+    // logic — margins/invariants come from windows over the aggregate, so
+    // no join operator (of any kind) may appear
+    for (n <- Seq("w17_markov_transitions", "samp5_grouped_split")) {
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n planned a join:\n$p")
+    }
+  }
+
+  test("prof5: the contingency profile is ONE scan of the corpus") {
+    val p = plan("prof5_categorical_assoc")
+    assert(!p.contains("Join"), s"chi-square margins must come from windows:\n$p")
+    val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(pq === 1, s"expected a single documents scan:\n$p")
+  }
+
+  test("sim12: centroids broadcast against the streaming corpus, no shuffle join") {
+    val p = plan("sim12_centroid_classify")
+    // the |labels|-row centroid table is the broadcast side of a nested-loop
+    // join by construction (constant-size side — NOT a data-scaled relation;
+    // contrast dd6 where the broadcast side grows with the corpus)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle for the scoring join:\n$p")
+  }
 }
