@@ -507,8 +507,79 @@ object Windows extends QueryPack {
                CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
       FROM m"""))
 
+  /** Sequence-anomaly scoring: apply the w17 transition model BACK to the
+    * event stream — each user's average transition "surprisal" (tx9-style
+    * exact integer inverse-probability micro-units, no floating ln), top-20
+    * most anomalous users. The model-apply pattern: a corpus-derived,
+    * domain-bounded model (TYPES² rows) broadcast against the corpus that
+    * built it.
+    *
+    * Scale shape: one user_id shuffle for the lag (the pair stream persists
+    * so model-build and scoring share it rather than re-running the window);
+    * the model aggregate is TYPES²-sized and broadcasts back; per-user
+    * scoring is a second uniform-key aggregate; top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  val sequenceAnomaly = GQuery(
+    "w18_sequence_anomaly",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev(s, dir)
+        .select(
+          col("user_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          col("event_type").as("next_type"))
+        .filter(col("prev_type").isNotNull)
+        .persist()
+      val model = pairs.groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot",
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      val perUser = pairs.join(broadcast(model), Seq("prev_type", "next_type"))
+        .withColumn("inv_p_micro", expr("tot * 1000000L div n"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_steps"),
+          sum(col("inv_p_micro")).as("sum_inv_p_micro"))
+        .withColumn("avg_inv_p_micro", expr("sum_inv_p_micro div n_steps"))
+      perUser
+        .orderBy(col("avg_inv_p_micro").desc, col("user_id")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("avg_inv_p_micro").desc, col("user_id"))))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events),
+      pairs AS (
+        SELECT user_id, prev_type, next_type
+        FROM seq WHERE prev_type IS NOT NULL),
+      m AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM pairs GROUP BY 1, 2),
+      model AS (
+        SELECT prev_type, next_type, n,
+               SUM(n) OVER (PARTITION BY prev_type) AS tot
+        FROM m),
+      scored AS (
+        SELECT user_id, (tot * 1000000) // n AS inv_p_micro
+        FROM pairs JOIN model USING (prev_type, next_type)),
+      peruser AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+               CAST(SUM(inv_p_micro) AS BIGINT) AS sum_inv_p_micro,
+               CAST(CAST(SUM(inv_p_micro) AS BIGINT) // COUNT(*) AS BIGINT)
+                 AS avg_inv_p_micro
+        FROM scored GROUP BY 1)
+      SELECT user_id, n_steps, sum_inv_p_micro, avg_inv_p_micro,
+             row_number() OVER (ORDER BY avg_inv_p_micro DESC, user_id) AS rk
+      FROM peruser QUALIFY rk <= 20"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
       eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
-      rankFamily, nextEventPairs, funnel, cohortRetention, markovTransitions)
+      rankFamily, nextEventPairs, funnel, cohortRetention, markovTransitions,
+      sequenceAnomaly)
 }

@@ -257,6 +257,13 @@ class PlanSpec extends AnyFunSuite {
     assert(pq === 1, s"expected a single documents scan:\n$p")
   }
 
+  test("w18: the transition model broadcasts back; top-k never globally sorts") {
+    val p = plan("w18_sequence_anomaly")
+    assert(p.contains("BroadcastHashJoin"), s"model-apply join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"TYPES^2 model degraded to shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k planned a global sort:\n$p")
+  }
+
   test("sim12: centroids broadcast against the streaming corpus, no shuffle join") {
     val p = plan("sim12_centroid_classify")
     // the |labels|-row centroid table is the broadcast side of a nested-loop
