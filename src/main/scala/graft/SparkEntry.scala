@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Multimodal,
     graft.queries.Similarity,
     graft.queries.Profiling,
-    graft.queries.Sampling)
+    graft.queries.Sampling,
+    graft.queries.Graph)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

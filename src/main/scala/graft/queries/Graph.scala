@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relations derived from the synthetic
+  * tables. The reference has no graph operators (its one iterative shape is
+  * the polling loop); this pack extends the engine the same way dd7's
+  * connected components did: fixed-point computation expressed as a chain of
+  * equi-joins + aggregations that Catalyst plans like any other relational
+  * query — no driver-side per-vertex state, no collect().
+  *
+  * Exact-math discipline (see tx9/w18): ranks live in integer micro-units
+  * with truncating division, so a fixed number of iterations is bit-stable
+  * across engines and partitionings — the DuckDB oracle unrolls the same
+  * three steps in SQL and hash-matches.
+  */
+object Graph extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** PageRank (3 unrolled iterations, damping 0.85) over the bipartite
+    * customer<->supplier graph induced by order fulfilment: an edge links a
+    * customer to every supplier that shipped a line item of one of its
+    * orders. Node ids interleave the two key spaces (customer 2k,
+    * supplier 2k+1) so one vertex relation serves both sides.
+    *
+    * Scale shape (Pregel-style): the edge list is a distinct projection of
+    * the orders ⋈ lineitem join (shrinks the fact table to one row per
+    * relationship), denormalized with the RECEIVER's degree, and persisted
+    * hash-partitioned on the sender once — each iteration is then exactly
+    * one shuffled-hash join (only the node-sized rank relation moves; the
+    * cached edges never re-shuffle and the rank side never broadcasts,
+    * which would not survive 100× nodes) plus one map-side-combinable sum.
+    * Rank mass is integer micro-units: contribution = rank div degree,
+    * next = 150000 + 85·inflow div 100 — no floats, so no
+    * order-of-addition divergence at any parallelism. Top-30 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  val pagerank = GQuery(
+    "g1_pagerank",
+    (s, dir) => {
+      val e0 = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          (col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+        .persist()
+      val und = e0
+        .union(e0.select(col("v").as("u"), col("u").as("v")))
+      val deg = und
+        .groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("outdeg"))
+      val edges = und
+        .join(deg, und("v") === deg("node"))
+        .select(col("u"), col("v"), col("outdeg").as("v_outdeg"))
+        .repartition(col("u"))
+        .persist()
+      var ranks = edges
+        .groupBy(col("v").as("node"))
+        .agg(max(col("v_outdeg")).as("outdeg"))
+        .withColumn("rank_mi", lit(1000000L))
+      for (_ <- 1 to 3) {
+        ranks = edges
+          .join(ranks.hint("shuffle_hash"), edges("u") === ranks("node"))
+          .select(col("v"),
+            expr("rank_mi div outdeg").as("contrib"),
+            col("v_outdeg"))
+          .groupBy(col("v").as("node"))
+          .agg(
+            sum(col("contrib")).as("in_mi"),
+            max(col("v_outdeg")).as("outdeg"))
+          .select(col("node"), col("outdeg"),
+            expr("150000L + (85L * in_mi) div 100").as("rank_mi"))
+      }
+      ranks
+        .select(
+          expr("node div 2").as("entity_id"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          col("outdeg").as("degree"),
+          col("rank_mi"))
+        .orderBy(col("rank_mi").desc, col("kind"), col("entity_id"))
+        .limit(30)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rank_mi").desc, col("kind"), col("entity_id"))))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      deg AS (SELECT u AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      r0 AS (SELECT node, outdeg, CAST(1000000 AS BIGINT) AS rank_mi FROM deg),
+      m1 AS (SELECT e.v AS node,
+                    CAST(SUM(r.rank_mi // r.outdeg) AS BIGINT) AS in_mi
+             FROM e JOIN r0 r ON e.u = r.node GROUP BY 1),
+      r1 AS (SELECT d.node, d.outdeg,
+                    CAST(150000 + (85 * m.in_mi) // 100 AS BIGINT) AS rank_mi
+             FROM m1 m JOIN deg d ON m.node = d.node),
+      m2 AS (SELECT e.v AS node,
+                    CAST(SUM(r.rank_mi // r.outdeg) AS BIGINT) AS in_mi
+             FROM e JOIN r1 r ON e.u = r.node GROUP BY 1),
+      r2 AS (SELECT d.node, d.outdeg,
+                    CAST(150000 + (85 * m.in_mi) // 100 AS BIGINT) AS rank_mi
+             FROM m2 m JOIN deg d ON m.node = d.node),
+      m3 AS (SELECT e.v AS node,
+                    CAST(SUM(r.rank_mi // r.outdeg) AS BIGINT) AS in_mi
+             FROM e JOIN r2 r ON e.u = r.node GROUP BY 1),
+      r3 AS (SELECT d.node, d.outdeg,
+                    CAST(150000 + (85 * m.in_mi) // 100 AS BIGINT) AS rank_mi
+             FROM m3 m JOIN deg d ON m.node = d.node)
+      SELECT node // 2 AS entity_id,
+             CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+             outdeg AS degree, rank_mi,
+             row_number() OVER (ORDER BY rank_mi DESC, kind, node // 2) AS rk
+      FROM r3 QUALIFY rk <= 30"""))
+
+  override def queries: Seq[GQuery] = Seq(pagerank)
+}

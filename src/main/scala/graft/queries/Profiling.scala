@@ -296,7 +296,48 @@ object Profiling extends QueryPack {
                least(n_langs - 1, n_sources - 1) AS DOUBLE)) AS cramers_v
       FROM agg"""))
 
+  /** Fixed-width histogram of order totals in exact integer cents — the
+    * mergeable scale path for prof4: at 100 TB `percentile` must hold every
+    * value, while a 256-bin histogram is a constant-size, map-side-combinable
+    * aggregate whose cumulative counts bound every quantile to one bin width.
+    *
+    * Scale shape: pass 1 computes min/max cents (tiny agg, broadcast back as
+    * a 1-row relation); pass 2 buckets every row with pure integer math
+    * ((cents−min)·256 div (range+1)) and groupBys the 256 uniform bucket ids
+    * — partial aggregation does almost all the work map-side, and the
+    * cumulative window runs over 256 rows on one partition. No floats
+    * anywhere, so the histogram is bit-stable at any parallelism.
+    */
+  val histogramQuantiles = GQuery(
+    "prof6_histogram_quantiles",
+    (s, dir) => {
+      val cents = Tables.load(s, dir, "orders")
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val bounds = cents.agg(
+        min(col("cents")).as("minc"), max(col("cents")).as("maxc"))
+      cents.crossJoin(broadcast(bounds))
+        .select(expr("((cents - minc) * 256) div (maxc - minc + 1)")
+          .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_cnt",
+          sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+    },
+    Some("""
+      WITH c AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM orders),
+      b AS (SELECT MIN(cents) AS minc, MAX(cents) AS maxc FROM c),
+      h AS (SELECT ((cents - minc) * 256) // (maxc - minc + 1) AS bucket,
+                   COUNT(*) AS cnt
+            FROM c, b GROUP BY 1)
+      SELECT bucket, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum_cnt
+      FROM h"""))
+
   override def queries: Seq[GQuery] =
     Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix,
-      quantileProfile, categoricalAssoc)
+      quantileProfile, categoricalAssoc, histogramQuantiles)
 }

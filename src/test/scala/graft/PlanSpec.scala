@@ -264,6 +264,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k planned a global sort:\n$p")
   }
 
+  test("g1: cached edges never re-shuffle; rank side shuffles, never broadcasts") {
+    val p = plan("g1_pagerank")
+    assert(p.contains("InMemoryTableScan"),
+      s"edges not persisted across iterations:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k planned a global sort:\n$p")
+    // the orders/lineitem fact join is scanned exactly once to build edges
+    val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(pq <= 2, s"fact tables re-scanned per iteration ($pq scans):\n$p")
+    // each of the 3 iterations is ONE shuffled-hash join: the node-sized
+    // rank relation must not broadcast (w16 lesson: per-entity aggregates
+    // are not dimension tables) and the edges side must reuse its cached
+    // partitioning rather than re-exchange
+    val shj = "ShuffledHashJoin".r.findAllIn(p).size
+    assert(shj >= 3, s"iteration joins lost the shuffled-hash shape ($shj):\n$p")
+  }
+
+  test("prof6: two bounded scans, bucket agg is partial (map-side combine)") {
+    val p = plan("prof6_histogram_quantiles")
+    val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(pq === 2, s"expected exactly min/max pass + bucket pass ($pq scans):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"bucket aggregation lost its partial (map-side) half:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bounds join degraded:\n$p")
+  }
+
   test("sim12: centroids broadcast against the streaming corpus, no shuffle join") {
     val p = plan("sim12_centroid_classify")
     // the |labels|-row centroid table is the broadcast side of a nested-loop
