@@ -121,5 +121,71 @@ object Graph extends QueryPack {
              row_number() OVER (ORDER BY rank_mi DESC, kind, node // 2) AS rk
       FROM r3 QUALIFY rk <= 30"""))
 
-  override def queries: Seq[GQuery] = Seq(pagerank)
+  /** Breadth-first hop distance from a seed vertex (supplier #1) over the
+    * same fulfilment graph, reported as node counts per (distance, side) —
+    * "how much of the market is within k relationships of this supplier".
+    *
+    * Scale shape: the level sets are computed WITHOUT per-hop anti-joins —
+    * level h is simply the distinct neighbors of level h−1 (a node reached
+    * earlier just reappears and min(dist) keeps the first hop), so each of
+    * the 4 levels is one equi-join against the cached edge list on a
+    * uniform key plus a distinct; every intermediate is node-bounded. The
+    * final rollup is a handful of rows. Integer-only, so bit-stable.
+    */
+  val khopReach = GQuery(
+    "g2_khop_reach",
+    (s, dir) => {
+      val e0 = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          (col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+        .persist()
+      val edges = e0
+        .union(e0.select(col("v").as("u"), col("u").as("v")))
+      val seed = s.range(1).select(lit(3L).as("node"), lit(0).as("dist"))
+      var levels = Seq(seed)
+      for (h <- 1 to 4) {
+        val prev = levels.last
+        levels = levels :+ edges
+          .join(prev, edges("u") === prev("node"))
+          .select(col("v").as("node"))
+          .distinct()
+          .withColumn("dist", lit(h))
+      }
+      levels.reduce(_.union(_))
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .groupBy(
+          col("dist"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"))
+        .agg(count(lit(1)).as("n_nodes"))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      a0 AS (SELECT CAST(3 AS BIGINT) AS node, 0 AS dist),
+      a1 AS (SELECT DISTINCT e.v AS node, 1 AS dist
+             FROM e JOIN a0 ON e.u = a0.node),
+      a2 AS (SELECT DISTINCT e.v AS node, 2 AS dist
+             FROM e JOIN a1 ON e.u = a1.node),
+      a3 AS (SELECT DISTINCT e.v AS node, 3 AS dist
+             FROM e JOIN a2 ON e.u = a2.node),
+      a4 AS (SELECT DISTINCT e.v AS node, 4 AS dist
+             FROM e JOIN a3 ON e.u = a3.node),
+      lv AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1
+             UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+             UNION ALL SELECT * FROM a4),
+      d AS (SELECT node, MIN(dist) AS dist FROM lv GROUP BY 1)
+      SELECT dist,
+             CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+             COUNT(*) AS n_nodes
+      FROM d GROUP BY 1, 2"""))
+
+  override def queries: Seq[GQuery] = Seq(pagerank, khopReach)
 }
