@@ -298,4 +298,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"corpus side must not shuffle for the scoring join:\n$p")
   }
+
+  test("runtime bloom-filter semi-join reduction fires on selective fact joins") {
+    // Spark 4 ships runtime bloom-filter injection ON by default, but its
+    // applicationSideScanSizeThreshold (10 GB) means it only fires at real
+    // fact-table scale. This pins that the engine's session + query shapes
+    // are eligible: with the threshold representative of a 100 TB fact
+    // side, a selective dim filter turns into a bloom probe ON THE FACT
+    // SCAN SIDE — the semi-join reduction that saves the first shuffle.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = Tables.load(s2, dir, "lineitem")
+    val urgent = Tables.load(s2, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+    val j = li.join(urgent,
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+    val p = j.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.toLowerCase.contains("bloomfilter"),
+      s"no runtime bloom filter injected on the fact side:\n$p")
+  }
 }
