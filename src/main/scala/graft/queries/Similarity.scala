@@ -174,6 +174,65 @@ object Similarity extends QueryPack {
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored QUALIFY rank <= $K"""))
 
+  /** Multi-probe LSH ANN: each query probes its own sign bucket PLUS every
+    * bucket at Hamming distance 1 (one flipped hyperplane) — the standard
+    * recall repair for single-table LSH (Lv et al., "Multi-probe LSH"):
+    * vectors near a hyperplane land one bit away, and probing those
+    * buckets recovers them without a second hash table. The candidate set
+    * is a superset of sim4's by construction, so recall can only improve;
+    * scoring stays the same exact integer math.
+    *
+    * Scale shape: the probe fan-out multiplies only the QUERY side (9 rows
+    * per query — queries are the small relation); the corpus keeps one row
+    * per vector and the candidate join is still a co-located equi-join on
+    * the uniform bucket key. Candidates reached through multiple probes
+    * dedupe by row identity before ranking.
+    */
+  val knnMultiprobe = GQuery(
+    "sim11_knn_multiprobe",
+    (s, dir) => {
+      val q = quantized(s, dir).withColumn("bucket", lshBucket(col("qv"), 8))
+      val probes = q.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("bucket"),
+          col("qv").as("q_qv"), col("norm").as("q_norm"))
+        .withColumn("p", explode(sequence(lit(0), lit(8))))
+        .select(col("query_id"),
+          when(col("p") === 0, col("bucket"))
+            .otherwise(expr("bucket ^ shiftleft(1L, p - 1)")).as("q_bucket"),
+          col("q_qv"), col("q_norm"))
+      val scored = q.join(broadcast(probes),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm"))).as("cosine"))
+        .distinct()
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id")))
+      scored.withColumn("rank", rk).filter(col("rank") <= K)
+    },
+    Some(s"""
+      WITH q0 AS ($sqlQuantized),
+      q AS (
+        SELECT vec_id, qv, norm, ${sqlLshBucket("qv", 8)} AS bucket
+        FROM q0),
+      probes AS (
+        SELECT vec_id AS query_id,
+               CASE WHEN p.i = 0 THEN bucket
+                    ELSE xor(bucket, (1::BIGINT << (p.i - 1))) END AS q_bucket,
+               qv AS q_qv, norm AS q_norm
+        FROM q, (SELECT UNNEST(range(0, 9)) AS i) p
+        WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
+               CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE) / (c.norm * q_norm)
+                 AS cosine
+        FROM q c JOIN probes ON c.bucket = q_bucket AND c.vec_id <> query_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored QUALIFY rank <= $K"""))
+
   /** Trained-centroid IVF ANN: k=8 coarse cells learned with 2 Lloyd
     * iterations ([[graft.functions.IvfIndex]]), nprobe=1 (the query's own
     * cell). Deterministic (exact integer centroid sums, fixed init) but not
@@ -637,5 +696,6 @@ object Similarity extends QueryPack {
 
   override def queries: Seq[GQuery] =
     Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched,
-      knnPq, knnFiltered, recallEval, embeddingOutliers, centroidClassify)
+      knnPq, knnFiltered, recallEval, embeddingOutliers, knnMultiprobe,
+      centroidClassify)
 }
