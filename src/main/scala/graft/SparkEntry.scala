@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Similarity,
     graft.queries.Profiling,
     graft.queries.Sampling,
-    graft.queries.Graph)
+    graft.queries.Graph,
+    graft.queries.Cdc)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture materialization — applying an ordered changelog to
+  * produce (a) the current snapshot and (b) the full slowly-changing-
+  * dimension history. This is the lakehouse MERGE/SCD surface a training
+  * pipeline needs the moment its corpus is fed by upstream mutations rather
+  * than append-only files (the reference's world is append-only blocks;
+  * CDC is the natural extension once sources can update or retract).
+  *
+  * The events table plays the changelog: each row is a change record for
+  * entity `user_id`, ordered by the total order (ts, event_id) — event_id
+  * uniqueness makes every window below deterministic — with
+  * `event_type = 'error'` standing in for a retraction (DELETE) and every
+  * other type an UPSERT carrying the row's payload.
+  *
+  * Scale shape: both operators are one hash-shuffle by entity key followed
+  * by per-key windows — the changelog never self-joins and nothing is
+  * driver-side. This is exactly how Delta/Iceberg-style MERGE dedup works
+  * (latest-wins by a version column within the key partition), and the
+  * SCD2 build is the lead()-over-key idiom that turns a log into validity
+  * intervals in a single pass. Snapshot output is entity-bounded; history
+  * output is changelog-bounded. Timestamps flow as exact integer epoch-ms.
+  */
+object Cdc extends QueryPack {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private val byKey = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts").desc, col("event_id").desc)
+
+  /** Latest-wins snapshot: the newest change per entity wins; entities
+    * whose newest change is a DELETE leave the snapshot entirely. Also
+    * carries per-entity changelog lineage (change count, first-seen ms) —
+    * the audit columns a MERGE materialization job emits for free.
+    */
+  val latestSnapshot = GQuery(
+    "cdc1_latest_snapshot",
+    (s, dir) => {
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("value"), col("props"))
+        .withColumn("rk", row_number().over(byKey))
+        .withColumn("n_changes", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .withColumn("first_ms", min(expr("unix_millis(ts)")).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("rk") === 1 && col("op") === "upsert")
+        .select(col("user_id"),
+          expr("unix_millis(ts)").as("as_of_ms"),
+          col("value").as("current_value"),
+          col("props").as("current_props"),
+          col("n_changes"), col("first_ms"))
+    },
+    Some("""
+      WITH log AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               value, props
+        FROM events),
+      ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes,
+               MIN(epoch_ms(ts)) OVER (PARTITION BY user_id) AS first_ms
+        FROM log)
+      SELECT user_id, epoch_ms(ts) AS as_of_ms, value AS current_value,
+             props AS current_props, n_changes, first_ms
+      FROM ranked WHERE rk = 1 AND op = 'upsert'"""))
+
+  /** SCD type-2 history: every UPSERT opens a version valid from its own
+    * timestamp until the next change of the same entity (upsert OR delete
+    * — the next change closes the version either way); the last version is
+    * open-ended (valid_to NULL) unless a delete closed it. version_no
+    * numbers the upserts per entity in change order.
+    */
+  val scd2History = GQuery(
+    "cdc2_scd2_history",
+    (s, dir) => {
+      val byKeyAsc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("ms"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("value"))
+        .withColumn("next_ms", lead(col("ms"), 1).over(byKeyAsc))
+        .filter(col("op") === "upsert")
+        .withColumn("version_no", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ms"), col("event_id"))))
+        .select(col("user_id"), col("version_no"),
+          col("event_id").as("change_id"),
+          col("ms").as("valid_from_ms"),
+          col("next_ms").as("valid_to_ms"),
+          (col("next_ms").isNull).as("is_current"),
+          col("value"))
+    },
+    Some("""
+      WITH log AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               value
+        FROM events),
+      nexts AS (
+        SELECT *,
+               lead(ms, 1) OVER (PARTITION BY user_id
+                                 ORDER BY ms, event_id) AS next_ms
+        FROM log),
+      ups AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ms, event_id) AS version_no
+        FROM nexts WHERE op = 'upsert')
+      SELECT user_id, version_no, event_id AS change_id,
+             ms AS valid_from_ms, next_ms AS valid_to_ms,
+             next_ms IS NULL AS is_current, value
+      FROM ups"""))
+
+  override def queries: Seq[GQuery] = Seq(latestSnapshot, scd2History)
+}

@@ -187,5 +187,89 @@ object Graph extends QueryPack {
              COUNT(*) AS n_nodes
       FROM d GROUP BY 1, 2"""))
 
-  override def queries: Seq[GQuery] = Seq(pagerank, khopReach)
+  /** Single-source cheapest path (Bellman-Ford, 4 relaxation rounds) over
+    * the fulfilment graph with INTEGER edge costs: an edge's cost is
+    * inverse to its shipment volume (`1000000 div n_lineitems`), so the
+    * "cheapest" path prefers strong trading relationships — the weighted
+    * companion to g2's unweighted hop distance.
+    *
+    * Scale shape (textbook relational Bellman-Ford): the weighted edge
+    * list aggregates the fact join once and is cached; each round is
+    * exactly `dist' = min(dist, min_{(u,v)} dist(u)+w(u,v))` — one
+    * equi-join of the node-bounded frontier against the cached edges plus
+    * one map-side-combinable min-aggregation. Integer costs make every
+    * round bit-stable (min is deterministic under ties, unlike float
+    * sums), so a fixed round count hash-matches the oracle's unrolled
+    * recursion. Top-50 is a window over the final node-bounded relation.
+    */
+  val cheapestPath = GQuery(
+    "g3_cheapest_path",
+    (s, dir) => {
+      val w0 = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          (col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("u"), col("v"), expr("1000000L div cnt").as("w"))
+        .persist()
+      val edges = w0
+        .union(w0.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .repartition(col("u"))
+        .persist()
+      var dist = s.range(1)
+        .select(lit(3L).as("node"), lit(0L).as("cost_mi"))
+      for (_ <- 1 to 4) {
+        dist = dist.union(
+            edges.join(dist.hint("shuffle_hash"),
+              edges("u") === dist("node"))
+              .select(col("v").as("node"),
+                (col("cost_mi") + col("w")).as("cost_mi")))
+          .groupBy(col("node"))
+          .agg(min(col("cost_mi")).as("cost_mi"))
+      }
+      dist
+        .select(
+          expr("node div 2").as("entity_id"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          col("cost_mi"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cost_mi"), col("kind"), col("entity_id"))))
+        .filter(col("rk") <= 50)
+    },
+    Some("""
+      WITH w0 AS (
+        SELECT o_custkey*2 AS u, l_suppkey*2+1 AS v,
+               1000000 // COUNT(*) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      e AS (SELECT u, v, w FROM w0 UNION ALL SELECT v, u, w FROM w0),
+      d0 AS (SELECT CAST(3 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost_mi),
+      d1 AS (SELECT node, MIN(cost_mi) AS cost_mi FROM (
+               SELECT * FROM d0 UNION ALL
+               SELECT e.v, d0.cost_mi + e.w FROM e JOIN d0 ON e.u = d0.node)
+             GROUP BY 1),
+      d2 AS (SELECT node, MIN(cost_mi) AS cost_mi FROM (
+               SELECT * FROM d1 UNION ALL
+               SELECT e.v, d1.cost_mi + e.w FROM e JOIN d1 ON e.u = d1.node)
+             GROUP BY 1),
+      d3 AS (SELECT node, MIN(cost_mi) AS cost_mi FROM (
+               SELECT * FROM d2 UNION ALL
+               SELECT e.v, d2.cost_mi + e.w FROM e JOIN d2 ON e.u = d2.node)
+             GROUP BY 1),
+      d4 AS (SELECT node, MIN(cost_mi) AS cost_mi FROM (
+               SELECT * FROM d3 UNION ALL
+               SELECT e.v, d3.cost_mi + e.w FROM e JOIN d3 ON e.u = d3.node)
+             GROUP BY 1)
+      SELECT * FROM (
+        SELECT node // 2 AS entity_id,
+               CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS kind,
+               cost_mi,
+               row_number() OVER (ORDER BY cost_mi, kind, node // 2) AS rk
+        FROM d4) WHERE rk <= 50"""))
+
+  override def queries: Seq[GQuery] = Seq(pagerank, khopReach, cheapestPath)
 }

@@ -337,7 +337,123 @@ object Profiling extends QueryPack {
              CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum_cnt
       FROM h"""))
 
+  /** Distribution drift between two cohorts of the same table — the
+    * "did yesterday's batch shift under us" gate every production training
+    * pipeline runs before mixing new data in. Cohorts here are the two
+    * halves of lineitem by order-key parity (a stand-in for
+    * yesterday/today); per numeric feature we histogram both cohorts on a
+    * shared 10-bin integer grid and report total-variation distance and the
+    * two-sample Kolmogorov–Smirnov statistic. PSI is deliberately NOT
+    * emitted: its ln(p_cur/p_ref) term needs zero-bin smoothing whose
+    * epsilon choice is a policy, not math — TV and KS are
+    * smoothing-free and exact.
+    *
+    * Exactness: values quantize to integer centi-units, the bin id is pure
+    * integer division on a min/max grid (prof6's construction), and both
+    * statistics are computed as INTEGER cross-products
+    * (|n_ref_bin·n_cur − n_cur_bin·n_ref|) summed/maxed in decimal(38,0) —
+    * the only float op is each final division, so the oracle hash-matches
+    * bit-for-bit. The decimal widening matters at scale: per-bin counts at
+    * 100 TB are ~1e12 and the cross-products ~1e24, past int64.
+    *
+    * Scale shape: one scan explodes (feature, value) pairs (prof1's
+    * unpivot), a 4-row bounds aggregate broadcasts back, and everything
+    * after the (feature, bin) groupBy — ≤40 rows — is free. Histogram
+    * counts partial-aggregate map-side on uniform keys; no sort, no
+    * all-pairs, and the per-feature windows run over ≤10 rows each.
+    */
+  val distributionDrift = GQuery(
+    "prof7_distribution_drift",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val feats = array(Seq(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        struct(lit(c).as("feature"),
+          (col(c).cast("decimal(18,2)") * 100).cast("long").as("vi"))): _*)
+      val flat = li
+        .select((col("l_orderkey") % 2).cast("int").as("grp"),
+          explode(feats).as("f"))
+        .select(col("grp"), col("f.feature").as("feature"),
+          col("f.vi").as("vi"))
+      val bounds = flat.groupBy(col("feature"))
+        .agg(min(col("vi")).as("mn"), max(col("vi")).as("mx"))
+      val counts = flat.join(broadcast(bounds), "feature")
+        .select(col("feature"), col("grp"),
+          expr("((vi - mn) * 10) div (mx - mn + 1)").as("bin"))
+        .groupBy(col("feature"), col("bin"))
+        .agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_ref_bin"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_cur_bin"))
+      val wf = Window.partitionBy(col("feature"))
+      val wcum = wf.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val cums = counts
+        .withColumn("cum_ref", sum(col("n_ref_bin")).over(wcum))
+        .withColumn("cum_cur", sum(col("n_cur_bin")).over(wcum))
+        .withColumn("n_ref", sum(col("n_ref_bin")).over(wf))
+        .withColumn("n_cur", sum(col("n_cur_bin")).over(wf))
+      cums.groupBy(col("feature"))
+        .agg(
+          max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+          sum(abs(dec(col("n_ref_bin")) * dec(col("n_cur")) -
+            dec(col("n_cur_bin")) * dec(col("n_ref")))).as("tv_num"),
+          max(abs(dec(col("cum_ref")) * dec(col("n_cur")) -
+            dec(col("cum_cur")) * dec(col("n_ref")))).as("ks_num"))
+        .select(col("feature"), col("n_ref"), col("n_cur"),
+          (col("tv_num").cast("double") /
+            (lit(2.0) * col("n_ref") * col("n_cur"))).as("tv_dist"),
+          (col("ks_num").cast("double") /
+            (lit(1.0) * col("n_ref") * col("n_cur"))).as("ks_stat"))
+    },
+    Some("""
+      WITH flat AS (
+        SELECT l_orderkey % 2 AS grp, 'l_quantity' AS feature,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey % 2, 'l_extendedprice',
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey % 2, 'l_discount',
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey % 2, 'l_tax',
+               CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM lineitem),
+      bounds AS (
+        SELECT feature, MIN(vi) AS mn, MAX(vi) AS mx FROM flat GROUP BY 1),
+      counts AS (
+        SELECT f.feature, ((vi - mn) * 10) // (mx - mn + 1) AS bin,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ref_bin,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cur_bin
+        FROM flat f JOIN bounds b ON f.feature = b.feature
+        GROUP BY 1, 2),
+      cums AS (
+        SELECT *,
+               CAST(SUM(n_ref_bin) OVER (PARTITION BY feature ORDER BY bin)
+                    AS BIGINT) AS cum_ref,
+               CAST(SUM(n_cur_bin) OVER (PARTITION BY feature ORDER BY bin)
+                    AS BIGINT) AS cum_cur,
+               CAST(SUM(n_ref_bin) OVER (PARTITION BY feature) AS BIGINT)
+                 AS n_ref,
+               CAST(SUM(n_cur_bin) OVER (PARTITION BY feature) AS BIGINT)
+                 AS n_cur
+        FROM counts)
+      SELECT feature, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+             CAST(SUM(abs(CAST(n_ref_bin AS HUGEINT) * n_cur -
+                          CAST(n_cur_bin AS HUGEINT) * n_ref)) AS DOUBLE) /
+               (2.0 * MAX(n_ref) * MAX(n_cur)) AS tv_dist,
+             CAST(MAX(abs(CAST(cum_ref AS HUGEINT) * n_cur -
+                          CAST(cum_cur AS HUGEINT) * n_ref)) AS DOUBLE) /
+               (1.0 * MAX(n_ref) * MAX(n_cur)) AS ks_stat
+      FROM cums GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix,
-      quantileProfile, categoricalAssoc, histogramQuantiles)
+      quantileProfile, categoricalAssoc, histogramQuantiles, distributionDrift)
 }

@@ -820,8 +820,94 @@ object Text extends QueryPack {
                                      ORDER BY score DESC, doc_id) AS rk
         FROM scored) WHERE rk <= 10"""))
 
+  /** Fuzzy decontamination: benchmark contamination at the NEAR-dup level.
+    * tx8 catches verbatim 4-gram overlap; real leakage is usually a light
+    * paraphrase or re-template of a benchmark item, which exact n-grams
+    * miss. This pass runs the dd4 MinHash+LSH machinery between the corpus
+    * and a held-out benchmark set (every 20th document): corpus docs that
+    * share an LSH band with any benchmark doc are candidate contaminations,
+    * reported with their strongest-matching benchmark item and the
+    * signature-agreement evidence (integer 0..16, so the ranking and the
+    * oracle comparison are bit-exact).
+    *
+    * Scale shape: the benchmark is the bounded relation (benchmarks are
+    * KBs–MBs, fixed as the corpus grows) — its banded signatures broadcast;
+    * the corpus streams through the signature pipeline once, per-row inside
+    * codegen, and the candidate join is a broadcast equi-join on
+    * (band, band_hash). Nothing all-pairs; the per-doc best-match is a
+    * window over the already-thin candidate rows.
+    */
+  val fuzzyDecontamination = GQuery(
+    "tx19_fuzzy_decontamination",
+    (s, dir) => {
+      val sig = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+        .select(col("doc_id"),
+          transform(col("sh"), h => polyHash(h)).as("hs"))
+        .select(col("doc_id"), minhashSig(col("hs"), 16).as("sig"))
+      val bands = sig.select(
+        col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)), b =>
+          aggregate(slice(col("sig"), b * 4 + 1, lit(4)), lit(0L),
+            (acc, v) => (acc * 31 + v) % Mod)))
+          .as(Seq("band", "band_hash")))
+      val probes = bands.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("probe_id"), col("sig").as("probe_sig"),
+          col("band"), col("band_hash"))
+      val cand = bands.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(probes), Seq("band", "band_hash"))
+        .select(col("doc_id"), col("probe_id"), col("sig"), col("probe_sig"))
+        .distinct()
+      val scored = cand.select(col("doc_id"), col("probe_id"),
+        size(filter(zip_with(col("sig"), col("probe_sig"),
+          (x, y) => x === y), b => b)).cast("long").as("n_agree"))
+      val rk = row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_agree").desc, col("probe_id")))
+      scored.withColumn("rk", rk)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_probe_hits"),
+          max(when(col("rk") === 1, col("probe_id"))).as("best_probe_id"),
+          max(when(col("rk") === 1, col("n_agree"))).as("best_agree_16"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               list_transform(${sqlShingles3("regexp_extract_all(text, '\\S+')")},
+                              sh -> ${sqlPolyHash("sh")}) AS hs
+        FROM documents),
+      sig AS (SELECT doc_id, ${sqlMinhashSig("hs", 16)} AS sig FROM d),
+      bands AS (
+        SELECT doc_id, sig, unnest(range(0, 4)) AS band,
+               unnest(list_transform(range(0, 4), b ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+                             (acc, v) -> (acc * 31 + v) % $Mod))) AS band_hash
+        FROM sig),
+      cand AS (
+        SELECT DISTINCT c.doc_id, p.doc_id AS probe_id,
+               c.sig AS sig, p.sig AS probe_sig
+        FROM bands c JOIN bands p
+          ON c.band = p.band AND c.band_hash = p.band_hash
+         AND c.doc_id % 20 <> 0 AND p.doc_id % 20 = 0),
+      scored AS (
+        SELECT doc_id, probe_id,
+               CAST(len(list_filter(list_zip(sig, probe_sig),
+                                    x -> x[1] = x[2])) AS BIGINT) AS n_agree
+        FROM cand),
+      rk AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n_agree DESC, probe_id) AS rk
+        FROM scored)
+      SELECT doc_id, COUNT(*) AS n_probe_hits,
+             MAX(CASE WHEN rk = 1 THEN probe_id END) AS best_probe_id,
+             MAX(CASE WHEN rk = 1 THEN n_agree END) AS best_agree_16
+      FROM rk GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
-      vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules, bm25TopK)
+      vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules, bm25TopK,
+      fuzzyDecontamination)
 }
