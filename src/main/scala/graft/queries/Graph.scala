@@ -221,6 +221,10 @@ object Graph extends QueryPack {
       var dist = s.range(1)
         .select(lit(3L).as("node"), lit(0L).as("cost_mi"))
       for (_ <- 1 to 4) {
+        // dist appears twice per round (carry-over ∪ relaxation), so cut
+        // the lineage each round — without this the self-reference doubles
+        // the uncached plan per iteration (2^rounds recomputation), the
+        // same reason ConnectedComponents checkpoints its labels.
         dist = dist.union(
             edges.join(dist.hint("shuffle_hash"),
               edges("u") === dist("node"))
@@ -228,6 +232,7 @@ object Graph extends QueryPack {
                 (col("cost_mi") + col("w")).as("cost_mi")))
           .groupBy(col("node"))
           .agg(min(col("cost_mi")).as("cost_mi"))
+          .localCheckpoint(true)
       }
       dist
         .select(
