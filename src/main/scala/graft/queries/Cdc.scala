@@ -128,5 +128,71 @@ object Cdc extends QueryPack {
              next_ms IS NULL AS is_current, value
       FROM ups"""))
 
-  override def queries: Seq[GQuery] = Seq(latestSnapshot, scd2History)
+  /** Version-concurrency profile: how many SCD2 versions were live over
+    * time, on an hourly grid — the temporal-density view of the history
+    * ("are we accumulating open versions?" is the standard CDC health
+    * check). A version opens at its valid_from and closes at its valid_to
+    * (open-ended versions never close).
+    *
+    * Scale shape — the sweep-line is done on a BOUNDED grid: opens/closes
+    * aggregate per hour bucket first (uniform keys, map-side combine), and
+    * only then does the running sum walk the hour rows — a window over the
+    * time-grid cardinality (constant in data size), not over the
+    * changelog. The naive sweep (global running sum ordered by raw change
+    * timestamps) would be a single-partition sort over the whole log.
+    */
+  val concurrencyProfile = GQuery(
+    "cdc3_concurrency_profile",
+    (s, dir) => {
+      val byKeyAsc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val iv = ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("ms"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+        .withColumn("next_ms", lead(col("ms"), 1).over(byKeyAsc))
+        .filter(col("op") === "upsert")
+      val deltas = iv
+        .select(expr("ms div 3600000").as("hour"), lit(1L).as("d_open"),
+          lit(0L).as("d_close"))
+        .union(iv.filter(col("next_ms").isNotNull)
+          .select(expr("next_ms div 3600000").as("hour"), lit(0L).as("d_open"),
+            lit(1L).as("d_close")))
+      deltas.groupBy(col("hour"))
+        .agg(sum(col("d_open")).as("n_opened"),
+          sum(col("d_close")).as("n_closed"))
+        .withColumn("n_active_eoh",
+          sum(col("n_opened") - col("n_closed")).over(
+            Window.orderBy(col("hour"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    },
+    Some("""
+      WITH log AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op
+        FROM events),
+      iv AS (
+        SELECT *,
+               lead(ms, 1) OVER (PARTITION BY user_id
+                                 ORDER BY ms, event_id) AS next_ms
+        FROM log QUALIFY op = 'upsert'),
+      deltas AS (
+        SELECT ms // 3600000 AS hour, CAST(1 AS BIGINT) AS d_open,
+               CAST(0 AS BIGINT) AS d_close
+        FROM iv
+        UNION ALL
+        SELECT next_ms // 3600000, 0, 1 FROM iv WHERE next_ms IS NOT NULL),
+      hourly AS (
+        SELECT hour, CAST(SUM(d_open) AS BIGINT) AS n_opened,
+               CAST(SUM(d_close) AS BIGINT) AS n_closed
+        FROM deltas GROUP BY 1)
+      SELECT hour, n_opened, n_closed,
+             CAST(SUM(n_opened - n_closed) OVER (ORDER BY hour) AS BIGINT)
+               AS n_active_eoh
+      FROM hourly"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(latestSnapshot, scd2History, concurrencyProfile)
 }

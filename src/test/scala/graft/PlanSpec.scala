@@ -322,4 +322,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("bloomfilter"),
       s"no runtime bloom filter injected on the fact side:\n$p")
   }
+
+  test("tx19: the benchmark side broadcasts; candidates come from the band equi join") {
+    val p = plan("tx19_fuzzy_decontamination")
+    assert(p.contains("BroadcastHashJoin"), s"probe bands not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join degraded:\n$p")
+  }
+
+  test("cdc1/cdc2: changelog materialization is ONE hash shuffle by entity key") {
+    for (q <- Seq("cdc1_latest_snapshot", "cdc2_scd2_history")) {
+      val p = plan(q)
+      val exchanges = "\\+- Exchange ".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q: expected exactly 1 key exchange, got $exchanges:\n$p")
+      assert(!p.contains("Join"), s"$q: the changelog must never self-join:\n$p")
+    }
+  }
+
+  test("cdc3: the sweep-line runs on the bounded hour grid, not the raw log") {
+    // the only single-partition window must consume the post-aggregation
+    // hour rows: a global sort of the raw changelog would show the window
+    // BEFORE the hash aggregate in the plan tree.
+    val p = plan("cdc3_concurrency_profile")
+    assert(p.contains("HashAggregate"), p)
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && aggIdx >= 0, p)
+    // formatted explain lists operators leaves-last; the running-sum Window
+    // node must sit ABOVE (earlier in the listing than) the hour aggregate.
+    assert(winIdx < aggIdx,
+      s"running sum consumes pre-aggregation rows (global log sort):\n$p")
+  }
+
+  test("prof7: drift statistics aggregate in decimal(38,0), bounds broadcast back") {
+    val p = plan("prof7_distribution_drift")
+    assert(p.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$p")
+    // the count cross-products must be cast into the decimal domain before
+    // multiplying (decimal(19,0)×decimal(19,0) → decimal(38,0)): a bare
+    // int64 product overflows at ~1e12-per-bin counts.
+    val opt = SparkEntry.queries("prof7_distribution_drift")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("as decimal(19,0)"),
+      s"cross-products not widened past int64:\n$opt")
+  }
 }
