@@ -193,6 +193,73 @@ object Cdc extends QueryPack {
                AS n_active_eoh
       FROM hourly"""))
 
+  /** Point-in-time enrichment — the feature-store correctness join. Every
+    * observation (click/view interaction) is enriched with the profile
+    * version that was live AT ITS OWN TIMESTAMP: the version opened by the
+    * latest profile change (signup/purchase; error = deletion) at or
+    * before the observation. Joining "latest profile" instead (cdc1)
+    * leaks the future into training rows; this is the join that makes
+    * offline features match what online serving saw.
+    *
+    * Built on [[graft.operators.AsofJoin]] — the single-shuffle
+    * union+window merge, no candidate blow-up against the unbounded
+    * history side. Deletions ride the SAME as-of payload with an
+    * `is_delete` flag (a tombstone must shadow older upserts, and
+    * `last(ignoreNulls)` would skip a NULL payload, so the reset is
+    * resolved AFTER the join by nulling the attached version) — an
+    * observation between a deletion and the next signup has no live
+    * version.
+    */
+  val pointInTime = GQuery(
+    "cdc4_point_in_time",
+    (s, dir) => {
+      val base = ev(s, dir)
+      val chg = base
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .select(col("user_id"),
+          expr("unix_millis(ts)").as("version_from_ms"),
+          col("event_id").as("change_id"),
+          (col("event_type") === "error").as("is_delete"),
+          col("value").as("profile_value"))
+      val obs = base
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("obs_ms"),
+          col("event_type").as("obs_type"))
+      graft.operators.AsofJoin
+        .backward(obs, chg, Seq("user_id"), "obs_ms", "version_from_ms")
+        .select(col("user_id"), col("event_id"), col("obs_ms"),
+          col("obs_type"),
+          when(col("is_delete"), lit(null)).otherwise(col("change_id"))
+            .as("version_change_id"),
+          when(col("is_delete"), lit(null))
+            .otherwise(col("version_from_ms")).as("live_from_ms"),
+          when(col("is_delete"), lit(null)).otherwise(col("profile_value"))
+            .as("profile_value"),
+          coalesce(!col("is_delete"), lit(false)).as("has_live_version"))
+    },
+    Some("""
+      WITH chg AS (
+        SELECT user_id, epoch_ms(ts) AS version_from_ms,
+               event_id AS change_id,
+               event_type = 'error' AS is_delete,
+               value AS profile_value
+        FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+      obs AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS obs_ms,
+               event_type AS obs_type
+        FROM events WHERE event_type IN ('click', 'view'))
+      SELECT o.user_id, o.event_id, o.obs_ms, o.obs_type,
+             CASE WHEN c.is_delete THEN NULL ELSE c.change_id END
+               AS version_change_id,
+             CASE WHEN c.is_delete THEN NULL ELSE c.version_from_ms END
+               AS live_from_ms,
+             CASE WHEN c.is_delete THEN NULL ELSE c.profile_value END
+               AS profile_value,
+             COALESCE(NOT c.is_delete, FALSE) AS has_live_version
+      FROM obs o ASOF LEFT JOIN chg c
+        ON o.user_id = c.user_id AND o.obs_ms >= c.version_from_ms"""))
+
   override def queries: Seq[GQuery] =
-    Seq(latestSnapshot, scd2History, concurrencyProfile)
+    Seq(latestSnapshot, scd2History, concurrencyProfile, pointInTime)
 }

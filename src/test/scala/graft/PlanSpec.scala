@@ -354,6 +354,13 @@ class PlanSpec extends AnyFunSuite {
       s"running sum consumes pre-aggregation rows (global log sort):\n$p")
   }
 
+  test("cdc4: point-in-time enrichment is the as-of union+window — zero Join nodes") {
+    val p = plan("cdc4_point_in_time")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"),
+      s"as-of degraded to a join against the unbounded history:\n$p")
+  }
+
   test("prof7: drift statistics aggregate in decimal(38,0), bounds broadcast back") {
     val p = plan("prof7_distribution_drift")
     assert(p.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$p")
