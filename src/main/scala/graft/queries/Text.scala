@@ -905,9 +905,87 @@ object Text extends QueryPack {
              MAX(CASE WHEN rk = 1 THEN n_agree END) AS best_agree_16
       FROM rk GROUP BY 1"""))
 
+  /** DSIR-style target-domain data selection (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling"): rank corpus documents
+    * by how much their n-gram distribution looks like a TARGET domain
+    * (here the held-out benchmark set, every 20th document) relative to
+    * the corpus itself. Each bigram instance contributes the add-1
+    * importance ratio `(target_count + 1) / (corpus_count + 1)` in exact
+    * integer micro-units (ratios rank identically to log-ratios under
+    * per-doc averaging at fixed length; integer div keeps both engines
+    * bit-identical — the published method's hashed-ngram LM ratio, with
+    * smoothing choice pinned in the expression).
+    *
+    * Scale shape: the tx9 pattern with two models — the TARGET model is
+    * benchmark-bounded (broadcast, like tx18's probe structures); the
+    * CORPUS model is unbounded, so instances join it on the uniform
+    * bigram key (shuffle equi-join, AQE handles the stop-bigram skew).
+    * The exploded bigram relation is persisted once and reused for the
+    * corpus model and the scoring pass. Top-25 selection is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  val dsirSelection = GQuery(
+    "tx20_dsir_selection",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val n = greatest(size(col("t")) - 1, lit(0))
+      val flat = toks
+        .select(col("doc_id"), explode(
+          zip_with(slice(col("t"), lit(1), n), slice(col("t"), lit(2), n),
+            (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .persist() // reused: corpus model + scoring instances
+      val tModel = flat.filter(col("doc_id") % 20 === 0)
+        .groupBy(col("bigram")).agg(count(lit(1)).as("t_bg"))
+      val cModel = flat.filter(col("doc_id") % 20 =!= 0)
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+      val scored = flat.filter(col("doc_id") % 20 =!= 0)
+        .join(cModel, "bigram")
+        .join(broadcast(tModel), Seq("bigram"), "left")
+        .withColumn("ratio_micro",
+          expr("(coalesce(t_bg, 0L) + 1L) * 1000000L div (c_bg + 1L)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("ratio_micro")).as("sum_ratio_micro"))
+        .withColumn("dsir_score_micro",
+          expr("sum_ratio_micro div n_bigrams"))
+      scored
+        .orderBy(col("dsir_score_micro").desc, col("doc_id"))
+        .limit(25)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("dsir_score_micro").desc, col("doc_id"))))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      flat AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) >= 2),
+      tmodel AS (
+        SELECT bigram, COUNT(*) AS t_bg FROM flat
+        WHERE doc_id % 20 = 0 GROUP BY 1),
+      cmodel AS (
+        SELECT bigram, COUNT(*) AS c_bg FROM flat
+        WHERE doc_id % 20 <> 0 GROUP BY 1),
+      scored AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM((COALESCE(t_bg, 0) + 1) * 1000000 // (c_bg + 1))
+                    AS BIGINT) AS sum_ratio_micro
+        FROM flat JOIN cmodel USING (bigram)
+             LEFT JOIN tmodel USING (bigram)
+        WHERE doc_id % 20 <> 0
+        GROUP BY 1)
+      SELECT * FROM (
+        SELECT doc_id, n_bigrams, sum_ratio_micro,
+               sum_ratio_micro // n_bigrams AS dsir_score_micro,
+               row_number() OVER (ORDER BY sum_ratio_micro // n_bigrams DESC,
+                                  doc_id) AS rk
+        FROM scored) WHERE rk <= 25"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
       vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules, bm25TopK,
-      fuzzyDecontamination)
+      fuzzyDecontamination, dsirSelection)
 }
