@@ -577,9 +577,65 @@ object Windows extends QueryPack {
              row_number() OVER (ORDER BY avg_inv_p_micro DESC, user_id) AS rk
       FROM peruser QUALIFY rk <= 20"""))
 
+  /** Time-weighted average value per user (TWAP): each event's value holds
+    * until the user's next event, so the mean weights every value by how
+    * long it was in force — the monitoring/finance aggregation a plain
+    * AVG silently gets wrong on irregular sampling. The last event of a
+    * user has no holding interval and contributes nothing.
+    *
+    * Exactness: values quantize to integer cents through decimal(18,2)
+    * (both engines round-to-nearest identically), durations are exact
+    * integer epoch-ms deltas from lead(), and the weighted sum runs as
+    * decimal(19,0)×decimal(19,0) products (prof7's widening: cents×ms×
+    * corpus-length overflows int64 at 100 TB). The published TWAP is an
+    * integer milli-cents ratio — no floats anywhere.
+    *
+    * Scale shape: one hash-shuffle by user for the lead() window, then a
+    * map-side-combinable aggregate on the same key — the exchange is
+    * reused across both (PlanSpec's w14 pattern). Output is
+    * entity-bounded.
+    */
+  val timeWeightedAvg = GQuery(
+    "w19_time_weighted_avg",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("ms"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            .as("cents"))
+        .withColumn("dur_ms", lead(col("ms"), 1).over(byUser) - col("ms"))
+        .filter(col("dur_ms").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("dur_ms")).as("total_dur_ms"),
+          sum(dec(col("cents")) * dec(col("dur_ms"))).as("wsum"))
+        .select(col("user_id"), col("n_intervals"), col("total_dur_ms"),
+          expr("cast(wsum * 1000 div total_dur_ms as bigint)")
+            .as("twap_millicents"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               lead(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_ms(ts), event_id)
+                 - epoch_ms(ts) AS dur_ms
+        FROM events)
+      SELECT user_id, COUNT(*) AS n_intervals,
+             CAST(SUM(dur_ms) AS BIGINT) AS total_dur_ms,
+             CAST(SUM(CAST(cents AS HUGEINT) * dur_ms) * 1000
+                  // CAST(SUM(dur_ms) AS HUGEINT) AS BIGINT)
+               AS twap_millicents
+      FROM p WHERE dur_ms IS NOT NULL
+      GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
       eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
       rankFamily, nextEventPairs, funnel, cohortRetention, markovTransitions,
-      sequenceAnomaly)
+      sequenceAnomaly, timeWeightedAvg)
 }
