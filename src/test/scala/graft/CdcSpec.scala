@@ -42,6 +42,49 @@ class CdcSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad versions overlap their successor")
   }
 
+  test("snapshot matches an independent in-memory fold of the changelog") {
+    import spark.implicits._
+    // third computation path (Spark plan and DuckDB oracle are the other
+    // two): a plain Scala fold over the collected log
+    val log = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", expr("unix_millis(ts)").as("ms"),
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val expected = log.groupBy(_._1).flatMap { case (uid, rows) =>
+      val last = rows.maxBy(r => (r._3, r._2))
+      if (last._4 == "error") None
+      else Some((uid, last._3, last._5, rows.length.toLong))
+    }.toSet
+    val got = queries.Cdc.latestSnapshot.run(spark, dir)
+      .select($"user_id", $"as_of_ms", $"current_value", $"n_changes")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("w19 TWAP matches an independent in-memory integration") {
+    import spark.implicits._
+    val log = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", expr("unix_millis(ts)").as("ms"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = log.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val pairs = sorted.zip(sorted.tail)
+      if (pairs.isEmpty) None else {
+        val durs = pairs.map { case (a, b) => b._3 - a._3 }
+        val wsum = pairs.zip(durs).map { case ((a, _), d) =>
+          BigInt(a._4) * BigInt(d) }.sum
+        val dsum = durs.map(BigInt(_)).sum
+        Some((uid, pairs.length.toLong, dsum.toLong,
+          (wsum * 1000 / dsum).toLong))
+      }
+    }.toSet
+    val got = queries.Windows.timeWeightedAvg.run(spark, dir)
+      .select($"user_id", $"n_intervals", $"total_dur_ms", $"twap_millicents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("cdc3 net concurrency equals the open-version count") {
     import spark.implicits._
     // the final running total of (opened - closed) must equal the number
