@@ -260,6 +260,98 @@ object Cdc extends QueryPack {
       FROM obs o ASOF LEFT JOIN chg c
         ON o.user_id = c.user_id AND o.obs_ms >= c.version_from_ms"""))
 
+  /** Interval × interval: which profile versions were live during which
+    * activity sessions — the two-sided generalization of cdc4 (whose
+    * observations are points). Sessions are the 30-minute-gap islands of a
+    * user's events (closed intervals [first, last]); versions are cdc2's
+    * half-open validity intervals with open ends capped at the log
+    * horizon. Runs on [[graft.operators.IntervalJoin]]: both sides explode
+    * into day-wide time buckets, overlap pairs meet in the bucket of any
+    * common instant (exact recall by pigeonhole), the precise predicate
+    * prunes, pair identity dedupes — an equi-join plan where Spark's raw
+    * overlap predicate would nest-loop.
+    */
+  val sessionVersionOverlap = GQuery(
+    "cdc5_session_version_overlap",
+    (s, dir) => {
+      val base = ev(s, dir).select(col("user_id"), col("event_id"),
+        expr("unix_millis(ts)").as("ms"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val sessions = base
+        .withColumn("new_s",
+          when(lag(col("ms"), 1).over(byUser).isNull ||
+            col("ms") - lag(col("ms"), 1).over(byUser) > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ms")).as("s_from"), max(col("ms")).as("s_to"),
+          count(lit(1)).as("n_events"))
+      val versions = base
+        .withColumn("next_ms", lead(col("ms"), 1).over(byUser))
+        .filter(col("op") === "upsert")
+        .withColumn("version_no", row_number().over(byUser))
+      val cap = base.agg((max(col("ms")) + 1).as("capms"))
+      val capped = versions.crossJoin(broadcast(cap))
+        .select(col("user_id"), col("version_no"),
+          col("ms").as("v_from"),
+          coalesce(col("next_ms"), col("capms")).as("v_to"))
+      graft.operators.IntervalJoin
+        .overlap(sessions, capped, Seq("user_id"),
+          "s_from", "s_to", "v_from", "v_to",
+          bucketMs = 86400000L,
+          pairId = Seq("user_id", "session_id", "version_no"))
+        .select(col("user_id"), col("session_id"),
+          col("s_from").as("session_from_ms"), col("n_events"),
+          col("version_no"), col("v_from").as("version_from_ms"),
+          (least(col("s_to"), col("v_to") - 1) -
+            greatest(col("s_from"), col("v_from"))).as("overlap_ms"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op
+        FROM events),
+      marked AS (
+        SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                         OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END
+                    AS new_s
+        FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      numbered AS (
+        SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+        FROM marked),
+      sessions AS (
+        SELECT user_id, session_id, MIN(ms) AS s_from, MAX(ms) AS s_to,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY 1, 2),
+      vers AS (
+        SELECT *, lead(ms, 1) OVER (PARTITION BY user_id
+                                    ORDER BY ms, event_id) AS next_ms
+        FROM base),
+      ups AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ms, event_id) AS version_no
+        FROM vers WHERE op = 'upsert'),
+      cap AS (SELECT MAX(ms) + 1 AS capms FROM base),
+      v2 AS (
+        SELECT user_id, version_no, ms AS v_from,
+               COALESCE(next_ms, capms) AS v_to
+        FROM ups, cap)
+      SELECT s.user_id, s.session_id, s.s_from AS session_from_ms,
+             s.n_events, v.version_no, v.v_from AS version_from_ms,
+             least(s.s_to, v.v_to - 1) - greatest(s.s_from, v.v_from)
+               AS overlap_ms
+      FROM sessions s JOIN v2 v
+        ON s.user_id = v.user_id
+       AND v.v_from <= s.s_to AND v.v_to > s.s_from"""))
+
   override def queries: Seq[GQuery] =
-    Seq(latestSnapshot, scd2History, concurrencyProfile, pointInTime)
+    Seq(latestSnapshot, scd2History, concurrencyProfile, pointInTime,
+      sessionVersionOverlap)
 }

@@ -361,6 +361,19 @@ class PlanSpec extends AnyFunSuite {
       s"as-of degraded to a join against the unbounded history:\n$p")
   }
 
+  test("cdc5: the interval-overlap join is an equi join on the time bucket") {
+    val p = plan("cdc5_session_version_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY nested loop allowed is the 1-row horizon-cap broadcast;
+    // the interval pairing itself must be a hash/merge equi join
+    // count tree nodes only (formatted mode re-lists each node in the
+    // details section)
+    val bnlj = "\\+- BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"interval pairing degraded to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi join on the bucket key:\n$p")
+  }
+
   test("prof7: drift statistics aggregate in decimal(38,0), bounds broadcast back") {
     val p = plan("prof7_distribution_drift")
     assert(p.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$p")
