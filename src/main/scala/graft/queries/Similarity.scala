@@ -307,6 +307,83 @@ object Similarity extends QueryPack {
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored QUALIFY rank <= $K"""))
 
+  /** Trained IVF with nprobe=2 — THE recall/cost knob every IVF deployment
+    * tunes: queries probe their two nearest coarse cells instead of one
+    * (sim5), recovering neighbors that fell across a cell boundary. The
+    * corpus keeps its single-cell assignment; only the bounded query
+    * relation fans out (2 rows per query), so the candidate join stays a
+    * broadcast equi-join on the cell key and scan cost grows with nprobe ×
+    * cell occupancy, not corpus size. Same fitted model as sim5 (the fit
+    * is bit-deterministic), same exact integer scoring; the oracle replays
+    * assignment + 2-cell probing + scoring from the dumped centroids.
+    */
+  val knnIvfMultiprobe = GQuery(
+    "sim13_knn_ivf_multiprobe",
+    (s, dir) => {
+      val q = quantized(s, dir)
+      val cells = graft.functions.IvfIndex.fit(
+        s, q.select(col("vec_id"), col("qv")), k = 8, iters = 2)
+      val corpus = q.join(cells.select("vec_id", "cell"), "vec_id")
+      val cents = sim5Model(s, dir)
+        .withColumn("cnorm", sqrt(dotQ(col("cq"), col("cq")).cast("double")))
+      val crk = row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(
+          (dotQ(col("q_qv"), col("cq")) / (col("q_norm") * col("cnorm"))).desc,
+          col("cell")))
+      val probes = q.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("norm").as("q_norm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("crk", crk).filter(col("crk") <= 2)
+        .select(col("query_id"), col("cell").as("q_cell"),
+          col("q_qv"), col("q_norm"))
+      val scored = corpus.join(broadcast(probes),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm"))).as("cosine"))
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id")))
+      scored.withColumn("rank", rk).filter(col("rank") <= K)
+    },
+    Some(s"""
+      WITH q AS ($sqlQuantized),
+      c0 AS (
+        SELECT cell, cq
+        FROM read_parquet('{GRAFT_OUT}/sim13_knn_ivf_multiprobe/_model/*.parquet')),
+      c AS (
+        SELECT cell, cq,
+               sqrt(CAST(${sqlDotQ("cq", "cq")} AS DOUBLE)) AS cnorm
+        FROM c0),
+      assigned AS (
+        SELECT vec_id, qv, norm, cell FROM (
+          SELECT q.vec_id, q.qv, q.norm, c.cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY CAST(${sqlDotQ("q.qv", "c.cq")} AS DOUBLE)
+                            / (q.norm * c.cnorm) DESC, c.cell) AS crk
+          FROM q CROSS JOIN c)
+        WHERE crk = 1),
+      probes AS (
+        SELECT query_id, cell AS q_cell, q_qv, q_norm FROM (
+          SELECT q.vec_id AS query_id, q.qv AS q_qv, q.norm AS q_norm,
+                 c.cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY CAST(${sqlDotQ("q.qv", "c.cq")} AS DOUBLE)
+                            / (q.norm * c.cnorm) DESC, c.cell) AS crk
+          FROM q CROSS JOIN c WHERE q.vec_id < $NQueries)
+        WHERE crk <= 2),
+      scored AS (
+        SELECT query_id, a.vec_id AS neighbor_id,
+               CAST(${sqlDotQ("a.qv", "q_qv")} AS DOUBLE) / (a.norm * q_norm)
+                 AS cosine
+        FROM assigned a JOIN probes
+          ON a.cell = q_cell AND a.vec_id <> query_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored QUALIFY rank <= $K"""))
+
   /** Batched brute-force kNN: identical result set to sim1, different
     * physical shape — the query batch travels as ONE broadcast row of
     * parallel arrays and each corpus row is scored against all of it in a
@@ -697,5 +774,5 @@ object Similarity extends QueryPack {
   override def queries: Seq[GQuery] =
     Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched,
       knnPq, knnFiltered, recallEval, embeddingOutliers, knnMultiprobe,
-      centroidClassify)
+      centroidClassify, knnIvfMultiprobe)
 }

@@ -32,6 +32,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean recall@5 $mean below floor")
   }
 
+  test("nprobe=2 (sim13) dominates nprobe=1 (sim5) recall, query by query") {
+    val exact = topk("sim1_knn_bruteforce")
+    val p1 = topk("sim5_knn_ivf_trained")
+    val p2 = topk("sim13_knn_ivf_multiprobe")
+    // probe 1 is the query's own cell, so sim13's candidate set is a
+    // superset of sim5's: per-query recall can only improve
+    val regressed = exact.collect { case (q, truth) if
+      p2.getOrElse(q, Set.empty).intersect(truth).size <
+        p1.getOrElse(q, Set.empty).intersect(truth).size => q }
+    assert(regressed.isEmpty,
+      s"queries where the wider probe LOST recall: $regressed")
+    val m1 = exact.map { case (q, t) =>
+      p1.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }.sum
+    val m2 = exact.map { case (q, t) =>
+      p2.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }.sum
+    assert(m2 >= m1, s"mean recall fell: $m2 < $m1")
+  }
+
   test("trained IVF is deterministic across runs") {
     def rows = graft.queries.Similarity.knnIvfTrained.run(spark, dir)
       .select("query_id", "neighbor_id", "rank")
