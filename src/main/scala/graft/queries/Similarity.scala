@@ -771,8 +771,146 @@ object Similarity extends QueryPack {
       SELECT label, clabel AS pred_label, COUNT(*) AS n_vecs
       FROM pred WHERE rk = 1 GROUP BY 1, 2"""))
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.): fuse the
+    * lexical BM25 ranking (tx18's construction) with the dense-vector
+    * cosine ranking for the same query set — the standard two-tower
+    * composition every modern search stack ships, scoring each document
+    * `Σ 1/(60 + rank)` across the rankings it appears in. Ranks are
+    * integers and the fusion runs in integer micro-units
+    * (`1e6 div (60 + rank)`), so fused ordering is bit-deterministic even
+    * though the underlying BM25 scores are floats.
+    *
+    * Scale shape: both arms end in per-query top-20 lists (bounded:
+    * 20·|queries| rows each), so the fusion full-outer join and the final
+    * window touch only slim rank rows. The BM25 arm keeps tx18's
+    * broadcast-semi-join-before-shuffle plan; the vector arm is the sim1
+    * broadcast-queries scan. documents.doc_id and embeddings.vec_id share
+    * an id space by construction of the synthetic corpus (row i's text and
+    * embedding).
+    */
+  val rrfHybrid = GQuery(
+    "sim14_rrf_hybrid",
+    (s, dir) => {
+      val NQ = 5
+      val docs = Tables.load(s, dir, "documents")
+      // --- lexical arm: tx18's BM25, top-20 per query ---
+      val corpus = docs.filter(col("doc_id") >= NQ)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("dl"))
+      val stats = corpus.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      val qterms = docs.filter(col("doc_id") < NQ)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+      val postings = corpus
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .join(broadcast(qterms.select(col("term")).distinct()), "term")
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val avgdl = col("total_dl").cast("double") / col("n_docs")
+      val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0))
+      val contrib = idf * ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))))
+      val bmScored = postings
+        .join(broadcast(qterms), "term")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(contrib).as("score"))
+      val bmLocal = row_number().over(
+        Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(32L)))
+          .orderBy(col("score").desc, col("doc_id")))
+      val bmRank = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id")))
+      val bm = bmScored
+        .withColumn("lrk", bmLocal).filter(col("lrk") <= 20)
+        .withColumn("bm25_rank", bmRank).filter(col("bm25_rank") <= 20)
+        .select(col("query_id"), col("doc_id"),
+          col("bm25_rank").cast("long").as("bm25_rank"))
+      // --- dense arm: sim1 cosine, same query/corpus split, top-20 ---
+      val qv = quantized(s, dir)
+      val vq = qv.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("norm").as("q_norm"))
+      val vecRank = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy((dotQ(col("qv"), col("q_qv")) /
+            (col("norm") * col("q_norm"))).desc, col("vec_id")))
+      val vec = qv.filter(col("vec_id") >= NQ).crossJoin(broadcast(vq))
+        .withColumn("vec_rank", vecRank).filter(col("vec_rank") <= 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("vec_rank").cast("long").as("vec_rank"))
+      // --- fusion ---
+      val fusedRank = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_micro").desc, col("doc_id")))
+      bm.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr("1000000L div (60 + bm25_rank)"), lit(0L)) +
+            coalesce(expr("1000000L div (60 + vec_rank)"), lit(0L)))
+        .withColumn("rk", fusedRank).filter(col("rk") <= 10)
+        .select(col("query_id"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("bm25_rank"), col("vec_rank"), col("rrf_micro"))
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+        FROM documents WHERE doc_id >= 5),
+      c2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM corpus),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM c2),
+      p0 AS (SELECT doc_id, dl, unnest(toks) AS term FROM c2),
+      postings AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+      q AS (
+        SELECT doc_id AS query_id,
+               unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS term
+        FROM documents WHERE doc_id < 5),
+      dfreq AS (
+        SELECT term, COUNT(*) AS df FROM postings
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+      bm_scored AS (
+        SELECT q.query_id, postings.doc_id,
+               SUM( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                    * ((tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(total_dl AS DOUBLE) / n_docs))))) ) AS score
+        FROM postings JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY 1, 2),
+      bm AS (
+        SELECT query_id, doc_id, bm25_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS bm25_rank
+          FROM bm_scored) WHERE bm25_rank <= 20),
+      qv0 AS ($sqlQuantized),
+      vq AS (SELECT vec_id AS query_id, qv AS q_qv, norm AS q_norm
+             FROM qv0 WHERE vec_id < 5),
+      vec AS (
+        SELECT query_id, doc_id, vec_rank FROM (
+          SELECT vq.query_id, c.vec_id AS doc_id,
+                 row_number() OVER (PARTITION BY vq.query_id
+                   ORDER BY CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE)
+                            / (c.norm * q_norm) DESC, c.vec_id) AS vec_rank
+          FROM qv0 c CROSS JOIN vq WHERE c.vec_id >= 5)
+        WHERE vec_rank <= 20),
+      fused AS (
+        SELECT COALESCE(bm.query_id, vec.query_id) AS query_id,
+               COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+               bm25_rank, vec_rank,
+               COALESCE(1000000 // (60 + bm25_rank), 0)
+                 + COALESCE(1000000 // (60 + vec_rank), 0) AS rrf_micro
+        FROM bm FULL OUTER JOIN vec
+          ON bm.query_id = vec.query_id AND bm.doc_id = vec.doc_id)
+      SELECT query_id, rk, doc_id, bm25_rank, vec_rank, rrf_micro FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_micro DESC, doc_id) AS rk
+        FROM fused) WHERE rk <= 10"""))
+
   override def queries: Seq[GQuery] =
     Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched,
       knnPq, knnFiltered, recallEval, embeddingOutliers, knnMultiprobe,
-      centroidClassify, knnIvfMultiprobe)
+      centroidClassify, knnIvfMultiprobe, rrfHybrid)
 }
