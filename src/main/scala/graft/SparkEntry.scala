@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Profiling,
     graft.queries.Sampling,
     graft.queries.Graph,
-    graft.queries.Cdc)
+    graft.queries.Cdc,
+    graft.queries.Quality)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-contract enforcement — the declarative expectation suite a 100 TB
+  * ingest runs before anything downstream trusts the batch (the
+  * Great-Expectations/dbt-test shape, expressed as one engine query).
+  * tx17 scores free-text quality; this pack checks RELATIONAL contracts:
+  * value ranges, null bans, referential integrity, key uniqueness.
+  *
+  * Plan shapes, by rule kind:
+  *   - value/null rules: conditional sums riding ONE scan per table —
+  *     adding a rule costs an expression, not a pass;
+  *   - referential integrity: left-anti join on the uniform FK key (the
+  *     dimension side broadcasts when small);
+  *   - key uniqueness: one aggregate comparing COUNT vs COUNT(DISTINCT).
+  * The summary is a union of tiny per-rule rows — nothing wide ever
+  * shuffles.
+  */
+object Quality extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** One row per contract rule: population, violations, violation ppm. */
+  val contractSummary = GQuery(
+    "dq1_contract_summary",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      def ruleRow(name: String, checked: Column, viol: Column): Column =
+        struct(lit(name).as("rule"), checked.as("n_checked"),
+          viol.as("n_violations"))
+      // lineitem value rules: one scan, one aggregate
+      val liRules = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("v1"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("v2"),
+        sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("v3"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v4"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v5"))
+        .select(explode(array(
+          ruleRow("lineitem.quantity_in_1_50", col("n"), col("v1")),
+          ruleRow("lineitem.discount_le_5pct", col("n"), col("v2")),
+          ruleRow("lineitem.quantity_le_45", col("n"), col("v3")),
+          ruleRow("lineitem.shipdate_not_null", col("n"), col("v4")),
+          ruleRow("lineitem.extendedprice_positive", col("n"), col("v5"))))
+          .as("r"))
+        .select(col("r.*"))
+      // orders value rules + key uniqueness: one aggregate
+      val ordRules = ord.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v1"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v2"))
+        .select(explode(array(
+          ruleRow("orders.totalprice_positive", col("n"), col("v1")),
+          ruleRow("orders.orderkey_unique", col("n"), col("v2")))).as("r"))
+        .select(col("r.*"))
+      // referential integrity: anti-join counts on the FK keys
+      val liN = li.count()
+      val ordN = ord.count()
+      val fkLi = li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(lit("lineitem.orderkey_fk_orders").as("rule"),
+          lit(liN).as("n_checked"), col("v").as("n_violations"))
+      val fkOrd = ord.join(broadcast(cust.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(lit("orders.custkey_fk_customer").as("rule"),
+          lit(ordN).as("n_checked"), col("v").as("n_violations"))
+      liRules.unionByName(ordRules).unionByName(fkLi).unionByName(fkOrd)
+        .withColumn("violation_ppm",
+          expr("n_violations * 1000000L div n_checked"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS v1,
+               SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS v2,
+               SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS v3,
+               SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v4,
+               SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v5
+        FROM lineitem),
+      ord AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v1,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS v2
+        FROM orders),
+      fkli AS (
+        SELECT COUNT(*) AS v FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      fkord AS (
+        SELECT COUNT(*) AS v FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+      rules AS (
+        SELECT 'lineitem.quantity_in_1_50' AS rule,
+               n AS n_checked, CAST(v1 AS BIGINT) AS n_violations FROM li
+        UNION ALL SELECT 'lineitem.discount_le_5pct', n, CAST(v2 AS BIGINT) FROM li
+        UNION ALL SELECT 'lineitem.quantity_le_45', n, CAST(v3 AS BIGINT) FROM li
+        UNION ALL SELECT 'lineitem.shipdate_not_null', n, CAST(v4 AS BIGINT) FROM li
+        UNION ALL SELECT 'lineitem.extendedprice_positive', n, CAST(v5 AS BIGINT) FROM li
+        UNION ALL SELECT 'orders.totalprice_positive', n, CAST(v1 AS BIGINT) FROM ord
+        UNION ALL SELECT 'orders.orderkey_unique', n, CAST(v2 AS BIGINT) FROM ord
+        UNION ALL SELECT 'lineitem.orderkey_fk_orders',
+               (SELECT COUNT(*) FROM lineitem), CAST(v AS BIGINT) FROM fkli
+        UNION ALL SELECT 'orders.custkey_fk_customer',
+               (SELECT COUNT(*) FROM orders), CAST(v AS BIGINT) FROM fkord)
+      SELECT rule, n_checked, n_violations,
+             n_violations * 1000000 // n_checked AS violation_ppm
+      FROM rules"""))
+
+  /** Deterministic evidence sample: the first 5 violating rows per firing
+    * value rule, keyed by the natural row id — what the on-call engineer
+    * looks at before deciding to quarantine a batch. A per-rule window
+    * over only the violating rows (the filter rides the scan; sample cost
+    * scales with violations, not table size).
+    */
+  val violationSample = GQuery(
+    "dq2_violation_sample",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"))
+      val viols = li
+        .select(col("l_orderkey"), col("l_linenumber"), explode(array(
+          when(col("l_discount") > 0.05,
+            struct(lit("lineitem.discount_le_5pct").as("rule"),
+              col("l_discount").cast("double").as("observed"))),
+          when(col("l_quantity") > 45,
+            struct(lit("lineitem.quantity_le_45").as("rule"),
+              col("l_quantity").cast("double").as("observed")))))
+          .as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("v.rule").as("rule"), col("l_orderkey"),
+          col("l_linenumber"), col("v.observed").as("observed"))
+      viols.withColumn("rk", row_number().over(
+          Window.partitionBy(col("rule"))
+            .orderBy(col("l_orderkey"), col("l_linenumber"))))
+        .filter(col("rk") <= 5)
+    },
+    Some("""
+      WITH viols AS (
+        SELECT 'lineitem.discount_le_5pct' AS rule, l_orderkey, l_linenumber,
+               CAST(l_discount AS DOUBLE) AS observed
+        FROM lineitem WHERE l_discount > 0.05
+        UNION ALL
+        SELECT 'lineitem.quantity_le_45', l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE)
+        FROM lineitem WHERE l_quantity > 45)
+      SELECT * FROM (
+        SELECT rule, l_orderkey, l_linenumber, observed,
+               row_number() OVER (PARTITION BY rule
+                                  ORDER BY l_orderkey, l_linenumber) AS rk
+        FROM viols) WHERE rk <= 5"""))
+
+  override def queries: Seq[GQuery] = Seq(contractSummary, violationSample)
+}
