@@ -453,7 +453,103 @@ object Profiling extends QueryPack {
                (1.0 * MAX(n_ref) * MAX(n_cur)) AS ks_stat
       FROM cums GROUP BY 1"""))
 
+  /** Feature-vs-label association sweep: prof5's chi-square/Cramér's V for
+    * EVERY candidate feature against one label (event_type), in one scan —
+    * the feature-screening pass a modeling pipeline runs to rank which
+    * columns carry signal before training anything. Features are derived
+    * categorical views of the event stream (hour-of-day, value band, user
+    * cohort); adding one costs an expression in the unpivot array, not a
+    * pass.
+    *
+    * Scale shape: prof1's unpivot (one scan explodes (feature, level,
+    * label) triples) into ONE (feature, level, label) groupBy — uniform
+    * keys, map-side combine; margins and the chi-square reduce over the
+    * contingency-cell relation, whose size is Σ levels × labels —
+    * data-size-independent. Value bands are exact integer cents div, so
+    * cell membership never floats.
+    */
+  val featureLabelAssoc = GQuery(
+    "prof8_feature_label_assoc",
+    (s, dir) => {
+      val feats = array(
+        struct(lit("hour_of_day").as("feature"),
+          expr("cast((unix_millis(ts) div 3600000) % 24 as string)")
+            .as("level")),
+        struct(lit("value_band").as("feature"),
+          expr("cast(cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000 as string)")
+            .as("level")),
+        struct(lit("user_cohort").as("feature"),
+          expr("cast(user_id % 5 as string)").as("level")))
+      val cells = Tables.load(s, dir, "events")
+        .select(col("event_type").as("label"), explode(feats).as("f"))
+        .select(col("label"), col("f.feature").as("feature"),
+          col("f.level").as("level"))
+        .groupBy(col("feature"), col("level"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val withMargins = cells
+        .withColumn("r", sum(col("n")).over(
+          Window.partitionBy(col("feature"), col("level"))))
+        .withColumn("c", sum(col("n")).over(
+          Window.partitionBy(col("feature"), col("label"))))
+        .withColumn("tot", sum(col("n")).over(
+          Window.partitionBy(col("feature"))))
+      val term = pow(col("n") * col("tot") - col("r") * col("c"), 2) /
+        ((col("r") * col("c")).cast("double") * col("tot").cast("double"))
+      withMargins
+        .groupBy(col("feature"))
+        .agg(
+          countDistinct(col("level")).as("n_levels"),
+          countDistinct(col("label")).as("n_labels"),
+          first(col("tot")).as("n_events"),
+          sum(term).as("chi2"))
+        .select(
+          col("feature"), col("n_levels"), col("n_labels"), col("n_events"),
+          ((col("n_levels") - 1) * (col("n_labels") - 1)).as("dof"),
+          col("chi2"),
+          sqrt(col("chi2") / (col("n_events") *
+            least(col("n_levels") - 1, col("n_labels") - 1)).cast("double"))
+            .as("cramers_v"))
+    },
+    Some("""
+      WITH flat AS (
+        SELECT event_type AS label, 'hour_of_day' AS feature,
+               CAST((epoch_ms(ts) // 3600000) % 24 AS VARCHAR) AS level
+        FROM events
+        UNION ALL
+        SELECT event_type, 'value_band',
+               CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000
+                    AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT event_type, 'user_cohort', CAST(user_id % 5 AS VARCHAR)
+        FROM events),
+      cells AS (
+        SELECT feature, level, label, COUNT(*) AS n
+        FROM flat GROUP BY 1, 2, 3),
+      m AS (
+        SELECT feature, n,
+               SUM(n) OVER (PARTITION BY feature, level) AS r,
+               SUM(n) OVER (PARTITION BY feature, label) AS c,
+               SUM(n) OVER (PARTITION BY feature) AS tot
+        FROM cells),
+      agg AS (
+        SELECT feature,
+               (SELECT COUNT(DISTINCT level) FROM cells c2
+                WHERE c2.feature = m.feature) AS n_levels,
+               (SELECT COUNT(DISTINCT label) FROM cells c2
+                WHERE c2.feature = m.feature) AS n_labels,
+               CAST(MIN(tot) AS BIGINT) AS n_events,
+               SUM(pow(CAST(n * tot - r * c AS DOUBLE), 2) /
+                   (CAST(r * c AS DOUBLE) * CAST(tot AS DOUBLE))) AS chi2
+        FROM m GROUP BY feature)
+      SELECT feature, n_levels, n_labels, n_events,
+             (n_levels - 1) * (n_labels - 1) AS dof, chi2,
+             sqrt(chi2 / CAST(n_events *
+               least(n_levels - 1, n_labels - 1) AS DOUBLE)) AS cramers_v
+      FROM agg"""))
+
   override def queries: Seq[GQuery] =
     Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix,
-      quantileProfile, categoricalAssoc, histogramQuantiles, distributionDrift)
+      quantileProfile, categoricalAssoc, histogramQuantiles, distributionDrift,
+      featureLabelAssoc)
 }
