@@ -35,21 +35,18 @@ object Quality extends QueryPack {
       def ruleRow(name: String, checked: Column, viol: Column): Column =
         struct(lit(name).as("rule"), checked.as("n_checked"),
           viol.as("n_violations"))
-      // lineitem value rules: one scan, one aggregate
-      val liRules = li.agg(
-        count(lit(1)).as("n"),
-        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("v1"),
-        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("v2"),
-        sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("v3"),
-        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v4"),
-        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v5"))
-        .select(explode(array(
-          ruleRow("lineitem.quantity_in_1_50", col("n"), col("v1")),
-          ruleRow("lineitem.discount_le_5pct", col("n"), col("v2")),
-          ruleRow("lineitem.quantity_le_45", col("n"), col("v3")),
-          ruleRow("lineitem.shipdate_not_null", col("n"), col("v4")),
-          ruleRow("lineitem.extendedprice_positive", col("n"), col("v5"))))
-          .as("r"))
+      // lineitem value rules: one scan, one aggregate — the rule set is
+      // SHARED with the streaming monitor (ContractMonitor.lineitemRules)
+      // so batch gate and live dashboard can never drift apart
+      val shared = graft.streaming.ContractMonitor.lineitemRules
+      val liAggs = count(lit(1)).as("n") +: shared.zipWithIndex.map {
+        case ((_, viol), i) =>
+          sum(when(viol, 1L).otherwise(0L)).as(s"v$i")
+      }
+      val liRules = li.agg(liAggs.head, liAggs.tail: _*)
+        .select(explode(array(shared.zipWithIndex.map {
+          case ((name, _), i) => ruleRow(name, col("n"), col(s"v$i"))
+        }: _*)).as("r"))
         .select(col("r.*"))
       // orders value rules + key uniqueness: one aggregate
       val ordRules = ord.agg(
