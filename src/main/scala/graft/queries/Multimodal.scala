@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GQuery, QueryPack, Tables}
 import graft.multimodal.Media
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal pipeline operators over the `documents` corpus: binary media
@@ -252,7 +253,83 @@ object Multimodal extends QueryPack {
       WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
     })
 
+  /** Scene-cut detection: segment each payload's frame sequence where the
+    * per-frame signal jumps — the shot-boundary pass a video pipeline runs
+    * before sampling one representative frame per scene (uniform sampling
+    * oversamples long static shots and misses short ones; mm3's stride
+    * sampler composed with these boundaries fixes that). The stub
+    * per-frame signal is ink density (non-blank chars per 32-char frame
+    * window — the deterministic stand-in for a luminance histogram); a cut
+    * fires when consecutive densities differ by ≥ 6.
+    *
+    * Scale shape: frames explode per payload (bounded: ≤ 20), the
+    * cut/scene windows run per media_id (uniform key, one shuffle), and
+    * the output is one summary row per payload. The real-codec swap
+    * changes only the per-frame signal expression.
+    */
+  val sceneCuts = GQuery(
+    "mm9_scene_cuts",
+    (s, dir) => {
+      val fr = media(s, dir)
+        .select(col("media_id"), col("content").cast("string").as("t"))
+        .select(col("media_id"), posexplode(filter(
+          array((0 until 20).map { i =>
+            val slice = substring(col("t"), i * 32 + 1, 32)
+            struct(
+              length(regexp_replace(slice, "\\s", "")).cast("long")
+                .as("density"),
+              length(slice).as("flen"))
+          }: _*),
+          f => f("flen") > 0)).as(Seq("pos", "f")))
+        .select(col("media_id"), col("pos"), col("f.density").as("density"))
+      val byMedia = Window.partitionBy(col("media_id")).orderBy(col("pos"))
+      val scenes = fr
+        .withColumn("cut",
+          when(abs(col("density") -
+            lag(col("density"), 1).over(byMedia)) >= 6, 1L).otherwise(0L))
+        .withColumn("scene_id", sum(col("cut")).over(
+          byMedia.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      scenes
+        .groupBy(col("media_id"), col("scene_id"))
+        .agg(count(lit(1)).as("scene_len"), sum(col("cut")).as("cuts"))
+        .groupBy(col("media_id"))
+        .agg(
+          sum(col("scene_len")).as("n_frames"),
+          sum(col("cuts")).as("n_cuts"),
+          count(lit(1)).as("n_scenes"),
+          max(col("scene_len")).as("max_scene_len"))
+    },
+    Some("""
+      WITH fr0 AS (
+        SELECT doc_id AS media_id, i AS pos,
+               substr(text, CAST(i*32+1 AS INT), 32) AS slice
+        FROM documents, (SELECT UNNEST(range(0, 20)) AS i)),
+      fr AS (
+        SELECT media_id, pos,
+               CAST(length(regexp_replace(slice, '\s', '', 'g')) AS BIGINT)
+                 AS density
+        FROM fr0 WHERE length(slice) > 0),
+      marked AS (
+        SELECT media_id, pos, density,
+               CASE WHEN abs(density - lag(density)
+                              OVER (PARTITION BY media_id ORDER BY pos)) >= 6
+                    THEN 1 ELSE 0 END AS cut
+        FROM fr),
+      scened AS (
+        SELECT *, CAST(SUM(cut) OVER (PARTITION BY media_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+        FROM marked),
+      per_scene AS (
+        SELECT media_id, scene_id, COUNT(*) AS scene_len,
+               CAST(SUM(cut) AS BIGINT) AS cuts
+        FROM scened GROUP BY 1, 2)
+      SELECT media_id, CAST(SUM(scene_len) AS BIGINT) AS n_frames,
+             CAST(SUM(cuts) AS BIGINT) AS n_cuts,
+             COUNT(*) AS n_scenes,
+             MAX(scene_len) AS max_scene_len
+      FROM per_scene GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(manifest, features, frames, kindStats, resized, audioChunks,
-      featureZscores, mediaNearDup)
+      featureZscores, mediaNearDup, sceneCuts)
 }
