@@ -17,12 +17,27 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): read as Long (nanosAsLong=true,
-    // set in Session) and truncate to micros. `div` is integral division —
-    // a double division would lose precision above 2^53 ns (~1970+104 days).
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts has shipped under two parquet encodings across testdata
+    // generations, so branch on what the scan actually produced rather than
+    // assuming one:
+    //   - TIMESTAMP(NANOS): Spark can't represent nanos; with nanosAsLong=true
+    //     (set in Session) it reads as Long, which we truncate to micros.
+    //     `div` is integral — double division loses precision above 2^53 ns.
+    //   - timestamp[us] without tz metadata: reads as TIMESTAMP_NTZ; cast to
+    //     session-local TimestampType (session tz is pinned UTC, so the
+    //     wall-clock values are unchanged and unix_micros/window math holds).
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => df
+        case other => sys.error(
+          s"events.ts read as unexpected type $other — testdata parquet encoding " +
+            "changed again; add a branch in Tables.load")
+      }
+    } else df
   }
 
   /** Register all tables as temp views named after themselves, so queries can

@@ -174,9 +174,13 @@ object Blocks extends QueryPack {
 
   /** F3/F4: tx-hash derivation `upper(sha256(unbase64(tx)))`
     * (`models/Extensions.kt:35,57`). Rows-only: DuckDB 1.0 cannot sha256 a
-    * BLOB (its VARCHAR cast hashes the escaped rendering, verified wrong);
-    * exact digests are asserted against independently computed constants in
-    * BlockCoreSpec.
+    * BLOB. Re-verified against the driver's DuckDB 1.0.0 (2026-08-13):
+    * `sha256(from_base64('...'))` fails with "Binder Error: No function
+    * matches sha256(BLOB)" — the function only takes VARCHAR, and arbitrary
+    * tx bytes are not valid UTF-8 so no lossless VARCHAR path exists
+    * (`decode()` throws on invalid UTF-8; the implicit-cast escaped rendering
+    * hashes the wrong preimage). Exact digests are instead asserted against
+    * independently computed constants in BlockCoreSpec.
     */
   val f4TxHashes = GQuery(
     "f4_tx_hashes",

@@ -142,9 +142,12 @@ object Graph extends QueryPack {
           (col("o_custkey") * 2).as("u"),
           (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-        .persist()
+      // Persist the DOUBLED edge list — it is what every BFS level joins
+      // against. Persisting only e0 made each of the 4 levels re-run the
+      // union (and re-shuffle it under the join), 4× the work for no reason.
       val edges = e0
         .union(e0.select(col("v").as("u"), col("u").as("v")))
+        .persist()
       val seed = s.range(1).select(lit(3L).as("node"), lit(0).as("dist"))
       var levels = Seq(seed)
       for (h <- 1 to 4) {

@@ -808,7 +808,9 @@ object Similarity extends QueryPack {
         .join(broadcast(qterms.select(col("term")).distinct()), "term")
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
+        // diamond-breaking reuse (df count + scoring join), not loop lineage
+        // truncation → lazy persist, same reasoning as tx18
+        .persist()
       val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val avgdl = col("total_dl").cast("double") / col("n_docs")
       val idf = log((col("n_docs") - col("df") + lit(0.5)) /

@@ -766,7 +766,11 @@ object Text extends QueryPack {
         .join(broadcast(qterms.select(col("term")).distinct()), "term")
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
+        // persist, not eager localCheckpoint: this is diamond-breaking (the
+        // postings feed BOTH the df count and the scoring join), not lineage
+        // truncation in a loop — lazy caching defers the materialization to
+        // first use and keeps AQE able to re-plan both consumers.
+        .persist()
       // postings rows are distinct (doc, term): df is a plain row count
       val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val avgdl = col("total_dl").cast("double") / col("n_docs")
