@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Sampling,
     graft.queries.Graph,
     graft.queries.Cdc,
-    graft.queries.Quality)
+    graft.queries.Quality,
+    graft.queries.Sketches)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -135,9 +135,12 @@ object Quality extends QueryPack {
         .filter(col("v").isNotNull)
         .select(col("v.rule").as("rule"), col("l_orderkey"),
           col("l_linenumber"), col("v.observed").as("observed"))
+      // order by the FULL output tuple: the generator emits duplicate
+      // (l_orderkey, l_linenumber) pairs at sf0.1, and a tie in the sort key
+      // across rows with different `observed` made ranks engine-dependent
       viols.withColumn("rk", row_number().over(
           Window.partitionBy(col("rule"))
-            .orderBy(col("l_orderkey"), col("l_linenumber"))))
+            .orderBy(col("l_orderkey"), col("l_linenumber"), col("observed"))))
         .filter(col("rk") <= 5)
     },
     Some("""
@@ -152,7 +155,7 @@ object Quality extends QueryPack {
       SELECT * FROM (
         SELECT rule, l_orderkey, l_linenumber, observed,
                row_number() OVER (PARTITION BY rule
-                                  ORDER BY l_orderkey, l_linenumber) AS rk
+                                  ORDER BY l_orderkey, l_linenumber, observed) AS rk
         FROM viols) WHERE rk <= 5"""))
 
   override def queries: Seq[GQuery] = Seq(contractSummary, violationSample)

@@ -1,0 +1,296 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches — the 100 TB scale path for the statistics the
+  * profiling pack (prof1/prof4) computes exactly. At cluster scale you do
+  * not sort 100 TB to get a percentile or shuffle every key to count
+  * distincts; you build a small, MERGEABLE summary per partition, combine
+  * summaries associatively (map-side, then one tiny reduce), and answer from
+  * the summary. Spark ships approx_percentile / approx_count_distinct, but
+  * their merge order is partition-scheduling-dependent, so their results
+  * cannot be hash-compared against an independent engine. Every sketch here
+  * is instead DETERMINISTIC BY CONSTRUCTION — priorities and bucket indices
+  * come from fixed integer hashes of stable keys, all arithmetic is integer
+  * (no float accumulation anywhere) — so the full build+query pipeline is
+  * bit-identical across partitionings, retries, AND engines, which puts the
+  * whole sketch on the DuckDB oracle gate, not just its output shape.
+  *
+  * The three classic sketch families (cf. the AMS/Flajolet lineage surveyed
+  * in PAPERS.md):
+  *   - sk1: KMV / bottom-k uniform row sample → rank quantiles,
+  *   - sk2: Count-Min → frequency upper bounds for probe keys,
+  *   - sk3: HyperLogLog registers → distinct-count estimate.
+  * Merge laws (verified by SketchSpec on split-and-merge): bottom-k(A ∪ B) =
+  * bottom-k(bottom-k(A) ∪ bottom-k(B)); CM(A ∪ B) = CM(A) + CM(B)
+  * counter-wise; HLL(A ∪ B) = register-wise max.
+  */
+object Sketches extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Knuth multiplicative hash → uniform 32-bit priority (the samp1 idiom;
+    * ids here are < 2^31 so the product stays far inside Long/BIGINT).
+    */
+  private def u(id: Column): Column = (id * 2654435761L) % 4294967296L
+  private def sqlU(id: String): String = s"($id * 2654435761) % 4294967296"
+
+  // ===== sk1: KMV bottom-k sample → quantiles ==========================
+
+  /** Per-event-type quantile estimates (p50/p90/p99 of `value`) from a
+    * deterministic bottom-k sample: the k=512 rows with the smallest hash
+    * priority form a uniform row sample of the group (a k-minimum-values
+    * sketch over rows), and the p-quantile of the sample estimates the
+    * p-quantile of the group with rank error O(1/√k) — the textbook
+    * sample-quantile bound, independent of group size.
+    *
+    * Scale shape: phase one is the samp2 salted local bottom-k (32-way
+    * parallel inside every group — a single per-group window would be the
+    * classic one-partition top-k trap), so the final per-group window sees
+    * ≤ 32·k survivors no matter how many billions of rows the group has;
+    * quantile extraction then runs on ≤ k rows per group. Nothing global
+    * ever sorts, and the sample is mergeable: bottom-k of a union is the
+    * bottom-k of the concatenated per-partition bottom-ks.
+    *
+    * Estimates are VALUES FROM THE DATA selected by integer rank
+    * arithmetic (ceil via `(p·n + 99) div 100`) — no interpolation, no
+    * float math — so the result hash-matches DuckDB bit-for-bit.
+    */
+  val kmvQuantiles = GQuery(
+    "sk1_kmv_quantiles",
+    (s, dir) => {
+      val k = 512
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("pri", u(col("event_id")))
+      val local = row_number().over(
+        Window.partitionBy(col("event_type"), pmod(col("event_id"), lit(32L)))
+          .orderBy(col("pri"), col("event_id")))
+      val global = row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("pri"), col("event_id")))
+      val sample = ev
+        .withColumn("lrk", local).filter(col("lrk") <= k)
+        .withColumn("rk", global).filter(col("rk") <= k)
+      // rank the sample by value; n = sample size (≤ k; smaller groups keep
+      // every row, where the "estimate" is exact by construction)
+      val byValue = row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id")))
+      val n = count(lit(1)).over(Window.partitionBy(col("event_type")))
+      val ranked = sample
+        .withColumn("vrk", byValue)
+        .withColumn("n_sample", n)
+      val pcts = Seq(50, 90, 99)
+      ranked
+        .withColumn("p_pct", explode(array(pcts.map(lit): _*)))
+        .filter(col("vrk") === expr("(p_pct * n_sample + 99) div 100"))
+        .select(col("event_type"), col("p_pct"), col("n_sample"),
+          col("value").as("est_value"))
+    },
+    Some(s"""
+      WITH pr AS (
+        SELECT event_type, event_id, value,
+               ${sqlU("event_id")} AS pri
+        FROM events),
+      sample AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY pri, event_id) AS rk
+        FROM pr QUALIFY rk <= 512),
+      ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS vrk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_sample
+        FROM sample)
+      SELECT event_type, p.p_pct, n_sample, value AS est_value
+      FROM ranked CROSS JOIN (VALUES (50), (90), (99)) p(p_pct)
+      WHERE vrk = (p.p_pct * n_sample + 99) // 100"""))
+
+  // ===== sk2: Count-Min frequency sketch ===============================
+
+  /** Count-Min hash constants: d=4 independent affine hashes into w=256
+    * counters. `(a·x + b) mod p mod w` with p = 2^31−1; ids are < 2^31 so
+    * `a·x + b` peaks around 2^61, inside BIGINT for both engines.
+    */
+  private val CmRows = Seq(
+    (1103515245L, 12345L), (22695477L, 1L),
+    (1664525L, 1013904223L), (69069L, 362437L))
+
+  private def cmHash(a: Long, b: Long, key: Column): Column =
+    ((key * a + b) % 2147483647L) % 256L
+  private def sqlCmHash(a: Long, b: Long, key: String): String =
+    s"(($key * $a + $b) % 2147483647) % 256"
+
+  /** Count-Min sketch over per-user event counts, probed for a fixed key
+    * subset (user_id ≡ 13 mod 97): for each probe the estimate is
+    * min_i counter[i][h_i(key)], which upper-bounds the true count with
+    * error ≤ εN at probability 1−δ (ε = e/w, δ = e^−d). The output carries
+    * the exact count next to the estimate, so `overcount = est − exact ≥ 0`
+    * is part of the verified result — the oracle confirms both the sketch
+    * AND its guarantee.
+    *
+    * Scale shape: the sketch build is ONE pass — d bucket indices computed
+    * per row (map-only), then a partial-aggregating groupBy onto d·w = 1024
+    * counters total, which is the whole point: the shuffle moves ≤ 1024
+    * rows per map partition regardless of input size. The probe side is a
+    * key list (bounded by the asker, KB-scale) and BROADCASTS against the
+    * 1024-row sketch; exact counts for probes ride a filtered partial agg
+    * of the same scan. Counters merge by plain addition, so the identical
+    * query is the streaming heavy-hitter path (cf. streaming/HeavyHitters).
+    */
+  val countMinProbe = GQuery(
+    "sk2_countmin_probe",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"))
+      val hashed = ev.select(
+        posexplode(array(CmRows.map { case (a, b) =>
+          cmHash(a, b, col("user_id")) }: _*)).as(Seq("i", "bucket")))
+      val cm = hashed.groupBy(col("i"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = ev.filter(col("user_id") % 97 === 13)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      val probeHashed = probes.select(
+        col("user_id"), col("exact_n"),
+        posexplode(array(CmRows.map { case (a, b) =>
+          cmHash(a, b, col("user_id")) }: _*)).as(Seq("i", "bucket")))
+      probeHashed
+        .join(broadcast(cm), Seq("i", "bucket"))
+        .groupBy(col("user_id"), col("exact_n"))
+        .agg(min(col("cnt")).as("cm_est"))
+        .select(col("user_id"), col("exact_n"), col("cm_est"),
+          (col("cm_est") - col("exact_n")).as("overcount"))
+    },
+    Some {
+      val cmUnion = CmRows.zipWithIndex.map { case ((a, b), i) =>
+        s"""SELECT $i AS i, ${sqlCmHash(a, b, "user_id")} AS bucket,
+               COUNT(*) AS cnt FROM events GROUP BY 1, 2"""
+      }.mkString(" UNION ALL ")
+      val probeCase = CmRows.zipWithIndex.map { case ((a, b), i) =>
+        s"WHEN $i THEN ${sqlCmHash(a, b, "user_id")}"
+      }.mkString(" ")
+      s"""
+      WITH cm AS ($cmUnion),
+      probes AS (
+        SELECT user_id, COUNT(*) AS exact_n FROM events
+        WHERE user_id % 97 = 13 GROUP BY 1),
+      ph AS (
+        SELECT user_id, exact_n, d.i,
+               CASE d.i $probeCase END AS bucket
+        FROM probes CROSS JOIN (VALUES (0), (1), (2), (3)) d(i)),
+      est AS (
+        SELECT ph.user_id, ph.exact_n, MIN(cm.cnt) AS cm_est
+        FROM ph JOIN cm ON cm.i = ph.i AND cm.bucket = ph.bucket
+        GROUP BY 1, 2)
+      SELECT user_id, exact_n, cm_est, cm_est - exact_n AS overcount
+      FROM est"""
+    })
+
+  // ===== sk3: HyperLogLog distinct-count sketch ========================
+
+  /** m = 256 registers; the 32-bit priority splits into an 8-bit register
+    * index and a 24-bit-ish remainder whose leading-zero count drives the
+    * register value ρ ∈ [1, 27] (ρ = 27 for remainder 0). The ρ extraction
+    * is a 27-branch integer CASE generated identically for Spark and the
+    * oracle — no float log2, whose rounding near powers of two differs
+    * between libm implementations.
+    */
+  private val HllM = 256L
+
+  private def rhoColumn(rest: Column): Column =
+    (25 to 0 by -1).foldLeft(when(lit(false), lit(0))) { (acc, j) =>
+      acc.when(rest >= (1L << j), lit(26 - j))
+    }.otherwise(lit(27))
+  private def sqlRho(rest: String): String =
+    (25 to 0 by -1).map(j => s"WHEN $rest >= ${1L << j} THEN ${26 - j}")
+      .mkString("CASE ", " ", " ELSE 27 END")
+
+  /** Distinct users per event type, estimated from HLL registers and
+    * reported next to the exact count. The harmonic denominator
+    * Σ 2^(−ρ_j) is kept as the EXACT integer Σ 2^(27−ρ_j) (max 256·2^27 =
+    * 2^35), and the raw HLL estimate α·m²/Σ2^(−ρ) becomes one integer
+    * division — bit-stable in both engines. α_256 ≈ 0.7183 enters as the
+    * shared constant 718272/10^6. Empty registers contribute ρ = 0 (the
+    * full 2^27 term) via a generated 0..255 register spine per group. The
+    * small-range linear-counting correction (est < 2.5m with empty
+    * registers) needs ln(), whose libm rounding is not portable — so the
+    * result instead carries `n_zero_registers`, from which a consumer
+    * applies the correction; the sketch itself stays on the exact-integer
+    * oracle gate.
+    *
+    * Scale shape: one map-side-combinable max-aggregate onto ≤ m rows per
+    * group (the shuffle moves registers, not keys), one 256-row spine join
+    * per group (broadcast — the spine is a constant), one 5-row final agg.
+    * Registers merge by max, so per-partition sketches combine without
+    * re-reading anything — the same registers are the incremental daily
+    * union at 100 TB.
+    */
+  val hllDistinct = GQuery(
+    "sk3_hll_distinct",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .withColumn("pri", u(col("user_id")))
+        .withColumn("reg", col("pri") % HllM)
+        .withColumn("rest", expr(s"pri div $HllM"))
+      val regs = ev.groupBy(col("event_type"), col("reg"))
+        .agg(max(rhoColumn(col("rest"))).as("rho"))
+      val spine = ev.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(HllM - 1))).as("reg"))
+      val full = spine.join(regs, Seq("event_type", "reg"), "left")
+        .withColumn("rho", coalesce(col("rho"), lit(0)))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      full.groupBy(col("event_type"))
+        .agg(
+          sum(expr("shiftleft(1L, 27 - rho)")).as("int_sum"),
+          sum(when(col("rho") === 0, 1L).otherwise(0L)).as("n_zero_registers"))
+        // 6317987327247384576 = 718272 · 2^16 · 2^27 (α_micro · m² · 2^27),
+        // precomputed so neither engine multiplies int literals (Spark's
+        // non-ANSI INT product would wrap silently; DuckDB's would error)
+        .withColumn("est_hll",
+          expr("6317987327247384576L div int_sum div 1000000"))
+        .join(exact, "event_type")
+        .select(col("event_type"), col("int_sum"), col("n_zero_registers"),
+          col("est_hll"), col("exact_distinct"))
+    },
+    Some(s"""
+      WITH pr AS (
+        SELECT event_type, user_id,
+               ${sqlU("user_id")} AS pri
+        FROM events),
+      h AS (
+        SELECT event_type, pri % $HllM AS reg, pri // $HllM AS rest
+        FROM pr),
+      regs AS (
+        SELECT event_type, reg, MAX(${sqlRho("rest")}) AS rho
+        FROM h GROUP BY 1, 2),
+      spine AS (
+        SELECT DISTINCT event_type, r.range AS reg
+        FROM events CROSS JOIN range($HllM) r),
+      filled AS (
+        SELECT s.event_type, s.reg, COALESCE(regs.rho, 0) AS rho
+        FROM spine s LEFT JOIN regs
+          ON s.event_type = regs.event_type AND s.reg = regs.reg),
+      agg AS (
+        SELECT event_type,
+               CAST(SUM(1::BIGINT << (27 - rho)) AS BIGINT) AS int_sum,
+               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero_registers
+        FROM filled GROUP BY 1),
+      exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1)
+      SELECT a.event_type, a.int_sum, a.n_zero_registers,
+             6317987327247384576 // a.int_sum // 1000000 AS est_hll,
+             e.exact_distinct
+      FROM agg a JOIN exact e ON a.event_type = e.event_type"""))
+
+  def queries: Seq[GQuery] = Seq(kmvQuantiles, countMinProbe, hllDistinct)
+}
