@@ -43,10 +43,19 @@ object ConnectedComponents {
       dst: String,
       maxRounds: Int = 25): DataFrame = {
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    // The edge list is STATIC across rounds, so it gets repartition+persist
+    // (the g1 edge-cache shape): InMemoryRelation reports the hash
+    // partitioning, so every round's edges⋈labels join leaves the cached
+    // side in place and only the node-sized label relation moves.
+    // localCheckpoint would NOT work here — checkpointed plans scan an
+    // ExistingRDD with no outputPartitioning and re-exchange every round
+    // (verified empirically; only the iterating labels relation, whose
+    // LINEAGE is the problem, needs checkpointing).
     val und = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .repartition(col("src"))
+      .persist()
 
     var labels = und.select(col("src").as("vertex"))
       .distinct()

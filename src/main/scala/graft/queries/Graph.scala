@@ -142,11 +142,14 @@ object Graph extends QueryPack {
           (col("o_custkey") * 2).as("u"),
           (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-      // Persist the DOUBLED edge list — it is what every BFS level joins
-      // against. Persisting only e0 made each of the 4 levels re-run the
-      // union (and re-shuffle it under the join), 4× the work for no reason.
+      // Persist the DOUBLED edge list hash-partitioned on the join key — it
+      // is what every BFS level joins against. Persisting only e0 made each
+      // of the 4 levels re-run the union and re-shuffle it under the join;
+      // the repartition makes the cached partitioning satisfy the join's
+      // requirement so only the frontier moves per level (the g1/g3 shape).
       val edges = e0
         .union(e0.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
         .persist()
       val seed = s.range(1).select(lit(3L).as("node"), lit(0).as("dist"))
       var levels = Seq(seed)
