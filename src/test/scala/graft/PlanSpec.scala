@@ -203,12 +203,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("tx18_bm25_topk")
     assert(!p.contains("SortMergeJoin"), s"query-term dim degraded to shuffle:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
-    // the restricted postings materialize ONCE and feed both branches —
-    // the corpus is never re-tokenized for the df count
-    val rdd = "\\(\\d+\\) Scan ExistingRDD".r.findAllIn(p).size
+    // the restricted postings are cached ONCE (persist, since the diamond
+    // needs reuse, not lineage truncation) and feed both branches — the
+    // corpus is never re-tokenized for the df count
+    val cached = "\\(\\d+\\) InMemoryTableScan".r.findAllIn(p).size
+    assert(cached === 2, s"expected the cached postings on both sides:\n$p")
+    // 4 parquet scans PRINT, but 2 belong to the InMemoryRelation build
+    // subtree (corpus tokenization + the query-term broadcast), which runs
+    // exactly once at cache materialization; the steady plan re-scans only
+    // qterms + stats. More than 4 would mean a consumer re-tokenized.
     val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(rdd === 2, s"expected the checkpointed postings on both sides:\n$p")
-    assert(pq === 2, s"expected only the qterms + stats scans:\n$p")
+    assert(pq <= 4, s"a consumer re-tokenizes the corpus:\n$p")
   }
 
   test("samp3/sim10: rate and stats aggregates come back as broadcast dims") {
@@ -384,5 +389,31 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(opt.contains("as decimal(19,0)"),
       s"cross-products not widened past int64:\n$opt")
+  }
+
+  test("sk1: both sample windows are partitioned — no single-partition stage") {
+    val p = plan("sk1_kmv_quantiles")
+    // every window here is partitioned (event_type [+ salt]); an
+    // unpartitioned window or global sort would plan an
+    // Exchange SinglePartition and serialize the table through one task
+    assert(!p.contains("SinglePartition"),
+      s"a window/sort collapsed to one partition:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("sk2: probes meet the 1024-counter sketch by broadcast, never shuffle") {
+    val p = plan("sk2_countmin_probe")
+    assert(p.contains("BroadcastHashJoin"), s"sketch join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe side shuffled to meet a KB-sized sketch:\n$p")
+  }
+
+  test("sk3: register aggregation partial-aggregates; spine join broadcasts") {
+    val p = plan("sk3_hll_distinct")
+    assert(p.contains("partial_"), s"register max must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 256-row register spine must never be the build side of a shuffle
+    assert(!p.contains("SortMergeJoin"),
+      s"constant-sized spine planned a shuffle join:\n$p")
   }
 }
