@@ -292,5 +292,180 @@ object Sketches extends QueryPack {
              e.exact_distinct
       FROM agg a JOIN exact e ON a.event_type = e.event_type"""))
 
-  def queries: Seq[GQuery] = Seq(kmvQuantiles, countMinProbe, hllDistinct)
+  // ===== sk4: KMV set-overlap (audience Jaccard between sources) =======
+
+  /** Pairwise user-set overlap between event types, estimated from ONE
+    * KMV sample of the global distinct-user space: take the k = 256
+    * distinct users with the smallest hash priority (a uniform sample of
+    * the UNION), test each sampled user's membership in every type, and
+    * count pair co-memberships — J(A,B) ≈ |{u ∈ S_k : u∈A ∧ u∈B}| / k,
+    * the classic bottom-k Jaccard estimator. The exact Jaccard rides
+    * along (integer milli-units both), so the verified output exhibits
+    * the estimator's accuracy, not just its shape.
+    *
+    * Scale shape: the only full-data pass is the distinct (type, user)
+    * projection; the union sample is a k-row bottom-k (salted two-phase),
+    * which then BROADCASTS into a semi-join — membership testing costs
+    * one scan of the distinct pairs, never a per-pair join of full user
+    * sets. Pair counting happens on ≤ k·|types| rows. The exact
+    * comparison term is the one piece that does NOT scale (it joins full
+    * user sets pairwise) — it is the verification ballast here, and the
+    * first thing a 100 TB deployment drops.
+    */
+  val kmvOverlap = GQuery(
+    "sk4_kmv_overlap",
+    (s, dir) => {
+      val k = 256
+      // the distinct pairs feed five consumers (sample, membership, sizes,
+      // both sides of the exact intersection) — one shuffle, cached
+      val du = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .persist()
+      val users = du.select(col("user_id")).distinct()
+        .withColumn("pri", u(col("user_id")))
+      val localW = row_number().over(
+        Window.partitionBy(pmod(col("user_id"), lit(32L)))
+          .orderBy(col("pri"), col("user_id")))
+      val globalW = row_number().over(
+        Window.orderBy(col("pri"), col("user_id")))
+      val sampled = users
+        .withColumn("lrk", localW).filter(col("lrk") <= k)
+        .withColumn("rk", globalW).filter(col("rk") <= k)
+        .select(col("user_id"))
+      val kEff = sampled.agg(count(lit(1)).as("k_eff"))
+      val mem = du.join(broadcast(sampled), "user_id")
+      val pairs = mem.as("a").join(mem.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      val sizes = du.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
+      val inter = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      pairs
+        .crossJoin(broadcast(kEff))
+        .join(inter, Seq("type_a", "type_b"))
+        .join(sizes.withColumnRenamed("event_type", "type_a")
+          .withColumnRenamed("sz", "sz_a"), "type_a")
+        .join(sizes.withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("sz", "sz_b"), "type_b")
+        .select(col("type_a"), col("type_b"), col("k_eff"), col("n_both"),
+          expr("1000L * n_both div k_eff").as("jaccard_milli"),
+          expr("1000L * n_inter div (sz_a + sz_b - n_inter)")
+            .as("exact_jaccard_milli"))
+    },
+    Some(s"""
+      WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events),
+      users AS (
+        SELECT user_id, ${sqlU("user_id")} AS pri
+        FROM (SELECT DISTINCT user_id FROM du)),
+      sampled AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (ORDER BY pri, user_id) AS rk
+        FROM users QUALIFY rk <= 256),
+      keff AS (SELECT COUNT(*) AS k_eff FROM sampled),
+      mem AS (
+        SELECT du.event_type, du.user_id
+        FROM du JOIN sampled ON du.user_id = sampled.user_id),
+      pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM mem a JOIN mem b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2),
+      sizes AS (
+        SELECT event_type, COUNT(*) AS sz FROM du GROUP BY 1),
+      inter AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               COUNT(*) AS n_inter
+        FROM du x JOIN du y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT p.type_a, p.type_b, k.k_eff, p.n_both,
+             1000 * p.n_both // k.k_eff AS jaccard_milli,
+             1000 * i.n_inter // (sa.sz + sb.sz - i.n_inter)
+               AS exact_jaccard_milli
+      FROM pairs p CROSS JOIN keff k
+      JOIN inter i ON p.type_a = i.type_a AND p.type_b = i.type_b
+      JOIN sizes sa ON p.type_a = sa.event_type
+      JOIN sizes sb ON p.type_b = sb.event_type"""))
+
+  // ===== sk5: sample-driven range bucketing (balanced layout) ==========
+
+  /** Range-bucket assignment from sampled quantile boundaries — the
+    * RangePartitioner story as a verifiable query: a write path that wants
+    * globally range-ordered output (for file-level min/max pruning on
+    * `value`) cannot sort 100 TB to find splits; it samples, takes the
+    * B−1 sample quantiles as boundaries, and assigns each row its bucket
+    * with a per-row binary-decision against the broadcast boundary list.
+    * The output is each bucket's population and value span — the balance
+    * report that tells the writer its layout before it writes a byte.
+    *
+    * Scale shape: boundary derivation runs entirely on the ≤ k-row KMV
+    * sample (the sk1 machinery, integer rank selection); the boundary
+    * LIST (31 doubles) broadcasts as a one-row cross join; assignment is
+    * per-row array arithmetic inside codegen (no join, no window over the
+    * data); the only data-sized shuffle is the final 32-row aggregate,
+    * which partial-aggregates map-side. Buckets are equi-POPULATED by
+    * construction (equal sample ranks), not equi-width — skewed value
+    * distributions land balanced files, which is the entire point.
+    */
+  val rangeBuckets = GQuery(
+    "sk5_range_buckets",
+    (s, dir) => {
+      val k = 512
+      val nB = 32
+      val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+        .withColumn("pri", u(col("event_id")))
+      val localW = row_number().over(
+        Window.partitionBy(pmod(col("event_id"), lit(32L)))
+          .orderBy(col("pri"), col("event_id")))
+      val globalW = row_number().over(Window.orderBy(col("pri"), col("event_id")))
+      val sample = ev
+        .withColumn("lrk", localW).filter(col("lrk") <= k)
+        .withColumn("rk", globalW).filter(col("rk") <= k)
+      val byValue = row_number().over(Window.orderBy(col("value"), col("event_id")))
+      val nS = count(lit(1)).over(Window.partitionBy())
+      val bounds = sample
+        .withColumn("vrk", byValue).withColumn("n_sample", nS)
+        .withColumn("j", explode(sequence(lit(1), lit(nB - 1))))
+        .filter(col("vrk") === expr(s"(j * n_sample + $nB - 1) div $nB"))
+        .agg(sort_array(collect_list(col("value"))).as("bs"))
+      ev.crossJoin(broadcast(bounds))
+        .select(col("value"),
+          size(filter(col("bs"), b => b <= col("value"))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    },
+    Some(s"""
+      WITH pr AS (
+        SELECT event_id, value, ${sqlU("event_id")} AS pri FROM events),
+      sample AS (
+        SELECT event_id, value,
+               ROW_NUMBER() OVER (ORDER BY pri, event_id) AS rk
+        FROM pr QUALIFY rk <= 512),
+      ranked AS (
+        SELECT value,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS vrk,
+               COUNT(*) OVER () AS n_sample
+        FROM sample),
+      bounds AS (
+        SELECT value AS bv
+        FROM ranked CROSS JOIN (SELECT unnest(range(1, 32)) AS j) js
+        WHERE vrk = (j * n_sample + 31) // 32)
+      SELECT b.bucket, COUNT(*) AS n_rows,
+             MIN(e.value) AS min_v, MAX(e.value) AS max_v
+      FROM events e CROSS JOIN LATERAL (
+        SELECT COUNT(*) AS bucket FROM bounds WHERE bv <= e.value) b
+      GROUP BY 1"""))
+
+  def queries: Seq[GQuery] =
+    Seq(kmvQuantiles, countMinProbe, hllDistinct, kmvOverlap, rangeBuckets)
 }
