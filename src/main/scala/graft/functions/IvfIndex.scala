@@ -70,6 +70,17 @@ object IvfIndex {
     assign(v, withNorms(fitCentroids(spark, v, k, iters))).drop("qnorm")
   }
 
+  /** Assignment against an ALREADY-FITTED model — for queries that need
+    * both the corpus cells and the raw centroids (e.g. multiprobe), so the
+    * Lloyd fit runs once instead of once per consumer. `centroids` is the
+    * (cell, cq) relation [[fitCentroids]] returns.
+    */
+  def assignWith(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assign(
+      vectors.withColumn("qnorm",
+        sqrt(TextHash.dotQ(col("qv"), col("qv")).cast("double"))),
+      withNorms(centroids)).drop("qnorm")
+
   /** The trained model alone: (cell, cq) after `iters` Lloyd steps — what a
     * deployment persists, and what the DuckDB oracle re-derives assignment
     * from (bit-deterministic: exact integer sums, fixed init, so a re-fit

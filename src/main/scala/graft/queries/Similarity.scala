@@ -321,10 +321,14 @@ object Similarity extends QueryPack {
     "sim13_knn_ivf_multiprobe",
     (s, dir) => {
       val q = quantized(s, dir)
-      val cells = graft.functions.IvfIndex.fit(
-        s, q.select(col("vec_id"), col("qv")), k = 8, iters = 2)
+      // ONE Lloyd fit serves both consumers: corpus assignment AND the
+      // probe centroids (previously the model was fitted twice — once via
+      // fit() for cells, once via sim5Model for centroids)
+      val model = sim5Model(s, dir)
+      val cells = graft.functions.IvfIndex.assignWith(
+        q.select(col("vec_id"), col("qv")), model)
       val corpus = q.join(cells.select("vec_id", "cell"), "vec_id")
-      val cents = sim5Model(s, dir)
+      val cents = model
         .withColumn("cnorm", sqrt(dotQ(col("cq"), col("cq")).cast("double")))
       val crk = row_number().over(
         Window.partitionBy(col("query_id")).orderBy(
