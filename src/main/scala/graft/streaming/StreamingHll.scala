@@ -40,19 +40,28 @@ object StreamingHll {
 
   private val M = 256
 
-  /** The sk1/sk3 Knuth priority — keep in lock-step with
-    * queries/Sketches.scala `u`.
+  /** The sk3 avalanche priority — keep the rounds in lock-step with
+    * queries/Sketches.scala `mix32` (a Murmur-style 32-bit finalizer; the
+    * plain Knuth hash is low-discrepancy on sequential ids, which wrecks
+    * the leading-zero statistics ρ depends on).
     */
-  def priority(id: Long): Long = (id * 2654435761L) % 4294967296L
+  def mix32(k: Long): Long = {
+    val a = (k * 2654435761L) % 4294967296L
+    val b = a ^ (a / 65536L)
+    val c = (b * 1540483477L) % 4294967296L
+    val d = c ^ (c / 8192L)
+    val e = (d * 1274126177L) % 4294967296L
+    e ^ (e / 65536L)
+  }
 
-  def register(id: Long): Int = (priority(id) % M).toInt
+  def register(id: Long): Int = (mix32(id) % M).toInt
 
-  /** ρ ∈ [1, 27]: leading-zero rank of the 26-bit remainder (27 for 0) —
+  /** ρ ∈ [1, 25]: leading-zero rank of the 24-bit remainder (25 for 0) —
     * the integer-CASE semantics of the batch query, as plain Scala.
     */
   def rho(id: Long): Int = {
-    val rest = priority(id) / M
-    if (rest == 0) 27 else 26 - (63 - java.lang.Long.numberOfLeadingZeros(rest))
+    val rest = mix32(id) / M
+    if (rest == 0) 25 else 24 - (63 - java.lang.Long.numberOfLeadingZeros(rest))
   }
 
   def estimate(regs: Array[Byte]): (Long, Long, Long) = {
@@ -60,11 +69,12 @@ object StreamingHll {
     var zeros = 0L
     var j = 0
     while (j < M) {
-      intSum += 1L << (27 - regs(j))
+      intSum += 1L << (25 - regs(j))
       if (regs(j) == 0) zeros += 1
       j += 1
     }
-    (intSum, zeros, 6317987327247384576L / intSum / 1000000L)
+    // 1579496831811846144 = α_micro · m² · 2^25, the sk3 constant
+    (intSum, zeros, 1579496831811846144L / intSum / 1000000L)
   }
 
   /** Absorb a micro-batch into the group's registers and append one

@@ -59,12 +59,17 @@ class SketchSpec extends AnyFunSuite {
   }
 
   private def hllRegs(df: DataFrame): DataFrame = {
-    val u = (col("user_id") * 2654435761L) % 4294967296L
+    // the sk3 mix32 chain (Sketches.scala), re-derived independently here
     val rest = expr("pri div 256")
-    val rho = (25 to 0 by -1).foldLeft(when(lit(false), lit(0))) { (acc, j) =>
-      acc.when(rest >= (1L << j), lit(26 - j))
-    }.otherwise(lit(27))
-    df.withColumn("pri", u)
+    val rho = (23 to 0 by -1).foldLeft(when(lit(false), lit(0))) { (acc, j) =>
+      acc.when(rest >= (1L << j), lit(24 - j))
+    }.otherwise(lit(25))
+    df.withColumn("ma", (col("user_id") * 2654435761L) % 4294967296L)
+      .withColumn("mb", expr("ma ^ (ma div 65536)"))
+      .withColumn("mc", expr("(mb * 1540483477L) % 4294967296L"))
+      .withColumn("md", expr("mc ^ (mc div 8192)"))
+      .withColumn("me", expr("(md * 1274126177L) % 4294967296L"))
+      .withColumn("pri", expr("me ^ (me div 65536)"))
       .select(col("event_type"), (col("pri") % 256L).as("reg"), rho.as("rho"))
       .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("rho"))
   }
