@@ -592,7 +592,69 @@ object Sketches extends QueryPack {
       FROM filled GROUP BY 1"""
     })
 
+  // ===== sk7: shuffle-skew profiler =====================================
+
+  /** Partition-skew forecast for candidate shuffle keys — the check an
+    * operator runs BEFORE keying a 100 TB shuffle on a column: hash each
+    * key into the shuffle-partition space (32 buckets here, matching the
+    * session's shuffle parallelism) and report, per candidate column, the
+    * bucket-load distribution — max/min/avg load and the skew ratio
+    * (max·buckets/total, 1000 = perfectly even). A ratio of 3000 means the
+    * hottest task does 3× the average work and the stage finishes at the
+    * straggler's pace; that is when you reach for salting (w11) or AQE
+    * skew splitting, BEFORE burning the cluster-day.
+    *
+    * Scale shape: the same one-scan explode as sk6 — 3 (column, bucket)
+    * pairs per row folding into ≤ 3·32 counters via map-side partial
+    * aggregation; the report is 3 rows. The hash is the Knuth priority on
+    * the raw integral key (no ·100 quantization here, and bucket spread —
+    * not ρ statistics — is all that matters, which the multiplicative
+    * hash delivers; it is also exactly how these keys WOULD spread,
+    * since hash-partitioning is multiplicative hashing).
+    */
+  val skewProfile = GQuery(
+    "sk7_skew_profile",
+    (s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      val li = t(s, dir, "lineitem")
+      val pairs = li.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("long").as("key"))): _*)).as("p"))
+        .select(col("p.column_name").as("column_name"),
+          (u(col("p.key")) % 32L).as("bucket"))
+      pairs.groupBy(col("column_name"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("column_name"))
+        .agg(
+          sum(col("n")).as("total_rows"),
+          count(lit(1)).as("n_buckets"),
+          max(col("n")).as("max_bucket"),
+          min(col("n")).as("min_bucket"))
+        .select(col("column_name"), col("total_rows"), col("n_buckets"),
+          col("max_bucket"), col("min_bucket"),
+          expr("1000L * max_bucket * 32 div total_rows").as("skew_ratio_milli"))
+    },
+    Some {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      val pairUnion = cols.map(c =>
+        s"""SELECT '$c' AS column_name,
+               ${sqlU(s"CAST($c AS BIGINT)")} % 32 AS bucket
+           FROM lineitem""").mkString(" UNION ALL ")
+      s"""
+      WITH pairs AS ($pairUnion),
+      b AS (
+        SELECT column_name, bucket, COUNT(*) AS n
+        FROM pairs GROUP BY 1, 2)
+      SELECT column_name,
+             CAST(SUM(n) AS BIGINT) AS total_rows,
+             COUNT(*) AS n_buckets,
+             CAST(MAX(n) AS BIGINT) AS max_bucket,
+             CAST(MIN(n) AS BIGINT) AS min_bucket,
+             1000 * CAST(MAX(n) AS BIGINT) * 32 // CAST(SUM(n) AS BIGINT)
+               AS skew_ratio_milli
+      FROM b GROUP BY 1"""
+    })
+
   def queries: Seq[GQuery] =
     Seq(kmvQuantiles, countMinProbe, hllDistinct, kmvOverlap, rangeBuckets,
-      hllColumnProfile)
+      hllColumnProfile, skewProfile)
 }

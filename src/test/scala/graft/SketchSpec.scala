@@ -82,6 +82,27 @@ class SketchSpec extends AnyFunSuite {
     assert(direct.exceptAll(merged).isEmpty && merged.exceptAll(direct).isEmpty)
   }
 
+  test("sk1 accuracy: sample quantiles land within the O(1/√k) rank band") {
+    // rank error of a k-sample quantile ~ Normal(0, sqrt(p(1-p)/k)); allow
+    // 4σ. At sf0.01 each type has ~2000 rows and k=512 truncation is real.
+    val sf01 = "/root/testdata/sf0.01"
+    val est = graft.queries.Sketches.kmvQuantiles.run(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val events = Tables.load(spark, sf01, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    est.foreach { case ((tpe, p), v) =>
+      val sorted = events(tpe)
+      val n = sorted.length
+      // rank of the estimate within the TRUE distribution
+      val rank = sorted.count(_ <= v).toDouble / n
+      val sigma = math.sqrt(p / 100.0 * (1 - p / 100.0) / 512)
+      assert(math.abs(rank - p / 100.0) <= 4 * sigma + 1.0 / n,
+        s"$tpe p$p: estimate $v sits at true rank $rank (±${4 * sigma})")
+    }
+  }
+
   test("sk2 guarantee: every Count-Min estimate upper-bounds the exact count") {
     val out = graft.queries.Sketches.countMinProbe.run(spark, sfDir)
     assert(out.filter(col("overcount") < 0).isEmpty)
