@@ -275,9 +275,13 @@ object Sketches extends QueryPack {
           col("user_id"))
         .withColumn("reg", col("pri") % HllM)
         .withColumn("rest", expr(s"pri div $HllM"))
+      // persist the ≤ groups·m register relation and derive the spine's
+      // group list FROM it — the alternative (distinct over the data) cost
+      // a second full scan just to learn which groups exist
       val regs = ev.groupBy(col("event_type"), col("reg"))
         .agg(max(rho24Column(col("rest"))).as("rho"))
-      val spine = ev.select(col("event_type")).distinct()
+        .persist()
+      val spine = regs.select(col("event_type")).distinct()
         .select(col("event_type"),
           explode(sequence(lit(0L), lit(HllM - 1))).as("reg"))
       val full = spine.join(regs, Seq("event_type", "reg"), "left")
@@ -539,8 +543,10 @@ object Sketches extends QueryPack {
           expr(s"pri div $HllM").as("rest"))
       val regs = pairs.groupBy(col("column_name"), col("reg"))
         .agg(max(rho24Column(col("rest"))).as("rho"))
-      val spine = li.select(explode(array(cols.map(lit): _*)).as("column_name"))
-        .distinct()
+      // the spine is a compile-time constant (8 names × 256 registers) —
+      // derive it from a literal, never by re-scanning the table
+      val spine = s.range(1)
+        .select(explode(array(cols.map(lit): _*)).as("column_name"))
         .select(col("column_name"),
           explode(sequence(lit(0L), lit(HllM - 1))).as("reg"))
       val filled = spine.join(regs, Seq("column_name", "reg"), "left")

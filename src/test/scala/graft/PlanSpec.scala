@@ -416,4 +416,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"constant-sized spine planned a shuffle join:\n$p")
   }
+
+  test("sk5: bucket assignment is per-row math — the data is never sorted") {
+    val p = plan("sk5_range_buckets")
+    // the 31-double boundary list joins as a broadcast (1-row build side);
+    // the data path's only aggregation is the 32-row bucket rollup. Window
+    // sorts exist ONLY on the k-row sample subtree.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"boundaries must broadcast:\n$p")
+    assert(p.contains("partial_count"), s"bucket rollup must map-side combine:\n$p")
+  }
+
+  test("sk6/sk7: one-scan profiles — a single parquet scan, partial aggs") {
+    Seq("sk6_hll_column_profile", "sk7_skew_profile").foreach { name =>
+      val p = plan(name)
+      val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(pq === 1, s"$name: expected ONE lineitem scan, got $pq:\n$p")
+      assert(p.contains("partial_"), s"$name: counters must map-side combine:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name: unexpected shuffle join:\n$p")
+    }
+  }
 }
