@@ -19,14 +19,19 @@ import org.apache.spark.sql.functions._
   * bit-identical across partitionings, retries, AND engines, which puts the
   * whole sketch on the DuckDB oracle gate, not just its output shape.
   *
-  * The three classic sketch families (cf. the AMS/Flajolet lineage surveyed
-  * in PAPERS.md):
+  * The pack (cf. the AMS/Flajolet lineage surveyed in PAPERS.md):
   *   - sk1: KMV / bottom-k uniform row sample → rank quantiles,
   *   - sk2: Count-Min → frequency upper bounds for probe keys,
-  *   - sk3: HyperLogLog registers → distinct-count estimate.
+  *   - sk3: HyperLogLog registers → distinct-count estimate,
+  *   - sk4: KMV union sample → pairwise set-overlap (Jaccard),
+  *   - sk5: sample quantile boundaries → balanced range bucketing,
+  *   - sk6: HLL per column, one scan → the mergeable column profile,
+  *   - sk7: hash-bucket load forecast → shuffle-skew diagnosis.
   * Merge laws (verified by SketchSpec on split-and-merge): bottom-k(A ∪ B) =
   * bottom-k(bottom-k(A) ∪ bottom-k(B)); CM(A ∪ B) = CM(A) + CM(B)
-  * counter-wise; HLL(A ∪ B) = register-wise max.
+  * counter-wise; HLL(A ∪ B) = register-wise max. Each of sk1/sk2/sk3 also
+  * has a streaming face with the SAME arithmetic (StreamingKmv/StreamingCm/
+  * StreamingHll), so batch and stream answers are bit-comparable.
   */
 object Sketches extends QueryPack {
 
