@@ -20,7 +20,9 @@ object SparkEntry {
     graft.queries.Graph,
     graft.queries.Cdc,
     graft.queries.Quality,
-    graft.queries.Sketches)
+    graft.queries.Sketches,
+    graft.queries.EntityResolution,
+    graft.queries.TimeSeries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

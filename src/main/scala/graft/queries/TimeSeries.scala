@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series operators over the irregular `events` stream —
+  * the resample/align layer every metrics store and feature pipeline needs
+  * before per-entity series can be compared, joined, or fed to a model:
+  * observation timestamps are arbitrary, training frames want fixed steps.
+  *
+  * Scale shapes (the same argument for every query here):
+  *   - Everything partitions by `user_id` (the series key) and each series is
+  *     human-activity-sized — thousands of rows, not billions — so per-series
+  *     windows never spill regardless of total corpus size. The only wide
+  *     shuffles key on (user_id) or (user_id, day), both uniform.
+  *   - The grid is generated, not stored: `sequence()` over a literal range
+  *     explodes to (users × steps) rows. The users side is the data; the
+  *     steps side is a constant handful of rows that rides broadcast — never
+  *     a CartesianProduct over two data relations.
+  *   - Gap-filling (LOCF) and interpolation are expressed as
+  *     ignore-nulls window `last`/`first` over the union of observations and
+  *     grid points — one sort per series, no self-join, no per-gap probing.
+  *     This is the plan a purpose-built timeseries DB (e.g. the
+  *     `time_bucket_gapfill`/LOCF family) runs internally, declared in
+  *     DataFrame algebra so Catalyst owns the physical plan.
+  *   - Nothing sums doubles in a data-dependent order: OHLC extremes are
+  *     min/max (exact), turnover goes through decimal, interpolation is a
+  *     fixed per-row expression.
+  *
+  * The grid bounds are pinned to the generator's [2024-01-01, 2024-01-30]
+  * window (TESTDATA.md) so results are deterministic across scale factors.
+  */
+object TimeSeries extends QueryPack {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private val D0 = "2024-01-01"
+  private val D1 = "2024-01-30"
+
+  /** Distinct series keys × generated grid timestamps (broadcast explode). */
+  private def grid(s: SparkSession, dir: String, step: String, end: String)
+      : DataFrame = {
+    val steps = s.range(1).select(explode(sequence(
+      to_timestamp(lit(s"$D0 00:00:00")),
+      to_timestamp(lit(end)),
+      expr(s"interval $step"))).as("gts"))
+    ev(s, dir).select(col("user_id")).distinct()
+      .crossJoin(broadcast(steps))
+  }
+
+  /** tsr1: daily close carried forward (LOCF) on a fixed 30-day grid — the
+    * resample primitive. Per (user, day) the close is the last event by
+    * (ts, event_id); grid days with no activity inherit the previous close
+    * via an ignore-nulls running `last`. Days before a user's first event
+    * stay null (LOCF has nothing to carry).
+    */
+  val dailyFfill = GQuery(
+    "tsr1_daily_ffill",
+    (s, dir) => {
+      val closes = ev(s, dir)
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"), col("day"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("day"), col("value").as("close"))
+      grid(s, dir, "1 day", s"$D1 00:00:00")
+        .withColumnRenamed("gts", "day")
+        .join(closes, Seq("user_id", "day"), "left")
+        .withColumn("value", last(col("close"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("day"), col("value"))
+    },
+    Some(s"""
+      WITH days AS (
+        SELECT CAST(unnest(generate_series(TIMESTAMP '$D0 00:00:00',
+                    TIMESTAMP '$D1 00:00:00', INTERVAL 1 DAY)) AS TIMESTAMP) AS day),
+      ranked AS (
+        SELECT user_id, date_trunc('day', ts) AS day, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events),
+      closes AS (SELECT user_id, day, value AS close FROM ranked WHERE rk = 1),
+      g AS (SELECT user_id, day
+            FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN days)
+      SELECT g.user_id, g.day,
+             last_value(c.close IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM g LEFT JOIN closes c ON g.user_id = c.user_id AND g.day = c.day"""))
+
+  /** tsr2: linear interpolation onto a 6-hour grid. Observations and grid
+    * points union into one per-user ordered stream (observations sort before
+    * a grid point at the same instant); the bracketing observations come from
+    * ignore-nulls `last` over the preceding rows and `first` over the
+    * following rows — one window sort, no join against shifted copies. Grid
+    * points outside a user's observed range (no bracket) are dropped, the
+    * standard interpolation contract.
+    */
+  val gridInterp = GQuery(
+    "tsr2_grid_interp",
+    (s, dir) => {
+      val obs = ev(s, dir).select(
+        col("user_id"), col("ts"), col("value"),
+        col("event_id"), lit(0).as("kind"))
+      val g = grid(s, dir, "6 hours", s"$D1 18:00:00").select(
+        col("user_id"), col("gts").as("ts"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("long").as("event_id"), lit(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+      val obsT = when(col("kind") === 0, unix_micros(col("ts")))
+      val obsV = when(col("kind") === 0, col("value"))
+      val interp = obs.unionByName(g)
+        .withColumn("tp", last(obsT, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("vp", last(obsV, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tn", first(obsT, ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("vn", first(obsV, ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .filter(col("kind") === 1 && col("tp").isNotNull && col("tn").isNotNull)
+      interp.select(
+        col("user_id"), col("ts"),
+        when(col("tn") === col("tp"), col("vp")).otherwise(
+          col("vp") + (col("vn") - col("vp")) *
+            (unix_micros(col("ts")) - col("tp")).cast("double") /
+            (col("tn") - col("tp")).cast("double")).as("value"))
+    },
+    Some(s"""
+      WITH g0 AS (
+        SELECT CAST(unnest(generate_series(TIMESTAMP '$D0 00:00:00',
+                    TIMESTAMP '$D1 18:00:00', INTERVAL 6 HOUR)) AS TIMESTAMP) AS ts),
+      rows_u AS (
+        SELECT user_id, ts, value, event_id, 0 AS kind FROM events
+        UNION ALL
+        SELECT u.user_id, g0.ts, NULL, NULL, 1
+        FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN g0),
+      br AS (
+        SELECT user_id, ts, kind,
+               last_value(CASE WHEN kind = 0 THEN epoch_us(ts) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+               first_value(CASE WHEN kind = 0 THEN epoch_us(ts) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn,
+               first_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+        FROM rows_u)
+      SELECT user_id, ts,
+             CASE WHEN tn = tp THEN vp
+                  ELSE vp + (vn - vp) * CAST(epoch_us(ts) - tp AS DOUBLE)
+                                      / CAST(tn - tp AS DOUBLE) END AS value
+      FROM br
+      WHERE kind = 1 AND tp IS NOT NULL AND tn IS NOT NULL"""))
+
+  /** tsr3: OHLC downsampling — per (user, day) candlestick: first/last by
+    * (ts, event_id), exact min/max, count, decimal turnover. The financial
+    * bar-building primitive; one shuffle on the composite day key.
+    */
+  val ohlcBars = GQuery(
+    "tsr3_ohlc_bars",
+    (s, dir) => {
+      val wDay = Window.partitionBy(col("user_id"), col("day"))
+      val asc = wDay.orderBy(col("ts"), col("event_id"))
+      val desc = wDay.orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, dir)
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .withColumn("rk_open", row_number().over(asc))
+        .withColumn("rk_close", row_number().over(desc))
+        .groupBy(col("user_id"), col("day"))
+        .agg(
+          max(when(col("rk_open") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rk_close") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("turnover"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rk_open,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rk_close
+        FROM events)
+      SELECT user_id, day,
+             MAX(CASE WHEN rk_open = 1 THEN value END) AS open,
+             MAX(value) AS high,
+             MIN(value) AS low,
+             MAX(CASE WHEN rk_close = 1 THEN value END) AS close,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS turnover
+      FROM r GROUP BY user_id, day"""))
+
+  /** tsr4: Donchian-channel breakout detection — flag events whose value
+    * escapes the [min, max] envelope of the previous 20 observations of the
+    * same series. Trailing extremes are exact min/max (bit-deterministic,
+    * unlike rolling mean/stddev whose float accumulation order differs
+    * between engines), the full-window gate (`cnt = 20`) suppresses warm-up
+    * noise. One window sort per series, output rows ∝ anomalies.
+    */
+  val channelBreakout = GQuery(
+    "tsr4_channel_breakout",
+    (s, dir) => {
+      val trail = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+      ev(s, dir)
+        .withColumn("hi", max(col("value")).over(trail))
+        .withColumn("lo", min(col("value")).over(trail))
+        .withColumn("cnt", count(lit(1)).over(trail))
+        .filter(col("cnt") === 20 &&
+          (col("value") > col("hi") || col("value") < col("lo")))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          when(col("value") > col("hi"), lit("up")).otherwise(lit("down"))
+            .as("direction"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT event_id, user_id, ts, value,
+               MAX(value) OVER t AS hi, MIN(value) OVER t AS lo,
+               COUNT(*) OVER t AS cnt
+        FROM events
+        WINDOW t AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN value > hi THEN 'up' ELSE 'down' END AS direction
+      FROM w WHERE cnt = 20 AND (value > hi OR value < lo)"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(dailyFfill, gridInterp, ohlcBars, channelBreakout)
+}
