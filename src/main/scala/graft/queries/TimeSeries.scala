@@ -165,27 +165,17 @@ object TimeSeries extends QueryPack {
 
   /** tsr3: OHLC downsampling — per (user, day) candlestick: first/last by
     * (ts, event_id), exact min/max, count, decimal turnover. The financial
-    * bar-building primitive; one shuffle on the composite day key.
+    * bar-building primitive. The aggregation body is STRUCTURALLY SHARED
+    * with [[graft.streaming.StreamingOhlc]] (every component associative
+    * over the (ts, event_id) total order), so this is one partial-aggregable
+    * shuffle on the composite day key — `min_by`/`max_by` elect open/close
+    * inside the aggregate, with no window sort at all; the oracle proves the
+    * election equivalent to the row_number formulation.
     */
   val ohlcBars = GQuery(
     "tsr3_ohlc_bars",
-    (s, dir) => {
-      val wDay = Window.partitionBy(col("user_id"), col("day"))
-      val asc = wDay.orderBy(col("ts"), col("event_id"))
-      val desc = wDay.orderBy(col("ts").desc, col("event_id").desc)
-      ev(s, dir)
-        .withColumn("day", date_trunc("DAY", col("ts")))
-        .withColumn("rk_open", row_number().over(asc))
-        .withColumn("rk_close", row_number().over(desc))
-        .groupBy(col("user_id"), col("day"))
-        .agg(
-          max(when(col("rk_open") === 1, col("value"))).as("open"),
-          max(col("value")).as("high"),
-          min(col("value")).as("low"),
-          max(when(col("rk_close") === 1, col("value"))).as("close"),
-          count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("turnover"))
-    },
+    (s, dir) => graft.streaming.StreamingOhlc.bars(
+      ev(s, dir).withColumn("day", date_trunc("DAY", col("ts")))),
     Some("""
       WITH r AS (
         SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, value,
