@@ -351,7 +351,47 @@ object Cdc extends QueryPack {
         ON s.user_id = v.user_id
        AND v.v_from <= s.s_to AND v.v_to > s.s_from"""))
 
+  /** cdc6: incremental aggregate maintenance (IVM) — the delta-compute
+    * pattern that lets a 100 TB rollup absorb a new partition WITHOUT
+    * rescanning history: per-entity aggregates are computed separately over
+    * the base (history ≤ the cut) and the delta (the new arrivals), then
+    * MERGED by the aggregates' own combine laws — counts add, decimal sums
+    * add exactly, maxes max. The oracle aggregates the full log directly,
+    * so the hash gate IS the proof that partial-merge ≡ full recompute.
+    *
+    * In production the base partials are the stored materialized-view
+    * state and only the delta side runs per batch (the streaming dual is
+    * the same merge inside a stateful aggregation — see
+    * `streaming.StreamingCdc`'s latest-wins variant). Plan shape: two
+    * filtered scans with the cut pushed to parquet, each partially
+    * aggregated map-side, one uniform entity-key shuffle for the merge.
+    */
+  val incrementalRollup = GQuery(
+    "cdc6_incremental_rollup",
+    (s, dir) => {
+      val cut = "2024-01-16 00:00:00"
+      def partial(side: DataFrame): DataFrame = side
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,6)")).as("ps"),
+          max(col("value")).as("pm"))
+      val base = partial(ev(s, dir).filter(col("ts") < lit(cut)))
+      val delta = partial(ev(s, dir).filter(col("ts") >= lit(cut)))
+      base.unionByName(delta)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("pn")).as("n_events"),
+          sum(col("ps")).cast("double").as("total_value"),
+          max(col("pm")).as("max_value"))
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             MAX(value) AS max_value
+      FROM events GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(latestSnapshot, scd2History, concurrencyProfile, pointInTime,
-      sessionVersionOverlap)
+      sessionVersionOverlap, incrementalRollup)
 }

@@ -192,6 +192,61 @@ object EntityResolution extends QueryPack {
       LEFT JOIN cc ON p.p_name = cc.name
       GROUP BY 1"""))
 
+  /** er5: blocking-quality audit — the evaluation metric every production
+    * blocking scheme is tuned with (the sim9-for-ER): pair completeness
+    * (how many TRUE matches the block key retains) and reduction ratio
+    * (how much of the quadratic pair space it prunes). Ground truth here is
+    * the unblocked all-pairs banded match over the distinct name domain —
+    * affordable exactly because the domain is small; at 100 TB the same
+    * audit runs on a hash-sampled slice of the domain (the sampling knob is
+    * orthogonal to this plan). The all-pairs side is a deliberate
+    * broadcast nested-loop over the domain relation, never over rows.
+    */
+  val blockingQuality = GQuery(
+    "er5_blocking_quality",
+    (s, dir) => {
+      val names = blockedNames(s, dir)
+      val a = names.select(col("p_name").as("name_a"), col("block").as("block_a"))
+      val b = names.select(col("p_name").as("name_b"), col("block").as("block_b"))
+      a.join(broadcast(b), col("name_a") < col("name_b"))
+        .select(
+          (levenshtein(col("name_a"), col("name_b"), MaxEdits) >= 0)
+            .as("is_true"),
+          (col("block_a") === col("block_b")).as("same_block"))
+        .agg(
+          count(lit(1)).as("n_all_pairs"),
+          sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true_matches"),
+          sum(when(col("is_true") && col("same_block"), 1L).otherwise(0L))
+            .as("n_candidates_true"),
+          sum(when(col("same_block"), 1L).otherwise(0L)).as("n_candidates"))
+        .select(col("n_all_pairs"), col("n_true_matches"),
+          col("n_candidates"), col("n_candidates_true"),
+          (col("n_candidates_true").cast("double") /
+            col("n_true_matches").cast("double")).as("pair_completeness"),
+          (lit(1.0) - col("n_candidates").cast("double") /
+            col("n_all_pairs").cast("double")).as("reduction_ratio"))
+    },
+    Some(s"""
+      WITH names AS (
+        SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS block FROM part),
+      pairs AS (
+        SELECT levenshtein(a.p_name, b.p_name) <= $MaxEdits AS is_true,
+               a.block = b.block AS same_block
+        FROM names a JOIN names b ON a.p_name < b.p_name)
+      SELECT COUNT(*) AS n_all_pairs,
+             SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS n_true_matches,
+             SUM(CASE WHEN same_block THEN 1 ELSE 0 END) AS n_candidates,
+             SUM(CASE WHEN is_true AND same_block THEN 1 ELSE 0 END)
+               AS n_candidates_true,
+             CAST(SUM(CASE WHEN is_true AND same_block THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+               / CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS DOUBLE)
+               AS pair_completeness,
+             1.0 - CAST(SUM(CASE WHEN same_block THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS reduction_ratio
+      FROM pairs"""))
+
   override def queries: Seq[GQuery] =
-    Seq(candidatePairs, entityClusters, goldenRecords, resolvedRevenue)
+    Seq(candidatePairs, entityClusters, goldenRecords, resolvedRevenue,
+      blockingQuality)
 }

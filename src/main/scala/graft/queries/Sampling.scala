@@ -424,7 +424,53 @@ object Sampling extends QueryPack {
                / CAST(COUNT(*) * 1024 AS DOUBLE) AS fill_rate
       FROM packs GROUP BY 1, 2"""))
 
+  /** samp6: WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    * exponential race), deterministic: each document's race key is
+    * `ln(u)/w` with `u = (hash(doc_id)+0.5)/2^32` and weight `w = n_chars`
+    * — ordering by this key descending is ordering by `u^(1/w)`, the
+    * classic weighted-reservoir key, so longer documents win
+    * proportionally more often while every decision replays bit-stable
+    * from the id hash (no rand(), same discipline as samp1/samp2).
+    *
+    * 100 TB shape: the key is map-side arithmetic on columns already in
+    * the scan; top-20-per-language goes through the same salted two-phase
+    * window as samp2 (32-way local top-k first, then the final window
+    * over ≤ 32·k survivors — Spark's WindowGroupLimit pushes the rank
+    * bound into partial top-k before the shuffle). The float key itself
+    * stays internal; the output carries only ranks and integer columns.
+    */
+  val weightedSample = GQuery(
+    "samp6_weighted_sample",
+    (s, dir) => {
+      val wkey = log((u(col("doc_id")) + lit(0.5)) / lit(4294967296.0)) /
+        col("n_chars").cast("double")
+      val local = row_number().over(
+        Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(32L)))
+          .orderBy(col("wkey").desc, col("doc_id")))
+      val rk = row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("wkey").desc, col("doc_id")))
+      docs(s, dir)
+        .filter(col("n_chars") > 0)
+        .withColumn("wkey", wkey)
+        .withColumn("lrk", local)
+        .filter(col("lrk") <= 20)
+        .withColumn("rk", rk)
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+    },
+    Some(s"""
+      WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               ln(($SqlU + 0.5) / 4294967296) / CAST(n_chars AS DOUBLE)
+                 AS wkey
+        FROM documents WHERE n_chars > 0)
+      SELECT lang, rk, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY wkey DESC, doc_id) AS rk
+        FROM keyed) WHERE rk <= 20"""))
+
   override def queries: Seq[GQuery] =
     Seq(stratifiedSample, reservoirPerStratum, mixtureResample, trainingMix,
-      sequencePacking, groupedSplit, shardManifest)
+      sequencePacking, groupedSplit, shardManifest, weightedSample)
 }

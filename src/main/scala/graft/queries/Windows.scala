@@ -633,9 +633,81 @@ object Windows extends QueryPack {
       FROM p WHERE dur_ms IS NOT NULL
       GROUP BY 1"""))
 
+  /** w20: pointwise mutual information between event types co-occurring in
+    * the same (user, day) session — the association statistic feature
+    * engineering and recommender co-visitation pipelines compute over
+    * billions of sessions (and the word-association classic in NLP). All
+    * counts are exact integers from two aggregations; PMI is a single
+    * per-output-row `ln` over an exact integer ratio, so there is no
+    * order-dependent float accumulation anywhere.
+    *
+    * 100 TB shape: session membership distincts on the session key, the
+    * pair expansion is a self-join ON the session key (per-session fan-out
+    * bounded by TYPES² = 25, never corpus-quadratic), and the marginals +
+    * session total join back as broadcasts (TYPES-sized and scalar). One
+    * uniform session-key shuffle carries everything.
+    */
+  val pmiCooccurrence = GQuery(
+    "w20_pmi_cooccurrence",
+    (s, dir) => {
+      val present = ev(s, dir)
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"),
+          col("event_type"))
+        .distinct()
+      val marginals = present.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_single"))
+      val nSessions = present.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val x = present.select(col("user_id"), col("day"),
+        col("event_type").as("type_a"))
+      val y = present.select(col("user_id"), col("day"),
+        col("event_type").as("type_b"))
+      x.join(y, Seq("user_id", "day"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(marginals
+          .select(col("event_type").as("type_a"), col("n_single").as("n_a"))),
+          "type_a")
+        .join(broadcast(marginals
+          .select(col("event_type").as("type_b"), col("n_single").as("n_b"))),
+          "type_b")
+        .crossJoin(broadcast(nSessions))
+        .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+          col("n_b"), col("n_sessions"),
+          log(col("n_ab").cast("double") * col("n_sessions").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("pmi"))
+    },
+    Some("""
+      WITH present AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+        FROM events),
+      marginals AS (
+        SELECT event_type, COUNT(*) AS n_single FROM present GROUP BY 1),
+      tot AS (
+        SELECT COUNT(*) AS n_sessions
+        FROM (SELECT DISTINCT user_id, day FROM present)),
+      pairs AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               COUNT(*) AS n_ab
+        FROM present x JOIN present y
+          ON x.user_id = y.user_id AND x.day = y.day
+         AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n_ab, a.n_single AS n_a, b.n_single AS n_b,
+             n_sessions,
+             ln(CAST(n_ab AS DOUBLE) * CAST(n_sessions AS DOUBLE)
+                / (CAST(a.n_single AS DOUBLE) * CAST(b.n_single AS DOUBLE)))
+               AS pmi
+      FROM pairs
+      JOIN marginals a ON pairs.type_a = a.event_type
+      JOIN marginals b ON pairs.type_b = b.event_type
+      CROSS JOIN tot"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
       eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
       rankFamily, nextEventPairs, funnel, cohortRetention, markovTransitions,
-      sequenceAnomaly, timeWeightedAvg)
+      sequenceAnomaly, timeWeightedAvg, pmiCooccurrence)
 }
