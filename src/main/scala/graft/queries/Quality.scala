@@ -158,5 +158,68 @@ object Quality extends QueryPack {
                                   ORDER BY l_orderkey, l_linenumber, observed) AS rk
         FROM viols) WHERE rk <= 5"""))
 
-  override def queries: Seq[GQuery] = Seq(contractSummary, violationSample)
+  /** dq3: source-vs-derived reconciliation — the "does the rollup still
+    * equal the detail" audit every warehouse runs between a header table
+    * and its recomputed line-level total (here: o_totalprice vs the
+    * lineitem-derived TPC-H pricing formula). The output is a one-row
+    * drift report: coverage, orphaned headers, tolerance-banded match
+    * counts, and the worst relative drift — on THIS generator the columns
+    * are independent, so the report correctly shows ~100% drift; the
+    * operator's job is to measure, not to assume.
+    *
+    * Scale shape: the detail side partial-aggregates to one decimal row
+    * per order before the join (exact, associative), then one uniform
+    * orderkey join against the header scan; every census figure is a
+    * conditional sum riding that single pass. Per-row drift is a decimal
+    * difference (exact) rendered to relative doubles only inside each
+    * row — no order-dependent float accumulation; the max is over exact
+    * per-row values.
+    */
+  val reconciliation = GQuery(
+    "dq3_reconciliation",
+    (s, dir) => {
+      val derived = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) + col("l_tax")) *
+          (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("derived"))
+      val joined = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .join(derived, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("diff",
+          abs(col("o_totalprice").cast("decimal(18,4)") -
+            coalesce(col("derived"), lit(0).cast("decimal(18,4)"))))
+        .withColumn("rel",
+          col("diff").cast("double") / col("o_totalprice").cast("double"))
+      joined.agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("derived").isNull, 1L).otherwise(0L)).as("n_orphaned"),
+        sum(when(col("diff") < 0.01, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("rel") <= 0.01, 1L).otherwise(0L)).as("n_within_1pct"),
+        sum(when(col("rel") <= 0.10, 1L).otherwise(0L)).as("n_within_10pct"),
+        max(col("rel")).as("max_rel_drift"))
+    },
+    Some("""
+      WITH derived AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                   AS DECIMAL(18,4))) AS derived
+        FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT o_orderkey, o_totalprice, derived,
+               abs(CAST(o_totalprice AS DECIMAL(18,4))
+                   - COALESCE(derived, 0)) AS diff,
+               CAST(abs(CAST(o_totalprice AS DECIMAL(18,4))
+                   - COALESCE(derived, 0)) AS DOUBLE)
+                 / CAST(o_totalprice AS DOUBLE) AS rel
+        FROM orders LEFT JOIN derived ON o_orderkey = l_orderkey)
+      SELECT COUNT(*) AS n_orders,
+             SUM(CASE WHEN derived IS NULL THEN 1 ELSE 0 END) AS n_orphaned,
+             SUM(CASE WHEN diff < 0.01 THEN 1 ELSE 0 END) AS n_exact,
+             SUM(CASE WHEN rel <= 0.01 THEN 1 ELSE 0 END) AS n_within_1pct,
+             SUM(CASE WHEN rel <= 0.10 THEN 1 ELSE 0 END) AS n_within_10pct,
+             MAX(rel) AS max_rel_drift
+      FROM j"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(contractSummary, violationSample, reconciliation)
 }

@@ -56,6 +56,41 @@ class IncrementalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g4: census matches an in-memory brute-force triangle count") {
+    val census = queries.Graph.triangleCensus.run(spark, dir).head
+    // reference: rebuild the tie graph naively and count triangles
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).iterator // iterator: Map.collect over tuple results
+      .collect { case (e, dups) if dups.size >= 2 => e }.toSet // would rebuild a Map keyed by u and collapse edges
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val wantTri = edges.toSeq.map { case (u, v) =>
+      (adj.getOrElse(u, Set.empty) & adj.getOrElse(v, Set.empty)).size
+    }.sum
+    assert(census.getAs[Long]("n_edges") === edges.size.toLong)
+    assert(census.getAs[Long]("n_triangles") === wantTri.toLong)
+    val degs = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+      .groupBy(identity).values.map(_.size.toLong)
+    assert(census.getAs[Long]("n_wedges") === degs.map(d => d * (d - 1) / 2).sum)
+  }
+
+  test("dq3: reconciliation census is internally consistent") {
+    val r = queries.Quality.reconciliation.run(spark, dir).head
+    val nOrders = Tables.load(spark, dir, "orders").count()
+    assert(r.getAs[Long]("n_orders") === nOrders)
+    assert(r.getAs[Long]("n_within_1pct") <= r.getAs[Long]("n_within_10pct"))
+    assert(r.getAs[Long]("n_within_10pct") <= nOrders)
+    assert(r.getAs[Long]("n_orphaned") ===
+      Tables.load(spark, dir, "orders").join(
+        Tables.load(spark, dir, "lineitem").select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_anti").count())
+    assert(r.getAs[Double]("max_rel_drift") >= 0.0)
+  }
+
   test("er5: blocking audit agrees with the er1 candidate generator") {
     val audit = queries.EntityResolution.blockingQuality.run(spark, dir).head
     val er1Count = queries.EntityResolution.candidatePairs.run(spark, dir)
