@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * ingest runs before anything downstream trusts the batch (the
   * Great-Expectations/dbt-test shape, expressed as one engine query).
   * tx17 scores free-text quality; this pack checks RELATIONAL contracts:
-  * value ranges, null bans, referential integrity, key uniqueness.
+  * value ranges, null bans, referential integrity, key uniqueness — plus
+  * the privacy-risk census (k-anonymity / l-diversity) a dataset release
+  * gate runs over quasi-identifier combinations (dq4/dq5).
   *
   * Plan shapes, by rule kind:
   *   - value/null rules: conditional sums riding ONE scan per table —
@@ -108,7 +110,7 @@ object Quality extends QueryPack {
         UNION ALL SELECT 'orders.custkey_fk_customer',
                (SELECT COUNT(*) FROM orders), CAST(v AS BIGINT) FROM fkord)
       SELECT rule, n_checked, n_violations,
-             n_violations * 1000000 // n_checked AS violation_ppm
+             CAST(n_violations * 1000000 // n_checked AS BIGINT) AS violation_ppm
       FROM rules"""))
 
   /** Deterministic evidence sample: the first 5 violating rows per firing
@@ -220,6 +222,102 @@ object Quality extends QueryPack {
              MAX(rel) AS max_rel_drift
       FROM j"""))
 
+  /** dq4: k-anonymity census — before a table ships to a training pipeline,
+    * how re-identifiable are its rows under the chosen quasi-identifiers?
+    * A row is "k-anonymous" if at least k rows share its QI tuple (here
+    * (c_nationkey, c_mktsegment)); the census reports, for each policy
+    * threshold k ∈ {2,5,10,25}, how many QI equivalence classes and how
+    * many actual rows fall below it. This is the aggregate a governance
+    * gate thresholds on ("quarantine if >0.1% of rows are below k=5").
+    *
+    * Scale shape: one groupBy on the QI tuple (the only shuffle — uniform,
+    * low-cardinality keys), then the threshold census is a conditional-sum
+    * aggregate over the tiny per-class relation, exploded against a literal
+    * threshold array. Adding a threshold costs an expression, not a pass.
+    */
+  val kAnonymity = GQuery(
+    "dq4_k_anonymity",
+    (s, dir) => {
+      val classes = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("sz"))
+      val ks = Seq(2, 5, 10, 25)
+      val aggs = Seq(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_rows")) ++
+        ks.flatMap(k => Seq(
+          sum(when(col("sz") < k, 1L).otherwise(0L)).as(s"g$k"),
+          sum(when(col("sz") < k, col("sz")).otherwise(0L)).as(s"r$k")))
+      classes.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(ks.map(k => struct(
+          lit(k).as("k"),
+          col("n_classes"), col("n_rows"),
+          col(s"g$k").as("classes_below_k"),
+          col(s"r$k").as("rows_below_k"))): _*)).as("c"))
+        .select(col("c.*"))
+        .withColumn("rows_below_ppm",
+          expr("rows_below_k * 1000000L div n_rows"))
+    },
+    Some("""
+      WITH classes AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+        FROM customer GROUP BY 1, 2),
+      census AS (
+        SELECT COUNT(*) AS n_classes, SUM(sz) AS n_rows,
+               SUM(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS g2,
+               SUM(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS r2,
+               SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS g5,
+               SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS r5,
+               SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS g10,
+               SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS r10,
+               SUM(CASE WHEN sz < 25 THEN 1 ELSE 0 END) AS g25,
+               SUM(CASE WHEN sz < 25 THEN sz ELSE 0 END) AS r25
+        FROM classes)
+      SELECT k, n_classes, n_rows, classes_below_k, rows_below_k,
+             CAST(rows_below_k * 1000000 // n_rows AS BIGINT) AS rows_below_ppm
+      FROM (
+        SELECT 2 AS k, n_classes, n_rows,
+               CAST(g2 AS BIGINT) AS classes_below_k,
+               CAST(r2 AS BIGINT) AS rows_below_k FROM census
+        UNION ALL SELECT 5, n_classes, n_rows, g5, r5 FROM census
+        UNION ALL SELECT 10, n_classes, n_rows, g10, r10 FROM census
+        UNION ALL SELECT 25, n_classes, n_rows, g25, r25 FROM census)"""))
+
+  /** dq5: l-diversity — k-anonymity's complement: an equivalence class can
+    * be large yet still leak if everyone in it shares the same sensitive
+    * value. Per QI class, count DISTINCT sensitive buckets (account balance
+    * in 1000-unit bands); report the classes whose diversity l < 3 and the
+    * row mass they carry. One-row governance summary.
+    *
+    * Scale shape: the distinct-count rides the same single QI shuffle as
+    * dq4 (partial aggregation on (QI, bucket) first would also work; with
+    * low-cardinality buckets Spark's ObjectHashAggregate handles the
+    * per-class distinct without a second shuffle). Output is O(1).
+    */
+  val lDiversity = GQuery(
+    "dq5_l_diversity",
+    (s, dir) => {
+      val classes = t(s, dir, "customer")
+        .withColumn("sens_bucket", floor(col("c_acctbal") / 1000))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("sens_bucket")).as("l"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("sz")).as("n_rows"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("classes_below_3"),
+        sum(when(col("l") < 3, col("sz")).otherwise(0L)).as("rows_below_3"))
+    },
+    Some("""
+      WITH classes AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz,
+               COUNT(DISTINCT FLOOR(c_acctbal / 1000)) AS l
+        FROM customer GROUP BY 1, 2)
+      SELECT COUNT(*) AS n_classes, SUM(sz) AS n_rows, MIN(l) AS min_l,
+             SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS classes_below_3,
+             SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS rows_below_3
+      FROM classes"""))
+
   override def queries: Seq[GQuery] =
-    Seq(contractSummary, violationSample, reconciliation)
+    Seq(contractSummary, violationSample, reconciliation, kAnonymity,
+      lDiversity)
 }
