@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Entity resolution / record linkage — the canonical "same real-world thing,
@@ -246,7 +246,91 @@ object EntityResolution extends QueryPack {
                  / CAST(COUNT(*) AS DOUBLE) AS reduction_ratio
       FROM pairs"""))
 
+  /** er6: Fellegi–Sunter match-weight estimation — the scoring layer of
+    * probabilistic record linkage. For each comparison field (brand, type,
+    * size) estimate m = P(field agrees | records match) and
+    * u = P(field agrees | random pair), then the log2 agreement /
+    * disagreement weights a pairwise classifier would sum per field.
+    *
+    * The scale trick: neither probability needs a materialized pair set.
+    * Agreement counts over all C(N,2) random pairs and over the
+    * assumed-match pairs (records sharing an exact p_name) are frequency
+    * moments — Σ C(n_v, 2) over per-value counts and Σ C(n_{name,v}, 2)
+    * over per-(name,value) counts — so the whole estimation is three
+    * groupBy aggregates on low-cardinality keys riding one exploded scan,
+    * where the textbook formulation is an O(N²) pair join. This is how FS
+    * parameters are actually fit at census scale (method-of-moments /
+    * EM initialization from value frequencies).
+    *
+    * On THIS generator brand/type/size are independent of the name, so the
+    * report correctly shows m ≈ u (weights near zero): like dq3, the
+    * operator's job is to measure the linkage power, not to assume it.
+    */
+  val fsWeights = GQuery(
+    "er6_fs_weights",
+    (s, dir) => {
+      val vals = t(s, dir, "part").select(col("p_name"), explode(array(
+          struct(lit("brand").as("field"), col("p_brand").as("value")),
+          struct(lit("type").as("field"), col("p_type").as("value")),
+          struct(lit("size").as("field"),
+            col("p_size").cast("string").as("value")))).as("fv"))
+        .select(col("p_name"), col("fv.field"), col("fv.value"))
+      def pairs(c: Column): Column = (c * (c - 1)).cast("long") / 2
+      // agreement pairs among ALL record pairs, per field
+      val uPairs = vals.groupBy(col("field"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("field"))
+        .agg(sum(pairs(col("c"))).cast("long").as("u_pairs"))
+      // agreement pairs among assumed-match (same exact name) pairs
+      val mPairs = vals.groupBy(col("field"), col("p_name"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("field"))
+        .agg(sum(pairs(col("c"))).cast("long").as("m_pairs"))
+      // denominators: C(N,2) and Σ_name C(n_name,2) — a 1-row relation
+      val denom = t(s, dir, "part").groupBy(col("p_name"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n"), sum(pairs(col("c"))).cast("long").as("match_pairs"))
+        .select(pairs(col("n")).cast("long").as("total_pairs"),
+          col("match_pairs"))
+      uPairs.join(mPairs, "field")
+        .crossJoin(broadcast(denom))
+        .withColumn("m", col("m_pairs").cast("double") / col("match_pairs"))
+        .withColumn("u", col("u_pairs").cast("double") / col("total_pairs"))
+        .select(col("field"), col("m_pairs"), col("u_pairs"),
+          col("match_pairs"), col("total_pairs"), col("m"), col("u"),
+          log2(col("m") / col("u")).as("w_agree"),
+          log2((lit(1.0) - col("m")) / (lit(1.0) - col("u")))
+            .as("w_disagree"))
+    },
+    Some("""
+      WITH vals AS (
+        SELECT p_name, 'brand' AS field, p_brand AS value FROM part
+        UNION ALL SELECT p_name, 'type', p_type FROM part
+        UNION ALL SELECT p_name, 'size', CAST(p_size AS VARCHAR) FROM part),
+      up AS (
+        SELECT field, CAST(SUM(c*(c-1)/2) AS BIGINT) AS u_pairs
+        FROM (SELECT field, value, COUNT(*) AS c FROM vals GROUP BY 1, 2)
+        GROUP BY 1),
+      mp AS (
+        SELECT field, CAST(SUM(c*(c-1)/2) AS BIGINT) AS m_pairs
+        FROM (SELECT field, p_name, value, COUNT(*) AS c
+              FROM vals GROUP BY 1, 2, 3)
+        GROUP BY 1),
+      denom AS (
+        SELECT CAST(SUM(c)*(SUM(c)-1)/2 AS BIGINT) AS total_pairs,
+               CAST(SUM(c*(c-1)/2) AS BIGINT) AS match_pairs
+        FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_name))
+      SELECT field, m_pairs, u_pairs, match_pairs, total_pairs,
+             CAST(m_pairs AS DOUBLE) / match_pairs AS m,
+             CAST(u_pairs AS DOUBLE) / total_pairs AS u,
+             log2((CAST(m_pairs AS DOUBLE) / match_pairs)
+                  / (CAST(u_pairs AS DOUBLE) / total_pairs)) AS w_agree,
+             log2((1.0 - CAST(m_pairs AS DOUBLE) / match_pairs)
+                  / (1.0 - CAST(u_pairs AS DOUBLE) / total_pairs))
+               AS w_disagree
+      FROM up JOIN mp USING (field), denom"""))
+
   override def queries: Seq[GQuery] =
     Seq(candidatePairs, entityClusters, goldenRecords, resolvedRevenue,
-      blockingQuality)
+      blockingQuality, fsWeights)
 }

@@ -436,4 +436,16 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin"), s"$name: unexpected shuffle join:\n$p")
     }
   }
+
+  test("dq4/dq5: privacy census is one scan, one QI shuffle, partial aggs") {
+    Seq("dq4_k_anonymity", "dq5_l_diversity").foreach { name =>
+      val p = plan(name)
+      val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(pq === 1, s"$name: expected ONE customer scan, got $pq:\n$p")
+      // the only wide op is the groupBy on the QI tuple; the census over the
+      // per-class relation must not introduce a join or a second table pass
+      assert(p.contains("partial_"), s"$name: class sizing must map-side combine:\n$p")
+      assert(!p.contains("Join"), s"$name: census planned a join:\n$p")
+    }
+  }
 }
