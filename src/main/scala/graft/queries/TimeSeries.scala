@@ -227,6 +227,79 @@ object TimeSeries extends QueryPack {
              CASE WHEN value > hi THEN 'up' ELSE 'down' END AS direction
       FROM w WHERE cnt = 20 AND (value > hi OR value < lo)"""))
 
+  /** tsr5: seasonal-naive forecast backtest — the baseline every forecasting
+    * system must beat before anything fancier ships: predict each day's
+    * per-user activity total with the value from 7 days earlier (weekly
+    * seasonality), then score the prediction over the rest of the window
+    * with MAE and sMAPE. The output is the per-user error report a model
+    * registry stores as the champion-challenger floor.
+    *
+    * Scale shape: daily totals are one partial-aggregable shuffle on
+    * (user_id, day); the dense grid comes from the broadcast `sequence`
+    * explode (missing days are real zeros — absence of activity IS the
+    * observation here); lag(7) and the scoring ride one window sort per
+    * series. Error math discipline: totals and absolute errors accumulate
+    * in decimal (exact, associative); sMAPE's per-day ratio is computed in
+    * double but immediately quantized to decimal(18,12) so the per-user
+    * mean is an exact sum too — no order-dependent float accumulation
+    * anywhere.
+    */
+  val seasonalBacktest = GQuery(
+    "tsr5_seasonal_backtest",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("v0"))
+      val series = grid(s, dir, "1 day", s"$D1 00:00:00")
+        .withColumnRenamed("gts", "day")
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("v", coalesce(col("v0"), lit(0).cast("decimal(38,6)")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val scored = series
+        .withColumn("f", lag(col("v"), 7).over(w))
+        .filter(col("f").isNotNull)
+        .withColumn("abs_err", abs(col("v") - col("f")))
+        .withColumn("smape_t",
+          when(abs(col("v")) + abs(col("f")) === 0, lit(0.0))
+            .otherwise(lit(2.0) * col("abs_err").cast("double") /
+              (abs(col("v")) + abs(col("f"))).cast("double"))
+            .cast("decimal(18,12)"))
+      scored.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_scored"),
+          (sum(col("abs_err")).cast("double") / count(lit(1))).as("mae"),
+          (sum(col("smape_t")).cast("double") / count(lit(1))).as("smape"))
+    },
+    Some(s"""
+      WITH days AS (
+        SELECT CAST(unnest(generate_series(TIMESTAMP '$D0 00:00:00',
+                    TIMESTAMP '$D1 00:00:00', INTERVAL 1 DAY)) AS TIMESTAMP) AS day),
+      daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS v0
+        FROM events GROUP BY 1, 2),
+      series AS (
+        SELECT g.user_id, g.day, COALESCE(d.v0, 0) AS v
+        FROM (SELECT user_id, day
+              FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN days) g
+        LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day),
+      fc AS (
+        SELECT user_id, day, v,
+               lag(v, 7) OVER (PARTITION BY user_id ORDER BY day) AS f
+        FROM series),
+      scored AS (
+        SELECT user_id, abs(v - f) AS abs_err,
+               CAST(CASE WHEN abs(v) + abs(f) = 0 THEN 0.0
+                         ELSE 2.0 * CAST(abs(v - f) AS DOUBLE)
+                              / CAST(abs(v) + abs(f) AS DOUBLE) END
+                    AS DECIMAL(18,12)) AS smape_t
+        FROM fc WHERE f IS NOT NULL)
+      SELECT user_id, COUNT(*) AS n_scored,
+             CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) AS mae,
+             CAST(SUM(smape_t) AS DOUBLE) / COUNT(*) AS smape
+      FROM scored GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
-    Seq(dailyFfill, gridInterp, ohlcBars, channelBreakout)
+    Seq(dailyFfill, gridInterp, ohlcBars, channelBreakout, seasonalBacktest)
 }

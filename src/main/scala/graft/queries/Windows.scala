@@ -705,9 +705,83 @@ object Windows extends QueryPack {
       JOIN marginals b ON pairs.type_b = b.event_type
       CROSS JOIN tot"""))
 
+  /** w21: single change-point detection per series — binary segmentation's
+    * first split, the workhorse behind metric-regression alarms: for every
+    * candidate split t in a user's (ts, event_id)-ordered value sequence,
+    * score the split by the scaled mean shift
+    * `|mean(prefix) - mean(suffix)| * sqrt(t*(n-t)/n)` (the CUSUM-equivalent
+    * two-sample statistic), and report the argmax split with both means.
+    * Unlike the recursive CUSUM filter (S_t = max(0, S_{t-1}+...), which is
+    * non-associative and needs stateful iteration), this statistic is pure
+    * prefix-sum algebra, so it rides ONE window sort per series.
+    *
+    * Scale shape: everything partitions by user_id (bounded human-scale
+    * series, same argument as tsr*); prefix sums accumulate in
+    * decimal(18,6) in the deterministic (ts, event_id) window order, so
+    * both the scores and the argmax are bit-stable at any parallelism;
+    * per-row score math is double but derived from exact decimals. The
+    * argmax is a row_number over the same partition — no second shuffle.
+    */
+  val changePoint = GQuery(
+    "w21_change_point",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val scored = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .withColumn("t", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("s_t", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("s_n", sum(col("v")).over(Window.partitionBy(col("user_id"))))
+        .filter(col("t") < col("n"))
+        .withColumn("mean_before",
+          col("s_t").cast("double") / col("t"))
+        .withColumn("mean_after",
+          (col("s_n") - col("s_t")).cast("double") / (col("n") - col("t")))
+        .withColumn("score",
+          abs(col("mean_before") - col("mean_after")) *
+            sqrt((col("t") * (col("n") - col("t"))).cast("double") /
+              col("n").cast("double")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("score").desc, col("ts"), col("event_id"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("n").cast("long").as("n_events"),
+          col("ts").as("split_ts"), col("t").cast("long").as("split_pos"),
+          col("mean_before"), col("mean_after"), col("score"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+               row_number() OVER w AS t,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                 w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t,
+               SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                 PARTITION BY user_id) AS s_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      scored AS (
+        SELECT user_id, ts, event_id, t, n,
+               CAST(s_t AS DOUBLE) / t AS mean_before,
+               CAST(s_n - s_t AS DOUBLE) / (n - t) AS mean_after,
+               abs(CAST(s_t AS DOUBLE) / t - CAST(s_n - s_t AS DOUBLE) / (n - t))
+                 * sqrt(CAST(t * (n - t) AS DOUBLE) / CAST(n AS DOUBLE)) AS score
+        FROM seq WHERE t < n)
+      SELECT user_id, CAST(n AS BIGINT) AS n_events, ts AS split_ts,
+             CAST(t AS BIGINT) AS split_pos, mean_before, mean_after, score
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY score DESC, ts, event_id) AS rk
+        FROM scored)
+      WHERE rk = 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
       eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
       rankFamily, nextEventPairs, funnel, cohortRetention, markovTransitions,
-      sequenceAnomaly, timeWeightedAvg, pmiCooccurrence)
+      sequenceAnomaly, timeWeightedAvg, pmiCooccurrence, changePoint)
 }
