@@ -305,47 +305,66 @@ object Graph extends QueryPack {
     *   - Wedge TOTAL for the coefficient is Σ C(d, 2) off the degree
     *     table — exact integers; the coefficient is one double division.
     */
+  /** Shared co-purchase graph builders (g4 census + g5 local coefficients):
+    * pruned canonical edge list (persisted — the per-order pair expansion
+    * over the fact table must run once, not once per consumer branch),
+    * degree table, and the (degree, id)-oriented edge list that bounds
+    * every out-neighborhood by O(√m) for wedge enumeration.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+    a.join(b, "l_orderkey")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+      .persist()
+  }
+
+  private def degreesOf(e0: DataFrame): DataFrame =
+    e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+
+  /** Orient each edge from its (degree, id)-smaller endpoint; carry the
+    * target's (degree, id) so wedge pairs can be ordered locally.
+    */
+  private def orientEdges(e0: DataFrame, deg: DataFrame): DataFrame =
+    e0.join(deg.select(col("node").as("u"), col("d").as("ud")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("vd")), "v")
+      .select(
+        when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
+          col("v")).otherwise(col("u")).as("t"),
+        when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
+          col("vd")).otherwise(col("ud")).as("td"))
+      .persist()
+
+  /** Oriented-wedge pair enumeration + closure check: the triangle triple
+    * list (s, t1, t2), each triangle exactly once.
+    */
+  private def triangleTriples(oriented: DataFrame): DataFrame = {
+    val o1 = oriented.select(col("s"), col("t").as("t1"), col("td").as("t1d"))
+    val o2 = oriented.select(col("s"), col("t").as("t2"), col("td").as("t2d"))
+    o1.join(o2, "s")
+      .filter(struct(col("t1d"), col("t1")) < struct(col("t2d"), col("t2")))
+      .join(oriented.select(col("s").as("t1"), col("t").as("t2")),
+        Seq("t1", "t2"))
+      .select(col("s"), col("t1"), col("t2"))
+  }
+
   val triangleCensus = GQuery(
     "g4_triangle_census",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
-      // persist the PRUNED edge list: it is consumed by four branches
-      // (degrees, orientation, closure, the edge count) and the expensive
-      // part — the per-order pair expansion over the fact table — must run
-      // once, not once per branch. Post-HAVING it is tie-bounded (small).
-      val e0 = a.join(b, "l_orderkey")
-        .filter(col("u") < col("v"))
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("u"), col("v"))
-        .persist()
-      val deg = e0.select(col("u").as("node"))
-        .unionAll(e0.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      // orient each edge from its (degree, id)-smaller endpoint; carry the
-      // target's (degree, id) so wedge pairs can be ordered locally
-      val oriented = e0
-        .join(deg.select(col("node").as("u"), col("d").as("ud")), "u")
-        .join(deg.select(col("node").as("v"), col("d").as("vd")), "v")
-        .select(
-          when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
-            col("u")).otherwise(col("v")).as("s"),
-          when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
-            col("v")).otherwise(col("u")).as("t"),
-          when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
-            col("vd")).otherwise(col("ud")).as("td"))
-        .persist()
-      val o1 = oriented.select(col("s"), col("t").as("t1"), col("td").as("t1d"))
-      val o2 = oriented.select(col("s"), col("t").as("t2"), col("td").as("t2d"))
-      val wedgePairs = o1.join(o2, "s")
-        .filter(struct(col("t1d"), col("t1")) < struct(col("t2d"), col("t2")))
-      val triangles = wedgePairs.join(oriented
-          .select(col("s").as("t1"), col("t").as("t2")),
-          Seq("t1", "t2"))
+      val e0 = coPurchaseEdges(s, dir)
+      val deg = degreesOf(e0)
+      val oriented = orientEdges(e0, deg)
+      val triangles = triangleTriples(oriented)
         .agg(count(lit(1)).as("n_triangles"))
       val census = e0.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(deg.agg(
@@ -386,6 +405,68 @@ object Graph extends QueryPack {
                   ELSE 0.0 END AS global_clustering
       FROM wtot, tri"""))
 
+  /** g5: local clustering coefficient per node — the per-entity cohesion
+    * score (n_triangles_through_node / C(degree, 2)) that community and
+    * fraud features consume row-wise, completing g4's one-row census with
+    * the node-level distribution.
+    *
+    * Scale shape: identical machinery to g4 (shared builders — pruned
+    * persisted edge list, √m-bounded oriented wedge join); the only new
+    * work is crediting each triangle to its three corners (explode ×3,
+    * node-bounded) and one broadcast-sized join against the degree table.
+    * The denominator is exact integer wedge count per node; the
+    * coefficient is one double division per row.
+    */
+  val clusteringCoeff = GQuery(
+    "g5_clustering_coeff",
+    (s, dir) => {
+      val e0 = coPurchaseEdges(s, dir)
+      val deg = degreesOf(e0)
+      val oriented = orientEdges(e0, deg)
+      val perNode = triangleTriples(oriented)
+        .select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.filter(col("d") >= 2)
+        .join(perNode, Seq("node"), "left")
+        .select(col("node"), col("d").as("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          (coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            expr("d * (d - 1) div 2").cast("double")).as("local_cc"))
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY 1),
+      o AS (
+        SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS s,
+               CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS t,
+               CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN dv.d ELSE du.d END AS td
+        FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node),
+      tri AS (
+        SELECT o1.s, o1.t AS t1, o2.t AS t2
+        FROM o o1 JOIN o o2 ON o1.s = o2.s AND (o1.td, o1.t) < (o2.td, o2.t)
+        JOIN o o3 ON o3.s = o1.t AND o3.t = o2.t),
+      pn AS (
+        SELECT node, COUNT(*) AS n_triangles
+        FROM (SELECT s AS node FROM tri
+              UNION ALL SELECT t1 FROM tri
+              UNION ALL SELECT t2 FROM tri)
+        GROUP BY 1)
+      SELECT d.node, d.d AS degree,
+             COALESCE(pn.n_triangles, 0) AS n_triangles,
+             CAST(COALESCE(pn.n_triangles, 0) AS DOUBLE)
+               / CAST(d.d * (d.d - 1) // 2 AS DOUBLE) AS local_cc
+      FROM deg d LEFT JOIN pn ON d.node = pn.node
+      WHERE d.d >= 2"""))
+
   override def queries: Seq[GQuery] =
-    Seq(pagerank, khopReach, cheapestPath, triangleCensus)
+    Seq(pagerank, khopReach, cheapestPath, triangleCensus, clusteringCoeff)
 }

@@ -470,7 +470,179 @@ object Sampling extends QueryPack {
                                   ORDER BY wkey DESC, doc_id) AS rk
         FROM keyed) WHERE rk <= 20"""))
 
+  /** samp7: Horvitz–Thompson estimation audit — the statistical layer that
+    * makes samples USABLE: every sampled row is weighted by its inverse
+    * inclusion probability 1/π, so corpus totals estimated from the samp1
+    * stratified sample are unbiased, and this audit reports the estimate
+    * next to the exact truth with relative errors. At 100 TB the truth
+    * side runs once per release (or on a slice); the estimator side is
+    * what daily jobs consume.
+    *
+    * Determinism: the samp1 thresholds are powers of two, so the inverse
+    * probabilities (2, 4, 8) are EXACT doubles and the estimates are
+    * integer-sum × exact-double products — no float accumulation anywhere.
+    * Plan: two scans (sample + truth), each one partial-aggregable groupBy
+    * on the ≤ #langs stratum key, joined as tiny dimensions.
+    */
+  val htEstimate = GQuery(
+    "samp7_ht_estimate",
+    (s, dir) => {
+      val invPi = when(col("lang").isin("en", "fr"), 2.0)
+        .when(col("lang").isin("de", "es"), 4.0)
+        .otherwise(8.0)
+      val threshold = when(col("lang").isin("en", "fr"), 2147483648L)
+        .when(col("lang").isin("de", "es"), 1073741824L)
+        .otherwise(536870912L)
+      val est = docs(s, dir)
+        .filter(u(col("doc_id")) < threshold)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("chars_sampled"))
+        .select(col("lang"), col("n_sampled"),
+          (col("n_sampled") * invPi).as("est_docs"),
+          (col("chars_sampled") * invPi).as("est_chars"))
+      val truth = docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("true_docs"),
+          sum(col("n_chars")).as("true_chars"))
+      est.join(truth, "lang")
+        .select(col("lang"), col("n_sampled"),
+          col("est_docs"), col("true_docs"),
+          (col("est_docs") / col("true_docs") - 1.0).as("rel_err_docs"),
+          col("est_chars"), col("true_chars"),
+          (col("est_chars") / col("true_chars") - 1.0).as("rel_err_chars"))
+    },
+    Some(s"""
+      WITH est AS (
+        SELECT lang, COUNT(*) AS n_sampled,
+               COUNT(*) * (CASE WHEN lang IN ('en','fr') THEN 2.0
+                                WHEN lang IN ('de','es') THEN 4.0
+                                ELSE 8.0 END) AS est_docs,
+               SUM(n_chars) * (CASE WHEN lang IN ('en','fr') THEN 2.0
+                                    WHEN lang IN ('de','es') THEN 4.0
+                                    ELSE 8.0 END) AS est_chars
+        FROM documents
+        WHERE $SqlU < CASE WHEN lang IN ('en','fr') THEN 2147483648
+                           WHEN lang IN ('de','es') THEN 1073741824
+                           ELSE 536870912 END
+        GROUP BY 1),
+      truth AS (
+        SELECT lang, COUNT(*) AS true_docs, SUM(n_chars) AS true_chars
+        FROM documents GROUP BY 1)
+      SELECT lang, n_sampled, est_docs, true_docs,
+             est_docs / true_docs - 1.0 AS rel_err_docs,
+             est_chars, true_chars,
+             est_chars / true_chars - 1.0 AS rel_err_chars
+      FROM est JOIN truth USING (lang)"""))
+
+  /** Poisson(1) inverse-CDF thresholds scaled to [0, 2^32) — the cumulative
+    * probabilities e^-1·Σ 1/k!, rounded once and shared verbatim with the
+    * oracle, so resample weights are a pure integer comparison chain.
+    */
+  private val PoisCum = Seq(1580030169L, 3160060337L, 3950075422L,
+    4213413783L, 4279248373L, 4292415891L)
+
+  /** samp8: Poisson-bootstrap confidence intervals — uncertainty for a
+    * corpus statistic (mean document length per language) WITHOUT
+    * resampling the dataset: each of B=32 virtual resamples gives every
+    * row an independent Poisson(1) weight, the per-resample weighted means
+    * form the bootstrap distribution, and the CI is read off their order
+    * statistics. This is the standard bootstrap at terabyte scale (true
+    * multinomial resampling needs the global N per draw; Poisson weights
+    * are per-row independent, so the whole thing rides the scan).
+    *
+    * Determinism: the Poisson draw is the inverse CDF applied to the
+    * sk-pack's avalanched mix32 hash of (doc_id, b) — no rand(), replays
+    * bit-stable anywhere. Weighted sums are integer (weight × chars);
+    * each resample mean is one double division; the CI bounds are order
+    * statistics (rank 2 / rank 31 of 32 — a ~94% interval), elected by
+    * row_number, not float quantile math.
+    *
+    * Plan: explode ×32 (the bootstrap's real, honest cost — still
+    * scan-shaped), one partial-aggregable groupBy on (lang, b), then
+    * window + election over ≤ 32·#langs rows.
+    */
+  val bootstrapCi = GQuery(
+    "samp8_bootstrap_ci",
+    (s, dir) => {
+      val exploded = docs(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0L), lit(31L))).as("b"))
+        .withColumn("ma", ((col("doc_id") * 64L + col("b")) * 2654435761L)
+          % 4294967296L)
+        .withColumn("mb", expr("ma ^ (ma div 65536)"))
+        .withColumn("mc", expr("(mb * 1540483477L) % 4294967296L"))
+        .withColumn("md", expr("mc ^ (mc div 8192)"))
+        .withColumn("me", expr("(md * 1274126177L) % 4294967296L"))
+        .withColumn("pri", expr("me ^ (me div 65536)"))
+        .withColumn("w", PoisCum.zipWithIndex.foldRight(lit(6L): Column) {
+          case ((cum, k), rest) => when(col("pri") < cum, k.toLong)
+            .otherwise(rest)
+        })
+      val means = exploded.groupBy(col("lang"), col("b"))
+        .agg(sum(col("w")).as("sw"),
+          sum(col("w") * col("n_chars")).as("swx"))
+        .filter(col("sw") > 0)
+        .withColumn("mean_b", col("swx").cast("double") / col("sw"))
+      val ranked = means.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("mean_b"), col("b"))))
+      val ci = ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_resamples"),
+          min(when(col("rk") === 2, col("mean_b"))).as("boot_lo"),
+          min(when(col("rk") === 31, col("mean_b"))).as("boot_hi"))
+      val point = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("mean_chars"))
+      point.join(ci, "lang")
+        .select(col("lang"), col("n_docs"), col("mean_chars"),
+          col("boot_lo"), col("boot_hi"), col("n_resamples"))
+    },
+    Some(s"""
+      WITH expl AS (
+        SELECT lang, doc_id, n_chars, unnest(generate_series(0, 31)) AS b
+        FROM documents),
+      x1 AS (SELECT lang, n_chars, b,
+               ((doc_id * 64 + b) * 2654435761) % 4294967296 AS ma FROM expl),
+      x2 AS (SELECT lang, n_chars, b, xor(ma, ma // 65536) AS mb FROM x1),
+      x3 AS (SELECT lang, n_chars, b,
+               (mb * 1540483477) % 4294967296 AS mc FROM x2),
+      x4 AS (SELECT lang, n_chars, b, xor(mc, mc // 8192) AS md FROM x3),
+      x5 AS (SELECT lang, n_chars, b,
+               (md * 1274126177) % 4294967296 AS me FROM x4),
+      pr AS (SELECT lang, n_chars, b, xor(me, me // 65536) AS pri FROM x5),
+      wt AS (SELECT lang, n_chars, b,
+               CASE WHEN pri < ${PoisCum(0)} THEN 0
+                    WHEN pri < ${PoisCum(1)} THEN 1
+                    WHEN pri < ${PoisCum(2)} THEN 2
+                    WHEN pri < ${PoisCum(3)} THEN 3
+                    WHEN pri < ${PoisCum(4)} THEN 4
+                    WHEN pri < ${PoisCum(5)} THEN 5
+                    ELSE 6 END AS w
+             FROM pr),
+      means AS (
+        SELECT lang, b,
+               CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS mean_b
+        FROM wt GROUP BY 1, 2 HAVING SUM(w) > 0),
+      ranked AS (
+        SELECT lang, b, mean_b,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY mean_b, b) AS rk
+        FROM means),
+      ci AS (
+        SELECT lang, COUNT(*) AS n_resamples,
+               MIN(CASE WHEN rk = 2 THEN mean_b END) AS boot_lo,
+               MIN(CASE WHEN rk = 31 THEN mean_b END) AS boot_hi
+        FROM ranked GROUP BY 1),
+      pt AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        FROM documents GROUP BY 1)
+      SELECT lang, n_docs, mean_chars, boot_lo, boot_hi, n_resamples
+      FROM pt JOIN ci USING (lang)"""))
+
   override def queries: Seq[GQuery] =
     Seq(stratifiedSample, reservoirPerStratum, mixtureResample, trainingMix,
-      sequencePacking, groupedSplit, shardManifest, weightedSample)
+      sequencePacking, groupedSplit, shardManifest, weightedSample,
+      htEstimate, bootstrapCi)
 }
