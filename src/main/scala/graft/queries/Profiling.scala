@@ -551,8 +551,69 @@ object Profiling extends QueryPack {
                least(n_levels - 1, n_labels - 1) AS DOUBLE)) AS cramers_v
       FROM agg"""))
 
+  /** prof9: concentration profile — Gini coefficient and top-decile share
+    * of `value` per event type, the inequality/skew audit behind "is 1% of
+    * the traffic carrying 90% of the volume" dashboards and the honest
+    * companion to sk7's hash-bucket forecast (sk7 predicts shuffle skew;
+    * this measures VALUE concentration, the business-level skew).
+    *
+    * Exact by design, like prof4: the Gini needs the values RANKED, so the
+    * plan is one hash shuffle on event_type plus one per-group window sort
+    * — the unavoidable cost of an exact Lorenz ordering. All accumulation
+    * is decimal/integer (Σ x and Σ rank·x are exact; rank·x is a
+    * decimal × bigint product), so the coefficient is a single double
+    * expression over exact sums — bit-stable at any parallelism. At
+    * 100 TB the drop-in is the sk5 sample-quantile Lorenz curve (bucketed
+    * partial sums, no global sort); this operator is the ground truth it
+    * is validated against, and the per-group sort spills gracefully (it's
+    * Spark's external sort, not a single-partition collapse — gated below
+    * by the no-SinglePartition plan check).
+    */
+  val giniConcentration = GQuery(
+    "prof9_gini_concentration",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ranked = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("value").cast("decimal(18,6)").as("x"))
+        .withColumn("i", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      ranked.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("i")).as("six"),
+          sum(when(col("i") > expr("(nn * 9 + 9) div 10"), col("x")))
+            .as("top_decile_sum"))
+        .select(col("event_type"), col("n"),
+          col("sx").cast("double").as("total_value"),
+          (lit(2.0) * col("six").cast("double") /
+            (col("n") * col("sx")).cast("double") -
+            (col("n") + 1).cast("double") / col("n").cast("double"))
+            .as("gini"),
+          (col("top_decile_sum").cast("double") / col("sx").cast("double"))
+            .as("top_decile_share"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,6)) AS x,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS i,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS total_value,
+             2.0 * CAST(SUM(x * i) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(x) AS DOUBLE)
+               - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*) AS gini,
+             CAST(SUM(CASE WHEN i > (n * 9 + 9) // 10 THEN x END) AS DOUBLE)
+               / CAST(SUM(x) AS DOUBLE) AS top_decile_share
+      FROM ranked GROUP BY event_type"""))
+
   override def queries: Seq[GQuery] =
     Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix,
       quantileProfile, categoricalAssoc, histogramQuantiles, distributionDrift,
-      featureLabelAssoc)
+      featureLabelAssoc, giniConcentration)
 }

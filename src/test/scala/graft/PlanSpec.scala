@@ -437,6 +437,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("prof9: the Lorenz ranking is a partitioned window, never one partition") {
+    val p = plan("prof9_gini_concentration")
+    assert(!p.contains("SinglePartition"),
+      s"the per-type Gini sort collapsed to one partition:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"prof9 should be scan+window+agg, no joins:\n$p")
+  }
+
   test("dq4/dq5: privacy census is one scan, one QI shuffle, partial aggs") {
     Seq("dq4_k_anonymity", "dq5_l_diversity").foreach { name =>
       val p = plan(name)
