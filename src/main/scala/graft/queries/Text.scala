@@ -987,9 +987,91 @@ object Text extends QueryPack {
                                   doc_id) AS rk
         FROM scored) WHERE rk <= 25"""))
 
+  /** tx21: Zipf-law fit — the corpus-statistics companion to tx13's Heaps
+    * curve: regress log(frequency) on log(rank) over the top-1000 terms and
+    * report the exponent, intercept, and r². A healthy natural-language
+    * corpus fits slope ≈ −1; a corpus poisoned by boilerplate or synthetic
+    * repetition bends the head of the curve, so the exponent is a cheap
+    * whole-corpus health gate alongside tx16's dup-rate.
+    *
+    * Scale shape: term counting is one uniform token shuffle with map-side
+    * combine; the top-1000 election is the salted two-phase window (the
+    * samp2/sk1 idiom — the final rank window sees ≤ 32·k survivors, a
+    * BOUNDED single partition, never the vocabulary); the regression is
+    * one aggregate over exactly 1000 rows. Float discipline: per-row
+    * log() values quantize to decimal(28,12) before summation, so the
+    * normal-equation sums are exact and the fit is bit-stable (ln() ulp
+    * differences between engines sit 6 orders below the compare
+    * precision).
+    */
+  val zipfFit = GQuery(
+    "tx21_zipf_fit",
+    (s, dir) => {
+      val K = 1000
+      val counts = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("f"))
+      val local = row_number().over(
+        Window.partitionBy(pmod(hash(col("token")), lit(32)))
+          .orderBy(col("f").desc, col("token")))
+      val rk = row_number().over(
+        Window.orderBy(col("f").desc, col("token")))
+      val head = counts
+        .withColumn("lrk", local).filter(col("lrk") <= K)
+        .withColumn("rank", rk).filter(col("rank") <= K)
+        .select(
+          log(col("rank").cast("double")).cast("decimal(18,12)").as("x"),
+          log(col("f").cast("double")).cast("decimal(18,12)").as("y"))
+      // sums are exact decimals (items quantized per row, products fit
+      // decimal(37,24)); regression algebra then runs in double over the
+      // six exact scalars — identical expression structure to the oracle,
+      // so every IEEE operation matches
+      val sums = head.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varX = col("n") * col("sxx") - col("sx") * col("sx")
+      val varY = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(
+        col("n").cast("long").as("n_terms"),
+        (cov / varX).as("zipf_slope"),
+        ((col("sy") - cov / varX * col("sx")) / col("n")).as("intercept"),
+        (cov * cov / (varX * varY)).as("r2"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT token, COUNT(*) AS f
+        FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents)
+        GROUP BY 1),
+      head AS (
+        SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+               CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(18,12)) AS y
+        FROM (SELECT f, row_number() OVER (ORDER BY f DESC, token) AS rank
+              FROM counts)
+        WHERE rank <= 1000),
+      sums AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM head)
+      SELECT CAST(n AS BIGINT) AS n_terms,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept,
+             (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      FROM sums"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
       vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules, bm25TopK,
-      fuzzyDecontamination, dsirSelection)
+      fuzzyDecontamination, dsirSelection, zipfFit)
 }
