@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Quality,
     graft.queries.Sketches,
     graft.queries.EntityResolution,
-    graft.queries.TimeSeries)
+    graft.queries.TimeSeries,
+    graft.queries.Experiments)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
