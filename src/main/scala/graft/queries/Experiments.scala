@@ -63,21 +63,14 @@ object Experiments extends QueryPack {
 
   /** ab1: per-variant metric moments — the experiment dashboard row: user
     * count, mean, and sample variance of the per-user metric, all derived
-    * from exact (n, Σm, Σm²) sums.
+    * from exact (n, Σm, Σm²) sums. The aggregation body is STRUCTURALLY
+    * SHARED with [[graft.streaming.StreamingAb]] (this query calls the
+    * same function), so the live dashboard and the nightly batch readout
+    * can never drift apart — the ContractMonitor/StreamingOhlc pattern.
     */
   val variantMetrics = GQuery(
     "ab1_variant_metrics",
-    (s, dir) => userMetric(s, dir)
-      .groupBy(col("variant"))
-      .agg(
-        count(lit(1)).as("n_users"),
-        sum(col("m")).cast("double").as("sm"),
-        sum(col("m") * col("m")).cast("double").as("smm"))
-      .select(col("variant"), col("n_users"),
-        (col("sm") / col("n_users")).as("mean_metric"),
-        ((col("n_users") * col("smm") - col("sm") * col("sm")) /
-          (col("n_users").cast("double") * (col("n_users") - 1)))
-          .as("var_metric")),
+    (s, dir) => graft.streaming.StreamingAb.moments(userMetric(s, dir)),
     Some(s"""
       WITH $SqlUserMetric
       SELECT variant, COUNT(*) AS n_users,
