@@ -612,8 +612,68 @@ object Profiling extends QueryPack {
                / CAST(SUM(x) AS DOUBLE) AS top_decile_share
       FROM ranked GROUP BY event_type"""))
 
+  /** prof10: robust outlier census — median/MAD per event type and the
+    * count of values outside median ± 3·1.4826·MAD (the robust z-score
+    * gate: 1.4826·MAD estimates σ under normality but, unlike mean/stddev,
+    * neither statistic is dragged by the outliers it is hunting). This is
+    * the alerting profile for long-tailed metrics where prof1's moment
+    * stats lie.
+    *
+    * Scale shape: exact MAD is unavoidably sequential — median, THEN the
+    * deviation median, THEN the census — so the plan is three passes over
+    * the (pushdown-pruned two-column) scan, each reducing to a ≤ |types|
+    * relation that broadcasts back; nothing ever shuffles the data rows.
+    * At 100 TB the drop-in is `approx_percentile` for both medians (same
+    * plan, mergeable sketches, one pass per stage still) — prof4's
+    * documented trade, reused. Both engines interpolate percentile
+    * identically (the prof4 gate proves it), and the census threshold is
+    * a single folded-constant double product, so the row counts are
+    * deterministic.
+    */
+  val robustOutliers = GQuery(
+    "prof10_robust_outliers",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("median"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("median")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("median")).as("median"),
+          max(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_ppm", expr("n_outliers * 1000000L div n"))
+    },
+    Some("""
+      WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS median
+        FROM events GROUP BY 1),
+      dev AS (
+        SELECT e.event_type, e.value, m.median,
+               abs(e.value - m.median) AS dev
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.event_type, COUNT(*) AS n,
+             MAX(d.median) AS median, MAX(a.mad) AS mad,
+             SUM(CASE WHEN d.dev > 3.0 * 1.4826 * a.mad
+                      THEN 1 ELSE 0 END) AS n_outliers,
+             CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * a.mad
+                      THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS outlier_ppm
+      FROM dev d JOIN mad a USING (event_type)
+      GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix,
       quantileProfile, categoricalAssoc, histogramQuantiles, distributionDrift,
-      featureLabelAssoc, giniConcentration)
+      featureLabelAssoc, giniConcentration, robustOutliers)
 }
