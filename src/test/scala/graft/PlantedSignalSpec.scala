@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks with PLANTED ground truth: tiny synthetic tables written
+  * in the testdata layout (so the queries run unmodified on a temp dir),
+  * constructed so the right answer is known in closed form — a 7-day
+  * periodic series must backtest with zero error, a step function must
+  * change-point at the step, a constant corpus must bootstrap to a
+  * zero-width interval, a planted spike must be the only robust outlier.
+  * The DuckDB gate proves Spark and DuckDB agree; these prove they agree
+  * on the RIGHT thing.
+  */
+class PlantedSignalSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession =
+    Session.builder("planted-test").getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Write events/documents parquet in the testdata layout; returns dir. */
+  private def plant(
+      events: Seq[(Long, Timestamp, Long, String, Double, String)],
+      documents: Seq[(Long, String, String, String, Long)] = Nil): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("planted").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    if (documents.nonEmpty)
+      documents.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("tsr5: a 7-day periodic series backtests with zero MAE and sMAPE") {
+    import spark.implicits._
+    val pattern = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0)
+    val events = (0 until 30).map { d =>
+      (d.toLong, ts(f"2024-01-${d + 1}%02d 12:00:00"), 1L, "click",
+        pattern(d % 7), "{}")
+    }
+    val got = queries.TimeSeries.seasonalBacktest.run(spark, plant(events))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length === 1)
+    val (user, nScored, mae, smape) = got.head
+    assert(user === 1L)
+    assert(nScored === 23L) // 30 grid days minus the 7-day warm-up
+    assert(mae === 0.0, s"periodic series must forecast exactly, mae=$mae")
+    assert(smape === 0.0)
+  }
+
+  test("w21: a planted step function change-points exactly at the step") {
+    import spark.implicits._
+    val events = (0 until 100).map { i =>
+      val v = if (i < 50) 0.0 else 10.0
+      (i.toLong, ts(f"2024-01-05 ${i / 60}%02d:${i % 60}%02d:00"), 7L,
+        "click", v, "{}")
+    }
+    val row = queries.Windows.changePoint.run(spark, plant(events))
+      .select("user_id", "n_events", "split_pos", "mean_before", "mean_after")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(row === ((7L, 100L, 50L, 0.0, 10.0)),
+      s"expected the split after event 50, got $row")
+  }
+
+  test("samp8: a constant corpus bootstraps to a zero-width interval") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i =>
+      (i.toLong, "aa bb cc", "en", "web", 500L))
+    val dir = plant(events = Seq((0L, ts("2024-01-02 00:00:00"), 1L,
+      "click", 1.0, "{}")), documents = docs)
+    val (lang, nDocs, mean, lo, hi, nRes) =
+      queries.Sampling.bootstrapCi.run(spark, dir)
+        .as[(String, Long, Double, Double, Double, Long)].head()
+    assert((lang, nDocs, mean) === (("en", 100L, 500.0)))
+    assert(lo === 500.0 && hi === 500.0,
+      s"constant metric must have zero-width CI, got [$lo, $hi]")
+    assert(nRes === 32L)
+  }
+
+  test("prof10: a planted spike is the only robust outlier") {
+    import spark.implicits._
+    val events = (1 to 101).map(i =>
+      (i.toLong, ts("2024-01-03 00:00:00"), 1L, "click", i.toDouble, "{}")) :+
+      ((999L, ts("2024-01-04 00:00:00"), 2L, "click", 1e6, "{}"))
+    val (tpe, n, median, mad, nOut, ppm) =
+      queries.Profiling.robustOutliers.run(spark, plant(events))
+        .as[(String, Long, Double, Double, Long, Long)].head()
+    assert((tpe, n) === (("click", 102L)))
+    assert(median >= 51.0 && median <= 52.0, s"median=$median")
+    assert(mad > 0 && mad < 50, s"mad=$mad")
+    assert(nOut === 1L, s"only the planted 1e6 spike should flag, got $nOut")
+    assert(ppm === (1000000L / 102L))
+  }
+}
