@@ -24,6 +24,8 @@ object Session {
       .withExtensions(graft.plans.BandJoinRewrite.extension)
       // physical sort-merge as-of join — see graft.plans.AsofJoinPlan
       .withExtensions(graft.plans.AsofJoinPlan.extension)
+      // thresholded levenshtein predicates run the banded O(k·n) DP
+      .withExtensions(graft.plans.LevenshteinBandRewrite.extension)
       // the native dedup/similarity kernels as SQL functions
       // (graft_poly_hash, graft_minhash_sig, ...) — see GraftFunctions
       .withExtensions(graft.functions.GraftFunctions.extension)
