@@ -97,6 +97,9 @@ object Experiments extends QueryPack {
           col("sm"),
           ((col("n0") * col("smm") - col("sm") * col("sm")) /
             (col("n0").cast("double") * (col("n0") - 1))).as("v"))
+        // consumed by BOTH variant filters below: persist the 2-row
+        // aggregate so the user-level pipeline materializes once, not twice
+        .persist()
       val a = agg.filter(col("variant") === 0)
         .select(col("n").as("n_a"), col("sm").as("sm_a"), col("v").as("v_a"))
       val b = agg.filter(col("variant") === 1)
@@ -140,6 +143,7 @@ object Experiments extends QueryPack {
         .select(col("user_id")).distinct()
         .withColumn("variant", variant(col("user_id")))
         .groupBy(col("variant")).agg(count(lit(1)).as("n"))
+        .persist() // two consumers (a/b filters) — one distinct+agg pass
       val a = counts.filter(col("variant") === 0).select(col("n").as("n_a"))
       val b = counts.filter(col("variant") === 1).select(col("n").as("n_b"))
       a.crossJoin(b)
@@ -189,6 +193,10 @@ object Experiments extends QueryPack {
             .otherwise(lit(0).cast("decimal(18,6)")))
             .cast("decimal(18,6)").as("y"))
         .withColumn("variant", variant(col("user_id")))
+        // three consumers (pooled moments, per-variant sums a and b): the
+        // user-keyed shuffle must run ONCE — without this the plan scans
+        // and shuffles the events table three times
+        .persist()
       val pooled = users.agg(
           count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),

@@ -445,6 +445,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"prof9 should be scan+window+agg, no joins:\n$p")
   }
 
+  test("ab4: the user-level relation materializes ONCE for its 3 consumers") {
+    val p = plan("ab4_cuped")
+    assert(p.contains("InMemoryTableScan"),
+      s"pooled/a/b branches must share the cached user relation:\n$p")
+    // the cached subtree is echoed per consumer in the formatted output —
+    // count DISTINCT scan node ids, which the cache shares
+    val pq = "\\((\\d+)\\) Scan parquet".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size
+    assert(pq === 1,
+      s"ab4: events must be scanned once via the cache, got $pq scans:\n$p")
+  }
+
+  test("samp8: bootstrap is scan-shaped — explode, one (lang,b) shuffle") {
+    val p = plan("samp8_bootstrap_ci")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), s"resample sums must map-side combine:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"the 32·langs means window must stay partitioned:\n$p")
+  }
+
   test("dq4/dq5: privacy census is one scan, one QI shuffle, partial aggs") {
     Seq("dq4_k_anonymity", "dq5_l_diversity").foreach { name =>
       val p = plan(name)
