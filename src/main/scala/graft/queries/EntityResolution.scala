@@ -276,20 +276,30 @@ object EntityResolution extends QueryPack {
             col("p_size").cast("string").as("value")))).as("fv"))
         .select(col("p_name"), col("fv.field"), col("fv.value"))
       def pairs(c: Column): Column = (c * (c - 1)).cast("long") / 2
-      // agreement pairs among ALL record pairs, per field
-      val uPairs = vals.groupBy(col("field"), col("value"))
+      // The finest aggregation level — per-(field, name, value) counts —
+      // determines EVERYTHING else by re-aggregation, so it is the only
+      // relation that ever touches the exploded scan (persisted: three
+      // consumers): per-value counts are sums over names, per-name record
+      // counts are the 'brand' slice's sums, and N is their total. One
+      // scan, one wide shuffle; the rest is arithmetic on tiny relations.
+      val mLevel = vals.groupBy(col("field"), col("p_name"), col("value"))
         .agg(count(lit(1)).as("c"))
-        .groupBy(col("field"))
-        .agg(sum(pairs(col("c"))).cast("long").as("u_pairs"))
+        .persist()
       // agreement pairs among assumed-match (same exact name) pairs
-      val mPairs = vals.groupBy(col("field"), col("p_name"), col("value"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("field"))
+      val mPairs = mLevel.groupBy(col("field"))
         .agg(sum(pairs(col("c"))).cast("long").as("m_pairs"))
-      // denominators: C(N,2) and Σ_name C(n_name,2) — a 1-row relation
-      val denom = t(s, dir, "part").groupBy(col("p_name"))
-        .agg(count(lit(1)).as("c"))
-        .agg(sum(col("c")).as("n"), sum(pairs(col("c"))).cast("long").as("match_pairs"))
+      // agreement pairs among ALL record pairs: per-value counts first
+      val uPairs = mLevel.groupBy(col("field"), col("value"))
+        .agg(sum(col("c")).as("nv"))
+        .groupBy(col("field"))
+        .agg(sum(pairs(col("nv"))).cast("long").as("u_pairs"))
+      // denominators: C(N,2) and Σ_name C(n_name,2) — from the 'brand'
+      // slice (every record carries exactly one brand value)
+      val denom = mLevel.filter(col("field") === "brand")
+        .groupBy(col("p_name"))
+        .agg(sum(col("c")).as("cn"))
+        .agg(sum(col("cn")).as("n"),
+          sum(pairs(col("cn"))).cast("long").as("match_pairs"))
         .select(pairs(col("n")).cast("long").as("total_pairs"),
           col("match_pairs"))
       uPairs.join(mPairs, "field")
