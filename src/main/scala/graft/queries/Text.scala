@@ -1069,9 +1069,63 @@ object Text extends QueryPack {
                / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
       FROM sums"""))
 
+  /** tx22: language-ID evaluation — the confusion matrix of tx3's stopword
+    * classifier against the labeled `lang` column, the sim9-for-text: every
+    * heuristic that gates a corpus needs its error structure measured
+    * before anyone trusts the gate (which languages bleed into which, and
+    * at what rate). Reuses tx3's exact classifier body (er2-reuses-er1
+    * pattern), so the evaluation can never drift from the operator it
+    * evaluates.
+    *
+    * Scale shape: per-row classification rides the scan (tx3's argument);
+    * the matrix is one groupBy on the ≤ |langs|² cell key; row totals are
+    * windows over that tiny relation, never a second corpus pass. The
+    * diagonal cell_rate IS per-class recall.
+    */
+  val langIdEval = GQuery(
+    "tx22_langid_eval",
+    (s, dir) => {
+      val cells = langId.run(s, dir)
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("row_total", sum(col("n")).over(
+          Window.partitionBy(col("labeled_lang"))))
+        .withColumn("cell_rate",
+          col("n").cast("double") / col("row_total").cast("double"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+          len(list_filter(regexp_extract_all(text, '\S+'),
+              w -> lower(w) IN ('the','and','of','to','a','is'))) AS s_en,
+          len(list_filter(regexp_extract_all(text, '\S+'),
+              w -> lower(w) IN ('der','die','und','ist','das','nicht'))) AS s_de,
+          len(list_filter(regexp_extract_all(text, '\S+'),
+              w -> lower(w) IN ('el','la','que','los','una','es'))) AS s_es,
+          len(list_filter(regexp_extract_all(text, '\S+'),
+              w -> lower(w) IN ('le','les','des','et','une','est'))) AS s_fr
+        FROM documents),
+      pred AS (
+        SELECT labeled_lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM scored),
+      cells AS (
+        SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2)
+      SELECT labeled_lang, predicted_lang, n,
+             SUM(n) OVER (PARTITION BY labeled_lang) AS row_total,
+             CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS DOUBLE)
+               AS cell_rate
+      FROM cells"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
       vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules, bm25TopK,
-      fuzzyDecontamination, dsirSelection, zipfFit)
+      fuzzyDecontamination, dsirSelection, zipfFit, langIdEval)
 }
