@@ -26,6 +26,9 @@ object Session {
       .withExtensions(graft.plans.AsofJoinPlan.extension)
       // thresholded levenshtein predicates run the banded O(k·n) DP
       .withExtensions(graft.plans.LevenshteinBandRewrite.extension)
+      // edit-distance JOINS gain the implied length-band blocking key,
+      // which BandJoinRewrite then turns into a bucketed hash join
+      .withExtensions(graft.plans.LevenshteinJoinBlocking.extension)
       // the native dedup/similarity kernels as SQL functions
       // (graft_poly_hash, graft_minhash_sig, ...) — see GraftFunctions
       .withExtensions(graft.functions.GraftFunctions.extension)

@@ -82,9 +82,15 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       conjuncts.iterator.flatMap(c => bandOf(c, l, r).map(c -> _))
         .nextOption() match {
         case Some((_, (lt, rt, tol))) =>
-          def bucket(t: Expression): Expression =
+          def bucket(t: Expression): Expression = {
+            // optimizer-constructed expressions get no re-analysis, so the
+            // widening cast ImplicitCasts would insert must be explicit —
+            // IntegralDivide(int, longLiteral) is otherwise unresolved
+            // (sub-long operands, e.g. length() bands, hit this)
+            val tl = if (t.dataType == LongType) t else Cast(t, LongType)
             // floor division on integral types: negative-safe bucketing
-            FloorDiv(t, Literal(tol))
+            FloorDiv(tl, Literal(tol))
+          }
           // explode the left side to its bucket and both neighbors
           val lb = bucket(lt)
           val explodedBucket = AttributeReference(

@@ -55,6 +55,38 @@ class LevenshteinBandRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("naive edit-distance JOIN becomes a length-blocked hash join") {
+    import spark.implicits._
+    val nd = Tables.load(spark, "/root/testdata/sf0.001", "part")
+      .select($"p_name").distinct()
+    val joined = nd.select($"p_name".as("a"))
+      .join(nd.select($"p_name".as("b")), expr("levenshtein(a, b) <= 2"))
+    // LevenshteinBandRewrite bands the DP, LevenshteinJoinBlocking adds the
+    // implied |len(a)-len(b)| <= 2 conjunct, BandJoinRewrite buckets it —
+    // three independent rules composing to a hash join
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"edit-distance join still plans quadratic:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a hash/merge join on the length bucket:\n$p")
+    // results must equal the driver-side full-DP ground truth
+    val names = nd.as[String].collect()
+    def fullDp(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = names.flatMap(a => names.collect {
+      case b if fullDp(a, b) <= 2 => (a, b)
+    }).toSet
+    assert(joined.as[(String, String)].collect().toSet === want)
+  }
+
   test("equality and lower-bound comparisons keep the full distance") {
     import spark.implicits._
     val df = Seq(("cold bolt", "old bolt")).toDF("a", "b")
