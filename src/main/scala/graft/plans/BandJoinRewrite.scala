@@ -51,13 +51,16 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** (leftTime, rightTime, tolerance) if `c` is a band conjunct. */
   private def bandOf(c: Expression, l: LogicalPlan, r: LogicalPlan)
       : Option[(Expression, Expression, Long)] = {
-    def sides(diff: Expression, tol: Expression) = diff match {
+    def sides(diff: Expression, tol: Expression, adj: Long = 0L) = diff match {
       case Subtract(a, b, _) if isIntegral(a) && isIntegral(b) =>
         val (ra, rb) = (a.references, b.references)
-        val tolV = tol.eval() match {
+        val tolV = (tol.eval() match {
           case i: java.lang.Integer => i.longValue()
           case j: java.lang.Long => j.longValue()
-          case _ => -1L
+          case _ => Long.MinValue
+        }) match {
+          case Long.MinValue => -1L
+          case v => v + adj // strict `<` bands shrink to an inclusive tol-1
         }
         if (tolV <= 0) None
         else if (ra.subsetOf(l.outputSet) && rb.subsetOf(r.outputSet) &&
@@ -70,6 +73,10 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     c match {
       case LessThanOrEqual(Abs(diff, _), tol) if tol.foldable => sides(diff, tol)
       case GreaterThanOrEqual(tol, Abs(diff, _)) if tol.foldable => sides(diff, tol)
+      // strict `<` is the inclusive band at tol−1 (integral operands); the
+      // original strict predicate stays in the condition as the residual
+      case LessThan(Abs(diff, _), tol) if tol.foldable => sides(diff, tol, -1L)
+      case GreaterThan(tol, Abs(diff, _)) if tol.foldable => sides(diff, tol, -1L)
       case _ => None
     }
   }

@@ -317,7 +317,42 @@ object Quality extends QueryPack {
              SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS rows_below_3
       FROM classes"""))
 
+  /** dq6: freshness audit — per-source staleness every ingest dashboard
+    * tracks: each event type's latest timestamp against the corpus
+    * high-water mark, with the lag in whole seconds. Anchoring on the
+    * corpus max (not wall clock) keeps the audit deterministic and
+    * replayable; production swaps the anchor for now() at the call site.
+    *
+    * Scale shape: ONE scan partial-aggregating to a ≤ |types| relation;
+    * the high-water mark is a window over THAT tiny relation (bounded
+    * single partition over a handful of rows), never a second pass.
+    */
+  val freshness = GQuery(
+    "dq6_freshness",
+    (s, dir) => {
+      val groups = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("latest_ts"))
+      groups
+        .withColumn("high_water_ts", max(col("latest_ts")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("event_type"), col("n_events"), col("latest_ts"),
+          col("high_water_ts"),
+          expr("(unix_micros(high_water_ts) - unix_micros(latest_ts))" +
+            " div 1000000").as("lag_seconds"))
+    },
+    Some("""
+      WITH groups AS (
+        SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS latest_ts
+        FROM events GROUP BY 1)
+      SELECT event_type, n_events, latest_ts,
+             MAX(latest_ts) OVER () AS high_water_ts,
+             CAST((epoch_us(MAX(latest_ts) OVER ()) - epoch_us(latest_ts))
+                  // 1000000 AS BIGINT) AS lag_seconds
+      FROM groups"""))
+
   override def queries: Seq[GQuery] =
     Seq(contractSummary, violationSample, reconciliation, kAnonymity,
-      lDiversity)
+      lDiversity, freshness)
 }

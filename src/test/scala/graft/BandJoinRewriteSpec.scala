@@ -37,6 +37,25 @@ class BandJoinRewriteSpec extends AnyFunSuite {
     assert(joined.count() === want.size) // multiplicity: each pair once
   }
 
+  test("strict < band: inclusive tol-1 bucketing, boundary pairs excluded") {
+    val l = Seq(5L, 9L, 25L, 100L).toDF("lt")
+    val r = Seq(3L, 15L, 19L, 20L, 36L, 91L).toDF("rt")
+    l.createOrReplaceTempView("band_sl")
+    r.createOrReplaceTempView("band_sr")
+    val joined = spark.sql(
+      "SELECT lt, rt FROM band_sl JOIN band_sr ON abs(lt - rt) < 10")
+    assert(plans(joined).contains("HashJoin") &&
+      !plans(joined).contains("NestedLoop"),
+      s"strict band join not rewritten:\n${plans(joined)}")
+    val got = joined.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for {
+      a <- Seq(5L, 9L, 25L, 100L); b <- Seq(3L, 15L, 19L, 20L, 36L, 91L)
+      if math.abs(a - b) < 10
+    } yield (a, b)).toSet
+    assert(got === want) // (25,15) is |d|=10: must be EXCLUDED
+    assert(want.contains((25L, 19L)) && !want.contains((25L, 15L)))
+  }
+
   test("keyed band join with negative times and the reversed operand order") {
     val l = Seq(("a", -21L), ("a", -9L), ("b", 7L)).toDF("k", "lt")
     val r = Seq(("a", -30L), ("a", -20L), ("a", 2L), ("b", -3L)).toDF("k2", "rt")
