@@ -90,6 +90,83 @@ object AsofJoin {
     run(left, right, keys, leftTime, rightTime, inclusive, tolerance,
       forward = true)
 
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): for each
+    * left row, the right row minimizing `|rightTime − leftTime|` within the
+    * key group, bounded by `tolerance` on BOTH sides when given. Ties
+    * (equal distance) resolve to the BACKWARD candidate; among right rows
+    * sharing the winning timestamp the lexicographically smallest payload
+    * wins (so an oracle ordering by `(|Δ|, rt, id…)` matches exactly).
+    * Inclusive semantics only: a right row at exactly `leftTime` is the
+    * backward candidate at distance zero.
+    *
+    * Plan: the SAME single union+shuffle as backward/forward, but both
+    * brackets come out of one partitioning — `last(payload) ignore nulls`
+    * over the preceding frame and `first(payload) ignore nulls` over the
+    * following frame (the tsr2 bracketing idiom), then a per-row distance
+    * comparison picks the side. Two in-partition sort orders (the forward
+    * bracket needs ascending payload ties), still one exchange, zero Join
+    * nodes, no candidate blow-up.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Column] = None): DataFrame = {
+    val payloadCols = right.columns.toSeq.filterNot(keys.contains)
+    require(payloadCols.contains(rightTime),
+      s"right side must carry its time column $rightTime")
+    val collisions = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left: ${collisions.mkString(", ")}")
+    val (leftSide, rightSide) = (1, 0) // inclusive: right visible at equal t
+    val leftTagged = left
+      .withColumn(TimeCol, col(leftTime))
+      .withColumn(SideCol, lit(leftSide))
+      .withColumn(PayloadCol, lit(null).cast(
+        org.apache.spark.sql.types.StructType(payloadCols.map(right.schema(_)))))
+    val rightTagged = right
+      .withColumn(TimeCol, col(rightTime))
+      .withColumn(SideCol, lit(rightSide))
+      .withColumn(PayloadCol, struct(payloadCols.map(col): _*))
+      .select(leftTagged.columns.map(c =>
+        if (rightTagged0Has(left, keys, c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(TimeCol).asc, col(SideCol).asc, col(PayloadCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(TimeCol).asc, col(SideCol).asc, col(PayloadCol).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bCol = "__asof_b"
+    val fCol = "__asof_f"
+    def dist(p: String, fwd: Boolean): Column =
+      if (fwd) col(s"$p.$rightTime").cast("double") - col(TimeCol).cast("double")
+      else col(TimeCol).cast("double") - col(s"$p.$rightTime").cast("double")
+    val bracketed = leftTagged.unionByName(rightTagged)
+      .withColumn(bCol, last(col(PayloadCol), ignoreNulls = true).over(wB))
+      .withColumn(fCol, first(col(PayloadCol), ignoreNulls = true).over(wF))
+      .filter(col(SideCol) === leftSide)
+    val tolled = tolerance match {
+      case Some(tol) => bracketed
+        .withColumn(bCol,
+          when(dist(bCol, fwd = false) <= tol.cast("double"), col(bCol)))
+        .withColumn(fCol,
+          when(dist(fCol, fwd = true) <= tol.cast("double"), col(fCol)))
+      case None => bracketed
+    }
+    val chosen = tolled.withColumn(PayloadCol,
+      when(col(bCol).isNull, col(fCol))
+        .when(col(fCol).isNull, col(bCol))
+        .when(dist(fCol, fwd = true) < dist(bCol, fwd = false), col(fCol))
+        .otherwise(col(bCol)))
+    val expanded = payloadCols.foldLeft(chosen) { (df, c) =>
+      df.withColumn(c, col(s"$PayloadCol.$c"))
+    }
+    expanded.drop(TimeCol, SideCol, PayloadCol, bCol, fCol)
+  }
+
   private def run(
       left: DataFrame,
       right: DataFrame,

@@ -418,8 +418,42 @@ object Relational extends QueryPack {
                          WHERE l.l_orderkey = o.o_orderkey) AS no_lineitems
       FROM orders o"""))
 
+  /** Nearest-direction as-of ([[graft.operators.AsofJoin.nearest]]): each
+    * view matched to its closest purchase within ±2 hours, ties to the
+    * earlier (backward) candidate — pandas `merge_asof(direction='nearest')`
+    * completing the backward/forward family. One shuffle, two in-partition
+    * bracket windows (the tsr2 idiom), zero Join nodes; the oracle
+    * enumerates band candidates and ranks by `(|Δ|, ts, id)`.
+    */
+  val q6dAsofNearest = GQuery(
+    "q6d_asof_nearest",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      graft.operators.AsofJoin
+        .nearest(views, purchases, Seq("user_id"), "ts", "purchase_ts",
+          tolerance = Some(lit(7200)))
+        .select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
+    },
+    Some("""
+      SELECT event_id, user_id, ts, purchase_id, purchase_ts FROM (
+        SELECT v.event_id, v.user_id, v.ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               row_number() OVER (PARTITION BY v.event_id
+                 ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)),
+                          p.ts, p.event_id) AS rk
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.ts BETWEEN v.ts - INTERVAL 2 HOUR AND v.ts + INTERVAL 2 HOUR)
+      WHERE rk = 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof,
-      q6bAsofMerge, q6cAsofForward, q7Range, q8Pivot, q9AntiSemi,
-      q10Percentiles, q11Cube, q12SetOps, q13Subqueries)
+      q6bAsofMerge, q6cAsofForward, q6dAsofNearest, q7Range, q8Pivot,
+      q9AntiSemi, q10Percentiles, q11Cube, q12SetOps, q13Subqueries)
 }

@@ -80,6 +80,12 @@ class PlanSpec extends AnyFunSuite {
   test("q6c/q11: forward as-of has no join operator; cube is one Expand pass") {
     val asof = plan("q6c_asof_forward")
     assert(!asof.contains("Join"), s"as-of degraded to a join:\n$asof")
+    // nearest: both brackets from ONE exchange (two in-partition sorts)
+    val near = plan("q6d_asof_nearest")
+    assert(!near.contains("Join"), s"nearest as-of degraded to a join:\n$near")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(near).size
+    assert(exchanges === 1,
+      s"nearest as-of should shuffle once, got $exchanges:\n$near")
     val cube = plan("q11_cube_orders")
     assert(cube.contains("Expand"), cube)
     // one aggregate pair over the expanded lattice — a per-set re-scan
