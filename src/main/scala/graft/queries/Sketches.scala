@@ -665,7 +665,80 @@ object Sketches extends QueryPack {
       FROM b GROUP BY 1"""
     })
 
+  /** sk8: DDSketch-style relative-error quantiles — the OTHER mergeable
+    * quantile family: where sk1's KMV sample gives rank-error O(1/√k),
+    * log-γ bucketing gives guaranteed RELATIVE value error
+    * ((γ−1)/2 ≈ 1% at γ=1.02) with a few hundred integer counters per
+    * group, and the counters merge by plain addition — the sketch behind
+    * latency-percentile monitoring at fleet scale.
+    *
+    * Plan: bucket assignment is per-row math riding the scan
+    * (`floor(ln v / ln γ)`); ONE partial-aggregable shuffle on the
+    * (group, bucket) key; quantile extraction is a cumulative window over
+    * the bucket-bounded relation crossed with a broadcast literal of
+    * probes. Determinism: bucket ids are integer results of double math
+    * identical in both engines (a value landing within 1 ulp of a bucket
+    * boundary could in principle flip — measure-zero on continuous data,
+    * same caveat as every threshold comparison in the profiling pack);
+    * everything after is integer counts.
+    *
+    * Estimate convention (mirrored in the oracle): value ∈ [γ^b, γ^{b+1})
+    * maps to bucket b; the reported estimate is the bucket's geometric
+    * midpoint γ^b·(1+γ)/2. Non-positive values are counted out-of-sketch
+    * and reported per group (DDSketch's separate zero/negative store).
+    */
+  val ddQuantiles = GQuery(
+    "sk8_dd_quantiles",
+    (s, dir) => {
+      val lnG = math.log(1.02)
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val counts = ev.filter(col("value") > 0)
+        .withColumn("bucket",
+          floor(log(col("value")) / lit(lnG)).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy(col("event_type"))))
+      val probes = s.range(1).select(explode(array(
+        lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      val hits = cum.crossJoin(broadcast(probes))
+        .filter(col("cum") >= ceil(col("p") * col("n")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"), col("p"))
+            .orderBy(col("bucket"))))
+        .filter(col("rk") === 1)
+      hits.select(col("event_type"), col("p"), col("n"), col("bucket"),
+        (exp(col("bucket") * lit(lnG)) * lit((1 + 1.02) / 2)).as("est"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT event_type,
+               CAST(FLOOR(ln(value) / ln(1.02)) AS BIGINT) AS bucket,
+               COUNT(*) AS c
+        FROM events WHERE value > 0 GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, bucket, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM counts),
+      probes AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+      hits AS (
+        SELECT event_type, p, n, bucket,
+               row_number() OVER (PARTITION BY event_type, p
+                 ORDER BY bucket) AS rk
+        FROM cum CROSS JOIN probes
+        WHERE cum >= CEIL(p * n))
+      SELECT event_type, p, CAST(n AS BIGINT) AS n, bucket,
+             exp(bucket * ln(1.02)) * ((1 + 1.02) / 2) AS est
+      FROM hits WHERE rk = 1"""))
+
   def queries: Seq[GQuery] =
     Seq(kmvQuantiles, countMinProbe, hllDistinct, kmvOverlap, rangeBuckets,
-      hllColumnProfile, skewProfile)
+      hllColumnProfile, skewProfile, ddQuantiles)
 }

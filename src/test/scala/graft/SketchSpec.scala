@@ -126,4 +126,21 @@ class SketchSpec extends AnyFunSuite {
         assert(r.getLong(2) > 0, "small group must leave empty registers")
     }
   }
+
+  test("sk8 guarantee: log-bucket estimates within the γ relative-error band") {
+    // γ=1.02 buckets guarantee ±(γ−1)/2 ≈ 1% relative VALUE error against
+    // the value at the selected rank; allow 2% for rank-vs-interpolation
+    // slop between the bucket rank convention and percentile interpolation
+    import spark.implicits._
+    val got = queries.Sketches.ddQuantiles.run(spark, sfDir)
+      .select($"event_type", $"p", $"est")
+      .as[(String, Double, Double)].collect()
+    assert(got.length > 0)
+    got.foreach { case (tpe, p, est) =>
+      val exact = events.filter($"event_type" === tpe && $"value" > 0)
+        .stat.approxQuantile("value", Array(p), 0.0).head
+      assert(math.abs(est - exact) / exact <= 0.02,
+        s"$tpe p=$p est=$est exact=$exact")
+    }
+  }
 }
