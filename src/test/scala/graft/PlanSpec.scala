@@ -471,6 +471,42 @@ class PlanSpec extends AnyFunSuite {
       s"the 32·langs means window must stay partitioned:\n$p")
   }
 
+  test("w21/tsr5: per-series analytics keep every window partitioned") {
+    Seq("w21_change_point", "tsr5_seasonal_backtest").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"),
+        s"$name: a per-user window collapsed to one partition:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("er6/tx22/dq6: audits are one scan (er6 via its persisted count level)") {
+    Seq("er6_fs_weights", "tx22_langid_eval", "dq6_freshness").foreach { n =>
+      val p = plan(n)
+      val pq = "\\((\\d+)\\) Scan parquet".r.findAllMatchIn(p)
+        .map(_.group(1)).toSet.size
+      assert(pq === 1, s"$n: expected ONE distinct table scan, got $pq:\n$p")
+    }
+  }
+
+  test("tx21: the top-k head election is bounded by WindowGroupLimit") {
+    val p = plan("tx21_zipf_fit")
+    // the salted local phase must push the rank bound below the shuffle —
+    // without it the final single-partition window would see the whole
+    // vocabulary instead of <= 32k survivors
+    assert(p.contains("WindowGroupLimit"),
+      s"salted top-k lost its partial group limit:\n$p")
+  }
+
+  test("prof10/sk8: quantile passes broadcast back, never shuffle the rows") {
+    val p10 = plan("prof10_robust_outliers")
+    assert(!p10.contains("SortMergeJoin"),
+      s"a types-bounded median relation planned a shuffle join:\n$p10")
+    val p8 = plan("sk8_dd_quantiles")
+    assert(p8.contains("partial_"), s"bucket counts must map-side combine:\n$p8")
+    assert(!p8.contains("CartesianProduct"), p8)
+  }
+
   test("dq4/dq5: privacy census is one scan, one QI shuffle, partial aggs") {
     Seq("dq4_k_anonymity", "dq5_l_diversity").foreach { name =>
       val p = plan(name)
