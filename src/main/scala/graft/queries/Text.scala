@@ -1123,9 +1123,107 @@ object Text extends QueryPack {
                AS cell_rate
       FROM cells"""))
 
+  /** pipe4: quality-score calibration — IS the cheap heuristic predictive
+    * of the expensive signal? Decile-bucket tx2's stopword ratio and
+    * report each decile's mean duplicated-shingle rate (tx16): if the
+    * curve is flat the score carries no information about duplication and
+    * gating on it is cargo cult; if it slopes, the score earns its place
+    * in the pipe2 gate. The canonical "measure your heuristic before
+    * trusting it" audit, composed from two existing operators' bodies.
+    *
+    * Scale shape + determinism: scores quantize to integer 1e-5 units
+    * FIRST, and the decile boundaries are DISCRETE order statistics read
+    * off the quantized-score histogram with a cumulative window (the sk8
+    * extraction pattern) — NOT interpolated percentiles, whose last-ulp
+    * differences between engines reassign entire tie groups at a
+    * boundary (observed at sf0.1), and NOT an ntile window over the
+    * corpus, which would single-partition it. The histogram is bounded
+    * by the quantization resolution (≤ 1e5 rows) regardless of corpus
+    * size; boundaries broadcast back as a 9-element array; bucket
+    * assignment is per-row integer comparison; means accumulate in
+    * quantized decimal. Bit-stable end to end.
+    */
+  val qualityCalibration = GQuery(
+    "pipe4_quality_calibration",
+    (s, dir) => {
+      val q = quality.run(s, dir).select(col("doc_id"), col("stopword_ratio"))
+      val d = dupNgramRate.run(s, dir).select(col("doc_id"), col("dup_rate"))
+      val joined = q.join(d, "doc_id")
+        .withColumn("r_m",
+          floor(col("stopword_ratio") * 100000).cast("long"))
+      val cum = joined.groupBy(col("r_m")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("r_m"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val probes = s.range(1, 10).select((col("id").cast("double") / 10).as("p"))
+      val bounds = cum.crossJoin(broadcast(probes))
+        .filter(col("cum") >= ceil(col("p") * col("n")))
+        .groupBy(col("p")).agg(min(col("r_m")).as("b"))
+        .agg(sort_array(collect_list(col("b"))).as("bs"))
+      joined.crossJoin(broadcast(bounds))
+        .withColumn("decile",
+          size(filter(col("bs"), b => col("r_m") > b)).cast("long"))
+        .groupBy(col("decile"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("stopword_ratio").cast("decimal(18,12)")).cast("double") /
+            count(lit(1))).as("mean_stopword_ratio"),
+          (sum(col("dup_rate").cast("decimal(18,12)")).cast("double") /
+            count(lit(1))).as("mean_dup_rate"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                      w -> lower(w) IN ('the','a','of','and','to','in','is','on')))
+                    AS DOUBLE) / len(regexp_extract_all(text, '\\S+'))
+                 AS stopword_ratio
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(${sqlShinglesK("regexp_extract_all(text, '\\S+')", 4)})
+                 AS shingle
+        FROM documents),
+      wdf AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh),
+      d AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS dup_rate
+        FROM wdf GROUP BY 1),
+      joined AS (
+        SELECT q.doc_id, q.stopword_ratio, d.dup_rate,
+               CAST(FLOOR(q.stopword_ratio * 100000) AS BIGINT) AS r_m
+        FROM q JOIN d ON q.doc_id = d.doc_id),
+      cum AS (
+        SELECT r_m, c,
+               SUM(c) OVER (ORDER BY r_m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS n
+        FROM (SELECT r_m, COUNT(*) AS c FROM joined GROUP BY 1)),
+      probes AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS p),
+      bnd AS (
+        SELECT p, MIN(r_m) AS b
+        FROM cum CROSS JOIN probes
+        WHERE cum >= CEIL(p * n)
+        GROUP BY 1),
+      bounds AS (SELECT list_sort(list(b)) AS bs FROM bnd)
+      SELECT CAST(len(list_filter(bs, b -> r_m > b)) AS BIGINT) AS decile,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CAST(stopword_ratio AS DECIMAL(18,12))) AS DOUBLE)
+               / COUNT(*) AS mean_stopword_ratio,
+             CAST(SUM(CAST(dup_rate AS DECIMAL(18,12))) AS DOUBLE)
+               / COUNT(*) AS mean_dup_rate
+      FROM joined, bounds
+      GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
       vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules, bm25TopK,
-      fuzzyDecontamination, dsirSelection, zipfFit, langIdEval)
+      fuzzyDecontamination, dsirSelection, zipfFit, langIdEval,
+      qualityCalibration)
 }
