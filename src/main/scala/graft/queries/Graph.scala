@@ -467,6 +467,75 @@ object Graph extends QueryPack {
       FROM deg d LEFT JOIN pn ON d.node = pn.node
       WHERE d.d >= 2"""))
 
+  /** g6: degree assortativity — the Pearson correlation of endpoint degrees
+    * over the undirected co-purchase edges: positive means hubs prefer hubs
+    * (social-network shape), negative means hub-and-spoke (infrastructure
+    * shape). One scalar that says which scaling strategies (sampling,
+    * partitioning, attack surface) apply to this graph.
+    *
+    * Scale shape: reuses g4's pruned persisted edge list and degree table;
+    * both endpoint-degree attachments are joins of the edge list against
+    * the node-bounded degree relation, and every moment sum (n, Σx, Σxy,
+    * Σx², …) is EXACT integer arithmetic — degrees are ints, so the
+    * correlation is one double expression over exact BIGINT sums, the
+    * ab-pack discipline with nothing to quantize.
+    */
+  val assortativity = GQuery(
+    "g6_assortativity",
+    (s, dir) => {
+      val e0 = coPurchaseEdges(s, dir)
+      val deg = degreesOf(e0)
+      val und = e0.select(col("u"), col("v"))
+        .unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      val sums = und
+        .join(deg.select(col("node").as("u"), col("d").as("x")), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("y")), "v")
+        .agg(
+          count(lit(1)).as("n0"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+      // the integer sums are exact; the normal-equation algebra then runs
+      // in double with expression structure mirrored in the oracle (their
+      // cross products can pass 2^63, where BIGINT would overflow but
+      // identical double rounding on both engines stays bit-equal)
+      sums.select(
+        expr("n0 div 2").as("n_edges"),
+        ((col("n0") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n0") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n0") * col("syy") - col("sy") * col("sy"))))
+          .as("assortativity"))
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY 1),
+      und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      sums AS (
+        SELECT COUNT(*) AS n0,
+               CAST(SUM(du.d) AS DOUBLE) AS sx,
+               CAST(SUM(dv.d) AS DOUBLE) AS sy,
+               CAST(SUM(du.d * dv.d) AS DOUBLE) AS sxy,
+               CAST(SUM(du.d * du.d) AS DOUBLE) AS sxx,
+               CAST(SUM(dv.d * dv.d) AS DOUBLE) AS syy
+        FROM und JOIN deg du ON und.u = du.node
+                 JOIN deg dv ON und.v = dv.node)
+      SELECT CAST(n0 // 2 AS BIGINT) AS n_edges,
+             (n0 * sxy - sx * sy)
+               / (sqrt(n0 * sxx - sx * sx) * sqrt(n0 * syy - sy * sy))
+               AS assortativity
+      FROM sums"""))
+
   override def queries: Seq[GQuery] =
-    Seq(pagerank, khopReach, cheapestPath, triangleCensus, clusteringCoeff)
+    Seq(pagerank, khopReach, cheapestPath, triangleCensus, clusteringCoeff,
+      assortativity)
 }
