@@ -915,8 +915,124 @@ object Similarity extends QueryPack {
                    ORDER BY rrf_micro DESC, doc_id) AS rk
         FROM fused) WHERE rk <= 10"""))
 
+  /** sim15: the nprobe recall/cost frontier — the tuning sweep every IVF
+    * deployment runs before picking its operating point: for
+    * nprobe ∈ {1, 2, 4}, score the candidates the probe set admits, take
+    * top-K, and report micro-recall against the brute-force truth next to
+    * the candidate-scan cost. sim9 evaluates ONE configuration; this is
+    * the frontier that says what a recall point COSTS.
+    *
+    * Scale shape: candidates are generated ONCE at the widest setting
+    * (probe rank ≤ 4, carried per candidate) and the sweep is an explode ×
+    * |levels| + filter over that relation — never a re-scan per level;
+    * ranking is per (query, level); recall and cost are exact integer
+    * counts, doubles only in the final ratios. Corpus is never cross-
+    * joined: probes broadcast (the sim13 discipline), one Lloyd fit via
+    * the shared model.
+    */
+  val nprobeSweep = GQuery(
+    "sim15_nprobe_sweep",
+    (s, dir) => {
+      val q = quantized(s, dir)
+      val model = sim5Model(s, dir)
+      val cells = graft.functions.IvfIndex.assignWith(
+        q.select(col("vec_id"), col("qv")), model)
+      val corpus = q.join(cells.select("vec_id", "cell"), "vec_id")
+      val cents = model
+        .withColumn("cnorm", sqrt(dotQ(col("cq"), col("cq")).cast("double")))
+      val crk = row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(
+          (dotQ(col("q_qv"), col("cq")) / (col("q_norm") * col("cnorm"))).desc,
+          col("cell")))
+      val probes = q.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("norm").as("q_norm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("crk", crk).filter(col("crk") <= 4)
+        .select(col("query_id"), col("cell").as("q_cell"), col("crk"),
+          col("q_qv"), col("q_norm"))
+      val cand = corpus.join(broadcast(probes),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("crk"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm")))
+            .as("cosine"))
+      val swept = cand
+        .select(col("*"), explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+        .filter(col("crk") <= col("nprobe"))
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"), col("nprobe"))
+          .orderBy(col("cosine").desc, col("neighbor_id")))
+      val top = swept.withColumn("rank", rk).filter(col("rank") <= K)
+      val truth = knnBrute.run(s, dir).select(col("query_id"), col("neighbor_id"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val hits = top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      val cost = swept.groupBy(col("nprobe")).agg(count(lit(1)).as("n_candidates"))
+      hits.join(cost, "nprobe").crossJoin(broadcast(nTruth))
+        .select(col("nprobe"), col("n_hits"), col("n_truth"),
+          (col("n_hits").cast("double") / col("n_truth")).as("micro_recall"),
+          col("n_candidates"),
+          (col("n_candidates").cast("double") / NQueries)
+            .as("avg_candidates_per_query"))
+    },
+    for (ex <- knnBrute.oracle) yield s"""
+      WITH exact AS ($ex),
+      q AS ($sqlQuantized),
+      c0 AS (
+        SELECT cell, cq
+        FROM read_parquet('{GRAFT_OUT}/sim15_nprobe_sweep/_model/*.parquet')),
+      c AS (
+        SELECT cell, cq,
+               sqrt(CAST(${sqlDotQ("cq", "cq")} AS DOUBLE)) AS cnorm
+        FROM c0),
+      assigned AS (
+        SELECT vec_id, qv, norm, cell FROM (
+          SELECT q.vec_id, q.qv, q.norm, c.cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY CAST(${sqlDotQ("q.qv", "c.cq")} AS DOUBLE)
+                            / (q.norm * c.cnorm) DESC, c.cell) AS crk
+          FROM q CROSS JOIN c)
+        WHERE crk = 1),
+      probes AS (
+        SELECT query_id, cell AS q_cell, crk, q_qv, q_norm FROM (
+          SELECT q.vec_id AS query_id, q.qv AS q_qv, q.norm AS q_norm,
+                 c.cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY CAST(${sqlDotQ("q.qv", "c.cq")} AS DOUBLE)
+                            / (q.norm * c.cnorm) DESC, c.cell) AS crk
+          FROM q CROSS JOIN c WHERE q.vec_id < $NQueries)
+        WHERE crk <= 4),
+      cand AS (
+        SELECT query_id, a.vec_id AS neighbor_id, crk,
+               CAST(${sqlDotQ("a.qv", "q_qv")} AS DOUBLE) / (a.norm * q_norm)
+                 AS cosine
+        FROM assigned a JOIN probes
+          ON a.cell = q_cell AND a.vec_id <> query_id),
+      swept AS (
+        SELECT query_id, neighbor_id, crk, cosine, nprobe
+        FROM cand CROSS JOIN (SELECT unnest([1, 2, 4]) AS nprobe) lv
+        WHERE crk <= nprobe),
+      top AS (
+        SELECT query_id, neighbor_id, nprobe FROM (
+          SELECT query_id, neighbor_id, nprobe,
+                 row_number() OVER (PARTITION BY query_id, nprobe
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM swept) WHERE rank <= $K),
+      hits AS (
+        SELECT nprobe, COUNT(*) AS n_hits
+        FROM top JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+      cost AS (
+        SELECT nprobe, COUNT(*) AS n_candidates FROM swept GROUP BY 1),
+      nt AS (SELECT COUNT(*) AS n_truth FROM exact)
+      SELECT nprobe, n_hits, n_truth,
+             CAST(n_hits AS DOUBLE) / n_truth AS micro_recall,
+             n_candidates,
+             CAST(n_candidates AS DOUBLE) / $NQueries
+               AS avg_candidates_per_query
+      FROM hits JOIN cost USING (nprobe), nt""")
+
   override def queries: Seq[GQuery] =
     Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched,
       knnPq, knnFiltered, recallEval, embeddingOutliers, knnMultiprobe,
-      centroidClassify, knnIvfMultiprobe, rrfHybrid)
+      centroidClassify, knnIvfMultiprobe, rrfHybrid, nprobeSweep)
 }
