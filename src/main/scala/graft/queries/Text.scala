@@ -1220,10 +1220,82 @@ object Text extends QueryPack {
       FROM joined, bounds
       GROUP BY 1"""))
 
+  /** tx23: BPE merge-pair statistics — the initialization step of byte-pair
+    * encoding tokenizer training (Sennrich et al. 2016): count every
+    * adjacent symbol pair inside every word, weighted by the word's corpus
+    * frequency, and elect the top merge candidates. The full BPE loop is
+    * sequential (each merge changes the next count), but the expensive part
+    * — the corpus-wide pair census each round re-runs — is exactly this
+    * query, and the first round's winner IS the first merge rule.
+    *
+    * Scale shape: the corpus collapses to the word-frequency table first
+    * (one uniform token shuffle with map-side combine — vocabulary-sized,
+    * orders of magnitude below the corpus), so the per-character pair
+    * explosion runs over word TYPES, not word occurrences: "the" appearing
+    * 10^9 times explodes its 2 pairs once, weighted by wf. Pair extraction
+    * is one zip_with over the character array (codegen'd, shuffle-free);
+    * the census is one ≤|alphabet|²-keyed aggregate; the top-K election is
+    * the salted two-phase window (tx21's idiom — the global rank sees
+    * ≤ 32·K survivors, never the pair table). All counts are exact
+    * integers; ties break on the pair bytes, so the merge order is
+    * bit-stable — the property tokenizer reproducibility depends on.
+    */
+  val bpeMergeStats = GQuery(
+    "tx23_bpe_merge_stats",
+    (s, dir) => {
+      val K = 50
+      val words = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      val cs = chars(col("word"))
+      val pairs = zip_with(
+        slice(cs, lit(1), size(cs) - 1),
+        slice(cs, lit(2), size(cs) - 1),
+        (a, b) => struct(a.as("lhs"), b.as("rhs")))
+      val census = words
+        .select(col("word"), col("wf"), explode(pairs).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(
+          sum(col("wf")).as("pair_count"),
+          countDistinct(col("word")).as("word_types"))
+      val local = row_number().over(
+        Window.partitionBy(pmod(hash(col("lhs"), col("rhs")), lit(32)))
+          .orderBy(col("pair_count").desc, col("lhs"), col("rhs")))
+      val global = row_number().over(
+        Window.orderBy(col("pair_count").desc, col("lhs"), col("rhs")))
+      census
+        .withColumn("lrk", local).filter(col("lrk") <= K)
+        .withColumn("merge_rank", global).filter(col("merge_rank") <= K)
+        .select(col("merge_rank"), col("lhs"), col("rhs"),
+          col("pair_count"), col("word_types"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT word, COUNT(*) AS wf
+        FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+              FROM documents)
+        GROUP BY 1),
+      pos AS (
+        SELECT word, wf,
+               unnest(range(1, length(word))) AS i
+        FROM words),
+      census AS (
+        SELECT substr(word, CAST(i AS INTEGER), 1) AS lhs,
+               substr(word, CAST(i AS INTEGER) + 1, 1) AS rhs,
+               CAST(SUM(wf) AS BIGINT) AS pair_count,
+               COUNT(DISTINCT word) AS word_types
+        FROM pos GROUP BY 1, 2)
+      SELECT row_number() OVER (ORDER BY pair_count DESC, lhs, rhs)
+               AS merge_rank,
+             lhs, rhs, pair_count, word_types
+      FROM census
+      ORDER BY pair_count DESC, lhs, rhs
+      LIMIT 50"""))
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
       vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules, bm25TopK,
       fuzzyDecontamination, dsirSelection, zipfFit, langIdEval,
-      qualityCalibration)
+      qualityCalibration, bpeMergeStats)
 }

@@ -96,4 +96,24 @@ class PlantedSignalSpec extends AnyFunSuite {
     assert(nOut === 1L, s"only the planted 1e6 spike should flag, got $nOut")
     assert(ppm === (1000000L / 102L))
   }
+
+  test("tx23: a planted dominant pair wins merge rank 1 with exact counts") {
+    import spark.implicits._
+    // Four word types share the (t,h) prefix pair; "tha" repeats, so its
+    // pairs carry word FREQUENCY weight while word_types stays 4.
+    val docs = Seq(
+      (0L, "tha thb thc", "en", "web", 11L),
+      (1L, "tha thd", "en", "web", 7L))
+    val dir = plant(events = Seq((0L, ts("2024-01-02 00:00:00"), 1L,
+      "click", 1.0, "{}")), documents = docs)
+    val top = queries.Text.bpeMergeStats.run(spark, dir)
+      .as[(Int, String, String, Long, Long)].collect().sortBy(_._1)
+    assert(top.head === ((1, "t", "h", 5L, 4L)),
+      s"(t,h) spans 4 word types with total frequency 5, got ${top.head}")
+    // Every other pair is a distinct (h,x) suffix: ha has wf 2, hb/hc/hd 1.
+    assert(top(1) === ((2, "h", "a", 2L, 1L)))
+    assert(top.length === 5)
+    assert(top.map(_._4).sameElements(top.map(_._4).sorted.reverse),
+      "pair_count must be non-increasing in merge_rank")
+  }
 }
