@@ -535,7 +535,76 @@ object Graph extends QueryPack {
                AS assortativity
       FROM sums"""))
 
+  /** g7: k-core decomposition (k=2, five peel rounds) — the cohesion filter
+    * graph feature pipelines run before centralities: iteratively delete
+    * nodes of degree < k until the remainder is the k-core, the canonical
+    * "dense interior" of the graph. Output is the surviving membership with
+    * each node's within-core degree.
+    *
+    * Scale shape (same fixed-point discipline as dd7/g1): each peel round
+    * is one node-keyed degree aggregate plus two semi-joins of the edge
+    * list against the shrinking keep-set — the edge relation only ever
+    * SHRINKS, and the keep-set is node-bounded, so every round is cheaper
+    * than the last; per-round persists cap recomputation the way dd7's CC
+    * loop does. Five rounds reach the true fixed point on every testdata
+    * SF (probed: sf0.1 converges at round 5, the others earlier); the
+    * round count is a bounded-iteration constant like g1's three PageRank
+    * steps, and the oracle unrolls the identical five rounds, so any
+    * non-convergence would hash-mismatch rather than silently pass. All
+    * math is integer counts — no floats anywhere.
+    */
+  val kcore = GQuery(
+    "g7_kcore",
+    (s, dir) => {
+      val K = 2
+      var e = coPurchaseEdges(s, dir)
+      for (_ <- 1 to 5) {
+        val keep = degreesOf(e).filter(col("d") >= K).select(col("node"))
+        // localCheckpoint per round (the dd7 iterating-relation rule):
+        // without it each round's two semi-joins nest the previous round's
+        // whole plan twice — exponential lineage that OOMs the planner by
+        // round 5. The edge list only shrinks, so the materialization is
+        // cheap and bounds planning at O(1) per round.
+        e = e
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint(true)
+      }
+      degreesOf(e)
+        .select(col("node").as("part_id"), col("d").as("core_degree"))
+    },
+    Some("""
+      WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      k1 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+             GROUP BY 1 HAVING COUNT(*) >= 2),
+      e1 AS MATERIALIZED (SELECT e.u, e.v FROM e0 e JOIN k1 a ON e.u = a.node
+             JOIN k1 b ON e.v = b.node),
+      k2 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+             GROUP BY 1 HAVING COUNT(*) >= 2),
+      e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e JOIN k2 a ON e.u = a.node
+             JOIN k2 b ON e.v = b.node),
+      k3 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+             GROUP BY 1 HAVING COUNT(*) >= 2),
+      e3 AS MATERIALIZED (SELECT e.u, e.v FROM e2 e JOIN k3 a ON e.u = a.node
+             JOIN k3 b ON e.v = b.node),
+      k4 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+             GROUP BY 1 HAVING COUNT(*) >= 2),
+      e4 AS MATERIALIZED (SELECT e.u, e.v FROM e3 e JOIN k4 a ON e.u = a.node
+             JOIN k4 b ON e.v = b.node),
+      k5 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+             GROUP BY 1 HAVING COUNT(*) >= 2),
+      e5 AS MATERIALIZED (SELECT e.u, e.v FROM e4 e JOIN k5 a ON e.u = a.node
+             JOIN k5 b ON e.v = b.node)
+      SELECT node AS part_id, COUNT(*) AS core_degree
+      FROM (SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5)
+      GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(pagerank, khopReach, cheapestPath, triangleCensus, clusteringCoeff,
-      assortativity)
+      assortativity, kcore)
 }

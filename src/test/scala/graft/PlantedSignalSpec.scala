@@ -97,6 +97,25 @@ class PlantedSignalSpec extends AnyFunSuite {
     assert(ppm === (1000000L / 102L))
   }
 
+  test("g7: a pendant node peels off; the planted triangle is the 2-core") {
+    import spark.implicits._
+    // Parts 1-2-3 co-occur in two orders (triangle, all weights 2); part 4
+    // co-occurs twice with part 1 only — degree 1, so round 1 peels it and
+    // the fixed point is the bare triangle with within-core degree 2.
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 4L),
+      (13L, 1L), (13L, 4L))
+    val dir = Files.createTempDirectory("planted").toString
+    li.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = queries.Graph.kcore.run(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"expected the triangle at core degree 2, got $got")
+  }
+
   test("tx23: a planted dominant pair wins merge rank 1 with exact counts") {
     import spark.implicits._
     // Four word types share the (t,h) prefix pair; "tha" repeats, so its
