@@ -1031,8 +1031,106 @@ object Similarity extends QueryPack {
                AS avg_candidates_per_query
       FROM hits JOIN cost USING (nprobe), nt""")
 
+  /** sim16: scalar-quantized (SQ8) kNN — the third compression point on the
+    * ANN frontier next to PQ (sim7) and IVF pruning (sim5/13): keep every
+    * dimension but store it as one byte. Fit = per-dimension global
+    * [min, max]; code = the value's 0..255 position in that range;
+    * search scores RECONSTRUCTIONS (min + code·range/255), so the scoring
+    * math is the same cosine as sim1 on a corpus 4× smaller in memory
+    * traffic — the standard faiss SQ8 design, and unlike PQ it needs no
+    * codebook training. Each hit carries the exact cosine next to the
+    * quantized one, so the output exhibits the quantization error it pays.
+    *
+    * Scale shape: the fit is one posexplode aggregate — map-side combined,
+    * the shuffle carries dims×partitions rows, the model is 2·64 longs
+    * (KB-scale state, the IvfIndex argument) broadcast back; coding and
+    * reconstruction are per-row indexed-transform expressions riding the
+    * scan. Search is sim1's shape: queries broadcast, corpus scanned once,
+    * per-query top-K windows. Determinism: codes are integer floor
+    * divisions of non-negative integers (qv−mn ≥ 0 by construction, so
+    * Spark's truncating div ≡ DuckDB's floor //); reconstructions are
+    * exact longs at 255×10⁴ scale; Σ products < 2⁵³ so even the oracle's
+    * double list_sum is exact; cosine division is one IEEE op on
+    * identical integers.
+    */
+  val knnSq8 = GQuery(
+    "sim16_knn_sq8",
+    (s, dir) => {
+      val q = quantized(s, dir)
+      val model = q
+        .select(posexplode(col("qv")).as(Seq("dim", "x")))
+        .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+          .as("m"))
+        .select(
+          transform(col("m"), e => e("mn")).as("mns"),
+          transform(col("m"), e => e("mx")).as("mxs"))
+      val coded = q.crossJoin(broadcast(model))
+        .withColumn("code", expr(
+          """transform(qv, (x, i) -> CASE WHEN mxs[i] = mns[i] THEN 0L
+             ELSE ((x - mns[i]) * 255L) div (mxs[i] - mns[i]) END)"""))
+        .withColumn("rv", expr(
+          """transform(code, (c, i) -> mns[i] * 255L + c * (mxs[i] - mns[i]))"""))
+        .withColumn("rnorm", sqrt(dotQ(col("rv"), col("rv")).cast("double")))
+        .select(col("vec_id"), col("qv"), col("norm"), col("rv"), col("rnorm"))
+      val queries = coded.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("norm").as("q_norm"), col("rv").as("q_rv"),
+          col("rnorm").as("q_rnorm"))
+      val scored = coded.join(broadcast(queries),
+          col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotQ(col("rv"), col("q_rv")) / (col("rnorm") * col("q_rnorm")))
+            .as("sq8_cosine"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm")))
+            .as("exact_cosine"))
+      val rk = row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sq8_cosine").desc, col("neighbor_id")))
+      scored.withColumn("rank", rk).filter(col("rank") <= K)
+    },
+    Some(s"""
+      WITH q AS ($sqlQuantized),
+      dims AS (
+        SELECT CAST(i AS INTEGER) AS dim,
+               MIN(qv[CAST(i AS INTEGER)]) AS mn,
+               MAX(qv[CAST(i AS INTEGER)]) AS mx
+        FROM (SELECT qv, unnest(range(1, len(qv) + 1)) AS i FROM q)
+        GROUP BY 1),
+      model AS (
+        SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        FROM dims),
+      coded AS (
+        SELECT vec_id, qv, norm,
+               list_transform(qv, (x, i) ->
+                 CASE WHEN mxs[i] = mns[i] THEN mns[i] * 255
+                      ELSE mns[i] * 255
+                           + ((x - mns[i]) * 255 // (mxs[i] - mns[i]))
+                             * (mxs[i] - mns[i]) END) AS rv
+        FROM q, model),
+      coded2 AS (
+        SELECT vec_id, qv, norm, rv,
+               sqrt(CAST(${sqlDotQ("rv", "rv")} AS DOUBLE)) AS rnorm
+        FROM coded),
+      queries AS (
+        SELECT vec_id AS query_id, qv AS q_qv, norm AS q_norm,
+               rv AS q_rv, rnorm AS q_rnorm
+        FROM coded2 WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               CAST(${sqlDotQ("c.rv", "q_rv")} AS DOUBLE)
+                 / (c.rnorm * q_rnorm) AS sq8_cosine,
+               CAST(${sqlDotQ("c.qv", "q_qv")} AS DOUBLE)
+                 / (c.norm * q_norm) AS exact_cosine
+        FROM coded2 c JOIN queries ON c.vec_id <> query_id)
+      SELECT query_id, neighbor_id, sq8_cosine, exact_cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sq8_cosine DESC, neighbor_id) AS rank
+      FROM scored QUALIFY rank <= $K"""))
+
   override def queries: Seq[GQuery] =
     Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched,
       knnPq, knnFiltered, recallEval, embeddingOutliers, knnMultiprobe,
-      centroidClassify, knnIvfMultiprobe, rrfHybrid, nprobeSweep)
+      centroidClassify, knnIvfMultiprobe, rrfHybrid, nprobeSweep, knnSq8)
 }

@@ -175,4 +175,29 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(results.toSet === batchTruth)
   }
+
+  test("SQ8 (sim16) recalls most of exact top-5 and bounds quantization error") {
+    val exact = topk("sim1_knn_bruteforce")
+    val rows = graft.queries.Similarity.knnSq8.run(spark, dir)
+      .select("query_id", "neighbor_id", "sq8_cosine", "exact_cosine")
+      .collect()
+    val sq = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(exact.keySet === sq.keySet, "every query must answer")
+    val recalls = exact.map { case (q, truth) =>
+      sq(q).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8 bits per dimension over a ±0.53 value range: reconstruction error
+    // per dim ≈ range/255, so the ranking barely moves
+    assert(mean >= 0.8, s"mean SQ8 recall@5 $mean below floor")
+    val maxErr = rows.map(r => math.abs(r.getDouble(2) - r.getDouble(3))).max
+    assert(maxErr < 0.05, s"SQ8 cosine drifted $maxErr from exact")
+  }
+
+  test("SQ8 (sim16) is deterministic across runs") {
+    val a = graft.queries.Similarity.knnSq8.run(spark, dir).collect().toSet
+    val b = graft.queries.Similarity.knnSq8.run(spark, dir).collect().toSet
+    assert(a === b)
+  }
 }
