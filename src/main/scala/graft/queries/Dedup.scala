@@ -852,9 +852,97 @@ object Dedup extends QueryPack {
              COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM cc"""))
 
+  /** dd17: span scrub — the TRANSFORM half of exact-substring dedup. dd13
+    * reports where the repeated passages are; this applies the cut: every
+    * 5-token window whose fingerprint's canonical occurrence (min doc_id)
+    * lives in an EARLIER document is a scrub window, scrub windows merge
+    * into spans (gaps-and-islands), and the covered tokens are removed from
+    * the document — keep-first-occurrence, the Lee et al. 2021 ExactSubstr
+    * policy. Output is one row per document with before/after token counts
+    * and the fingerprint of the CLEANED text, so the driver's oracle
+    * hash-checks the actual post-scrub content, not just the span list.
+    *
+    * Plan shape, all linear (the dd13 argument): windows ride the scan;
+    * the keeper election is one uniform fp-keyed aggregate; islands form
+    * per doc under one doc_id shuffle; the scrub itself is a per-row
+    * indexed filter against the doc's own (bounded) span list joined back
+    * as an array — the corpus is never exploded a second time and nothing
+    * is pairwise. Every value is an integer or a rolling hash, bit-stable.
+    */
+  val spanScrub = GQuery(
+    "dd17_span_scrub",
+    (s, dir) => {
+      val K = 5
+      val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
+      val n = greatest(size(col("t")) - (K - 1), lit(0))
+      val joined = (2 to K).foldLeft(slice(col("t"), lit(1), n)) { (acc, j) =>
+        zip_with(acc, slice(col("t"), lit(j), n), (a, b) => concat_ws(" ", a, b))
+      }
+      val w = toks.select(col("doc_id"),
+        posexplode(transform(joined, x => polyHash(x))).as(Seq("pos", "fp")))
+      val keepers = w.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+      val scrub = w.join(keepers, "fp")
+        .filter(col("doc_id") > col("keeper"))
+        .select(col("doc_id"), col("pos"))
+      val grp = col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+      val spans = scrub.withColumn("grp", grp)
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + (K - 1)).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+      val empty = expr("cast(array() as array<struct<s:int,e:int>>)")
+      toks.join(spans, Seq("doc_id"), "left")
+        .withColumn("spans", coalesce(col("spans"), empty))
+        .withColumn("kept", filter(col("t"), (x, i) =>
+          !exists(col("spans"),
+            sp => i >= sp.getField("s") && i <= sp.getField("e"))))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+          polyHash(concat_ws(" ", col("kept"))).as("cleaned_fp"))
+    },
+    Some(s"""
+      WITH t AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+        FROM documents),
+      w0 AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM t WHERE len(toks) >= 5),
+      w AS MATERIALIZED (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               ${sqlPolyHash(
+                 "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]")}
+                 AS fp
+        FROM w0),
+      fpmin AS (SELECT fp, MIN(doc_id) AS keeper FROM w GROUP BY 1),
+      scrub AS (
+        SELECT w.doc_id, w.pos FROM w JOIN fpmin USING (fp)
+        WHERE w.doc_id > keeper),
+      g AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM scrub),
+      spans AS (
+        SELECT doc_id, MIN(pos) AS s, CAST(MAX(pos) + 4 AS INT) AS e
+        FROM g GROUP BY doc_id, grp),
+      sp AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+             FROM spans GROUP BY 1),
+      cleaned AS (
+        SELECT t.doc_id, t.toks,
+               list_filter(t.toks, (x, i) ->
+                 len(list_filter(COALESCE(sp.spans, []),
+                     r -> i - 1 BETWEEN struct_extract(r, 's')
+                                    AND struct_extract(r, 'e'))) = 0) AS kept
+        FROM t LEFT JOIN sp ON t.doc_id = sp.doc_id)
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+             ${sqlPolyHash("array_to_string(kept, ' ')")} AS cleaned_fp
+      FROM cleaned"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
       cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree,
       normalizedDedup, bloomIncremental, maximalSpans, sourceSketch,
-      verifiedNearDups, semanticClusters)
+      verifiedNearDups, semanticClusters, spanScrub)
 }

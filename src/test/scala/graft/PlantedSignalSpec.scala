@@ -116,6 +116,26 @@ class PlantedSignalSpec extends AnyFunSuite {
       s"expected the triangle at core degree 2, got $got")
   }
 
+  test("dd17: a shared passage is scrubbed from the later doc only") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta"  // 6 tokens, 2 windows
+    val docs = Seq(
+      (0L, s"intro one two $passage", "en", "web", 1L),
+      (1L, s"$passage tail xx yy zz qq rr", "en", "web", 1L),
+      (2L, "totally unrelated words only here now", "en", "web", 1L))
+    val dir = plant(events = Seq((0L, ts("2024-01-02 00:00:00"), 1L,
+      "click", 1.0, "{}")), documents = docs)
+    val got = queries.Dedup.spanScrub.run(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    def fp(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    // doc 0 is the keeper (min doc_id) — nothing removed; doc 1 loses the
+    // 6 passage tokens; doc 2 is untouched
+    assert(got(0) === ((0L, 9L, 0L, fp(s"intro one two $passage"))))
+    assert(got(1) === ((1L, 12L, 6L, fp("tail xx yy zz qq rr"))))
+    assert(got(2) === ((2L, 6L, 0L, fp("totally unrelated words only here now"))))
+  }
+
   test("tx23: a planted dominant pair wins merge rank 1 with exact counts") {
     import spark.implicits._
     // Four word types share the (t,h) prefix pair; "tha" repeats, so its
