@@ -842,10 +842,52 @@ object Windows extends QueryPack {
              quantile_cont(delay_s, 0.9) AS d90
       FROM users"""))
 
+  /** w22: rolling active-user stickiness — per day, the distinct actives
+    * that day (DAU), the distinct actives over the trailing 7 days (WAU),
+    * and their ratio, the standard product-engagement curve. The
+    * interesting part is DISTINCT over a SLIDING window, which SQL window
+    * frames cannot express (no count(distinct) over RANGE): the exact
+    * scale shape is to collapse to (user, day) first — the corpus shrinks
+    * to its activity grid — then explode each activity day into the ≤7
+    * window days it contributes to (bounded ×7, map-side) and count
+    * distinct per window day. One uniform (day, user) shuffle; no self-join
+    * over the day range, no per-day rescan; days without activity join out.
+    */
+  val activeStickiness = GQuery(
+    "w22_active_stickiness",
+    (s, dir) => {
+      val ud = ev(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+      wexp AS (
+        SELECT user_id, day, unnest(range(0, 7)) AS i FROM ud),
+      wau AS (
+        SELECT day + CAST(i AS INTEGER) AS day,
+               COUNT(DISTINCT user_id) AS wau
+        FROM wexp GROUP BY 1)
+      SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+             CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      FROM dau JOIN wau USING (day)"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
       eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
       rankFamily, nextEventPairs, funnel, cohortRetention, markovTransitions,
       sequenceAnomaly, timeWeightedAvg, pmiCooccurrence, changePoint,
-      conversionLatency)
+      conversionLatency, activeStickiness)
 }

@@ -116,6 +116,20 @@ class PlantedSignalSpec extends AnyFunSuite {
       s"expected the triangle at core degree 2, got $got")
   }
 
+  test("w22: trailing-7-day WAU counts a user active days earlier") {
+    import spark.implicits._
+    val events = Seq(
+      (0L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-03 10:00:00"), 2L, "click", 1.0, "{}"))
+    val got = queries.Windows.activeStickiness.run(spark, plant(events))
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    // day 1: only user 1 anywhere in its trailing week; day 3: user 2 is
+    // the DAU but user 1's Jan-1 activity still counts toward WAU
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 1L, 1L, 1.0),
+      ("2024-01-03", 1L, 2L, 0.5)))
+  }
+
   test("dd17: a shared passage is scrubbed from the later doc only") {
     import spark.implicits._
     val passage = "alpha beta gamma delta epsilon zeta"  // 6 tokens, 2 windows
