@@ -641,8 +641,85 @@ object Sampling extends QueryPack {
       SELECT lang, n_docs, mean_chars, boot_lo, boot_hi, n_resamples
       FROM pt JOIN ci USING (lang)"""))
 
+  /** samp9: temperature-scaled mixture — the multilingual up/down-sampling
+    * rule (XLM-R / mT5): source shares ∝ size^(1/T) instead of samp3's
+    * equal shares, so small languages are boosted without flattening the
+    * mixture entirely. T = 2 here, i.e. shares ∝ √size — deliberately,
+    * because sqrt is a correctly-rounded IEEE op (identical bits on every
+    * engine) where pow(x, 0.3) is not; a temperature that needs pow would
+    * quantize shares to integers first. Output is the per-source plan:
+    * natural share, tempered share, the keep-rate that realizes it under
+    * a 20% character budget, and the realized sampled-document count from
+    * the samp1 hash-threshold rule (deterministic, seedless).
+    *
+    * Scale shape: one scan aggregates per-source mass (map-side combined);
+    * shares and rates are window math over the ≤|sources| relation; the
+    * realized count joins the broadcast rate table back against the scan
+    * and filters on the integer hash — no rand(), no second shuffle.
+    */
+  val temperatureMix = GQuery(
+    "samp9_temperature_mix",
+    (s, dir) => {
+      val rates = docs(s, dir).groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("lang_chars"))
+        .withColumn("total_chars",
+          sum(col("lang_chars")).over(Window.partitionBy()))
+        // per-row quantize before the cross-partition sum (the tx21 rule):
+        // the decimal sum is exact, so share values cannot drift with the
+        // engine's addition order
+        .withColumn("tempered",
+          sqrt(col("lang_chars").cast("double")).cast("decimal(28,12)"))
+        .withColumn("temp_share",
+          col("tempered").cast("double") /
+            sum(col("tempered")).over(Window.partitionBy()).cast("double"))
+        .withColumn("nat_share",
+          col("lang_chars").cast("double") / col("total_chars").cast("double"))
+        .withColumn("rate", least(lit(1.0),
+          col("total_chars").cast("double") * 0.2 * col("temp_share") /
+            col("lang_chars").cast("double")))
+        .select(col("lang"), col("lang_chars"), col("nat_share"),
+          col("temp_share"), col("rate"))
+      val sampled = docs(s, dir)
+        .join(broadcast(rates.select(col("lang"), col("rate"))), "lang")
+        .filter(u(col("doc_id")).cast("double") < col("rate") * 4294967296.0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("lang_chars"), col("nat_share"),
+          col("temp_share"), col("rate"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+    },
+    Some(s"""
+      WITH lc AS (
+        SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+        FROM documents GROUP BY 1),
+      lcq AS (
+        SELECT lang, lang_chars,
+               CAST(sqrt(CAST(lang_chars AS DOUBLE)) AS DECIMAL(28,12))
+                 AS tempered
+        FROM lc),
+      rates AS (
+        SELECT lang, lang_chars,
+               CAST(lang_chars AS DOUBLE) / CAST(SUM(lang_chars) OVER () AS DOUBLE)
+                 AS nat_share,
+               CAST(tempered AS DOUBLE)
+                 / CAST(SUM(tempered) OVER () AS DOUBLE) AS temp_share,
+               least(1.0,
+                 CAST(SUM(lang_chars) OVER () AS DOUBLE) * 0.2
+                   * (CAST(tempered AS DOUBLE)
+                      / CAST(SUM(tempered) OVER () AS DOUBLE))
+                   / CAST(lang_chars AS DOUBLE)) AS rate
+        FROM lcq),
+      sampled AS (
+        SELECT d.lang, COUNT(*) AS n_sampled
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE CAST($SqlU AS DOUBLE) < r.rate * 4294967296.0
+        GROUP BY 1)
+      SELECT r.lang, r.lang_chars, r.nat_share, r.temp_share, r.rate,
+             COALESCE(s.n_sampled, 0) AS n_sampled
+      FROM rates r LEFT JOIN sampled s ON r.lang = s.lang"""))
+
   override def queries: Seq[GQuery] =
     Seq(stratifiedSample, reservoirPerStratum, mixtureResample, trainingMix,
       sequencePacking, groupedSplit, shardManifest, weightedSample,
-      htEstimate, bootstrapCi)
+      htEstimate, bootstrapCi, temperatureMix)
 }

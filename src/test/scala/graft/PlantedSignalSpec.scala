@@ -116,6 +116,25 @@ class PlantedSignalSpec extends AnyFunSuite {
       s"expected the triangle at core degree 2, got $got")
   }
 
+  test("samp9: temperature boosts the small source above its natural share") {
+    import spark.implicits._
+    // 100:1 character mass → natural shares 100/101 vs 1/101; at T=2 the
+    // tempered shares are √100:√1 = 10:11 vs 1:11 — exactly representable,
+    // so the assertion is equality, not tolerance
+    val docs = (0 until 100).map(i => (i.toLong, "x", "en", "web", 100L)) :+
+      ((100L, "x", "de", "web", 100L))
+    val dir = plant(events = Seq((0L, ts("2024-01-02 00:00:00"), 1L,
+      "click", 1.0, "{}")), documents = docs)
+    val rowsM = queries.Sampling.temperatureMix.run(spark, dir)
+      .select("lang", "nat_share", "temp_share")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(rowsM("en") === ((100.0 / 101.0, 10.0 / 11.0)))
+    assert(rowsM("de") === ((1.0 / 101.0, 1.0 / 11.0)))
+    assert(rowsM("de")._2 > rowsM("de")._1, "small source must be boosted")
+    assert(rowsM("en")._2 < rowsM("en")._1, "large source must be damped")
+  }
+
   test("w22: trailing-7-day WAU counts a user active days earlier") {
     import spark.implicits._
     val events = Seq(
