@@ -518,4 +518,37 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), s"$name: census planned a join:\n$p")
     }
   }
+
+  test("sim16: SQ8 model and queries broadcast; the corpus never shuffles whole") {
+    val p = plan("sim16_knn_sq8")
+    // two broadcast sides ride the corpus scan: the 2×64-long min/max model
+    // and the coded query batch; a SortMergeJoin would mean the full rv
+    // vectors crossed the network
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet queries:\n$p")
+  }
+
+  test("tx23: the pair census map-side combines; top-K is salted two-phase") {
+    val p = plan("tx23_bpe_merge_stats")
+    assert(p.contains("partial_"), s"pair census must map-side combine:\n$p")
+    // the final global rank must be fed by the salted local-rank window —
+    // visible as two Window nodes, the first partitioned by the salt
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size >= 2,
+      s"top-K lost its two-phase shape:\n$p")
+  }
+
+  test("dd17: the scrub is span-joins and windows — nothing pairwise") {
+    val p = plan("dd17_span_scrub")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"dd17 degraded to a pairwise join:\n$p")
+  }
+
+  test("w22: the WAU explode stays map-side; one (day,user) exchange") {
+    val p = plan("w22_active_stickiness")
+    // Generate (the ×7 day explode) must sit BELOW the distinct-count
+    // aggregation's exchange, not above a join of per-day relations
+    assert(p.contains("Generate"), s"bounded explode missing:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"dau×wau join shape degraded:\n$p")
+  }
 }
