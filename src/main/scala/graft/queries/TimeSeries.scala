@@ -300,6 +300,100 @@ object TimeSeries extends QueryPack {
              CAST(SUM(smape_t) AS DOUBLE) / COUNT(*) AS smape
       FROM scored GROUP BY 1"""))
 
+  /** tsr6: autocorrelation profile — the periodicity detector that tells a
+    * forecaster (tsr5 assumed its 7-day season; this MEASURES seasonality)
+    * which lags matter: Pearson ACF of each event type's hourly count
+    * series at lags {1, 2, 3, 6, 12, 24}, zero-filled on the fixed hour
+    * grid so gaps read as true zeros rather than silently shortening lags.
+    *
+    * Scale shape (the cdc3 grid argument): the series is DATE-RANGE-
+    * bounded, not data-bounded — the corpus collapses to ≤ types × 697
+    * hourly counts in one map-side-combined aggregate and every
+    * subsequent step walks grid rows. All six lag columns come off ONE
+    * per-type window sort (six `lag()` exprs over the same window); the
+    * normal-equation sums are exact integer counts and products, and the
+    * correlation algebra mirrors g6's double expression tree, so the one
+    * float per row is bit-equal across engines.
+    */
+  val autocorrelation = GQuery(
+    "tsr6_autocorrelation",
+    (s, dir) => {
+      val lags = Seq(1, 2, 3, 6, 12, 24)
+      val hours = s.range(1).select(explode(sequence(
+        to_timestamp(lit(s"$D0 00:00:00")),
+        to_timestamp(lit(s"$D1 00:00:00")),
+        expr("interval 1 hour"))).as("gts"))
+      val types = ev(s, dir).select(col("event_type")).distinct()
+      val counts = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("gts"))
+        .agg(count(lit(1)).as("cnt"))
+      val full = types.crossJoin(broadcast(hours))
+        .join(counts, Seq("event_type", "gts"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("gts"))
+      // lag columns materialize in their own projection first — a window
+      // function inside explode()'s argument is an unsupported Generate
+      // expression; as plain columns all six still share one w sort
+      val lagged = lags.foldLeft(full)((df, l) =>
+        df.withColumn(s"x$l", lag(col("cnt"), l).over(w)))
+      val pairs = lagged
+        .withColumn("p", explode(array(lags.map(l =>
+          struct(lit(l).as("lag"), col(s"x$l").as("x"))): _*)))
+        .filter(col("p.x").isNotNull)
+        .select(col("event_type"), col("p.lag").as("lag"),
+          col("p.x").as("x"), col("cnt").as("y"))
+      val sums = pairs.groupBy(col("event_type"), col("lag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+      val varX = col("n") * col("sxx") - col("sx") * col("sx")
+      val varY = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(col("event_type"), col("lag"),
+        col("n").cast("long").as("n_pairs"),
+        when(varX > 0 && varY > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(varX) * sqrt(varY)))
+          .otherwise(lit(0.0)).as("acf"))
+    },
+    Some(s"""
+      WITH types AS (SELECT DISTINCT event_type FROM events),
+      g AS (SELECT unnest(generate_series(
+              TIMESTAMP '$D0 00:00:00', TIMESTAMP '$D1 00:00:00',
+              INTERVAL 1 HOUR)) AS gts),
+      c AS (SELECT event_type, date_trunc('hour', ts) AS gts,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2),
+      onGrid AS (
+        SELECT t.event_type, g.gts, COALESCE(c.cnt, 0) AS cnt
+        FROM types t CROSS JOIN g
+        LEFT JOIN c ON c.event_type = t.event_type AND c.gts = g.gts),
+      lagtab AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+      pairs AS (
+        SELECT b.event_type, l.lag, a.cnt AS x, b.cnt AS y
+        FROM onGrid a
+        CROSS JOIN lagtab l
+        JOIN onGrid b ON b.event_type = a.event_type
+                     AND b.gts = a.gts + l.lag * INTERVAL 1 HOUR),
+      sums AS (
+        SELECT event_type, lag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM pairs GROUP BY 1, 2)
+      SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                  ELSE 0.0 END AS acf
+      FROM sums"""))
+
   override def queries: Seq[GQuery] =
-    Seq(dailyFfill, gridInterp, ohlcBars, channelBreakout, seasonalBacktest)
+    Seq(dailyFfill, gridInterp, ohlcBars, channelBreakout, seasonalBacktest,
+      autocorrelation)
 }
