@@ -352,7 +352,80 @@ object Quality extends QueryPack {
                   // 1000000 AS BIGINT) AS lag_seconds
       FROM groups"""))
 
+  /** dq7: volume-anomaly monitor — the pipeline-operations alarm dq6's
+    * freshness check doesn't cover: a feed can be fresh and still have
+    * silently halved (an upstream filter bug) or doubled (a replay). Each
+    * (event_type, day) cell's count is compared to its own trailing 7-day
+    * volume; the ratio lives in exact integer parts-per-million
+    * (`7·cnt·1e6 div trailing_sum`, so 1e6 = exactly on-trend) and a day
+    * flags when it runs over 2× or under 0.5× trend. Warm-up days (window
+    * not yet full) are excluded rather than diluted.
+    *
+    * Scale shape (the cdc3/tsr6 grid argument): the corpus collapses to
+    * the DATE-RANGE-bounded (type, day) grid in one map-side-combined
+    * aggregate — zero-filled so missing days read as true zero-volume
+    * anomalies, which is exactly the failure the monitor exists to catch —
+    * and every window below walks grid rows. Integer-only: no float
+    * thresholds to drift.
+    */
+  val volumeAnomaly = GQuery(
+    "dq7_volume_anomaly",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val days = s.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
+        expr("interval 1 day"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val grid = types.crossJoin(broadcast(days))
+        .join(counts, Seq("event_type", "day"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      grid
+        .withColumn("trailing_sum",
+          sum(col("cnt")).over(w.rowsBetween(-7, -1)))
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") > 7 && col("trailing_sum") > 0)
+        .withColumn("ratio_ppm",
+          expr("(7L * cnt * 1000000L) div trailing_sum"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("trailing_sum"), col("ratio_ppm"),
+          (col("ratio_ppm") > 2000000L || col("ratio_ppm") < 500000L)
+            .as("anomalous"))
+    },
+    Some("""
+      WITH types AS (SELECT DISTINCT event_type FROM events),
+      days AS (SELECT unnest(generate_series(
+                 DATE '2024-01-01', DATE '2024-01-30',
+                 INTERVAL 1 DAY)) AS day),
+      c AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT t.event_type, CAST(d.day AS DATE) AS day,
+               COALESCE(c.cnt, 0) AS cnt
+        FROM types t CROSS JOIN days d
+        LEFT JOIN c ON c.event_type = t.event_type
+                   AND c.day = CAST(d.day AS DATE)),
+      wind AS (
+        SELECT event_type, day, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trailing_sum,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                 AS pos
+        FROM grid)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+             trailing_sum,
+             CAST((7 * cnt * 1000000) // trailing_sum AS BIGINT)
+               AS ratio_ppm,
+             CAST((7 * cnt * 1000000) // trailing_sum AS BIGINT) > 2000000
+               OR CAST((7 * cnt * 1000000) // trailing_sum AS BIGINT)
+                  < 500000 AS anomalous
+      FROM wind WHERE pos > 7 AND trailing_sum > 0"""))
+
   override def queries: Seq[GQuery] =
     Seq(contractSummary, violationSample, reconciliation, kAnonymity,
-      lDiversity, freshness)
+      lDiversity, freshness, volumeAnomaly)
 }

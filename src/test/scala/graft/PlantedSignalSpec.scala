@@ -116,6 +116,28 @@ class PlantedSignalSpec extends AnyFunSuite {
       s"expected the triangle at core degree 2, got $got")
   }
 
+  test("dq7: a volume spike and a silent dropout both flag; on-trend does not") {
+    import spark.implicits._
+    // one event/day on Jan 1-14, except Jan 12 carries a 5× spike; the
+    // feed then goes silent — day 15 is the first zero-volume day
+    val events = (1 to 14).flatMap { d =>
+      val n = if (d == 12) 5 else 1
+      (0 until n).map(i =>
+        ((d * 10 + i).toLong, ts(f"2024-01-$d%02d 12:00:00"), 1L,
+          "click", 1.0, "{}"))
+    }
+    val rows = queries.Quality.volumeAnomaly.run(spark, plant(events))
+      .select("day", "cnt", "trailing_sum", "ratio_ppm", "anomalous")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("2024-01-08") === (("2024-01-08", 1L, 7L, 1000000L, false)))
+    assert(rows("2024-01-12") === (("2024-01-12", 5L, 7L, 5000000L, true)))
+    assert(rows("2024-01-15") === (("2024-01-15", 0L, 11L, 0L, true)))
+    // once the trailing week is itself empty the ratio is undefined — the
+    // day must be absent, not reported as a division artifact
+    assert(!rows.contains("2024-01-22"))
+  }
+
   test("samp9: temperature boosts the small source above its natural share") {
     import spark.implicits._
     // 100:1 character mass → natural shares 100/101 vs 1/101; at T=2 the
