@@ -368,34 +368,42 @@ object Quality extends QueryPack {
     * and every window below walks grid rows. Integer-only: no float
     * thresholds to drift.
     */
+  /** The trailing-week ratio readout over a (event_type, day, cnt)
+    * relation — shared verbatim by the batch dq7 gate and the live
+    * [[graft.streaming.StreamingVolume]] state snapshot, so the alarm and
+    * the audit can never drift apart.
+    */
+  def volumeReadout(s: SparkSession, counts: DataFrame): DataFrame = {
+    val days = s.range(1).select(explode(sequence(
+      to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
+      expr("interval 1 day"))).as("day"))
+    // the rename round-trip mints a fresh attribute id for the type list —
+    // without it the grid join self-references `counts` and fails
+    // resolution when counts is a streaming memory view
+    val types = counts.select(col("event_type").as("et")).distinct()
+      .select(col("et").as("event_type"))
+    val grid = types.crossJoin(broadcast(days))
+      .join(counts, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    grid
+      .withColumn("trailing_sum",
+        sum(col("cnt")).over(w.rowsBetween(-7, -1)))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") > 7 && col("trailing_sum") > 0)
+      .withColumn("ratio_ppm",
+        expr("(7L * cnt * 1000000L) div trailing_sum"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("trailing_sum"), col("ratio_ppm"),
+        (col("ratio_ppm") > 2000000L || col("ratio_ppm") < 500000L)
+          .as("anomalous"))
+  }
+
   val volumeAnomaly = GQuery(
     "dq7_volume_anomaly",
-    (s, dir) => {
-      val ev = t(s, dir, "events")
-      val days = s.range(1).select(explode(sequence(
-        to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
-        expr("interval 1 day"))).as("day"))
-      val types = ev.select(col("event_type")).distinct()
-      val counts = ev
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val grid = types.crossJoin(broadcast(days))
-        .join(counts, Seq("event_type", "day"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      grid
-        .withColumn("trailing_sum",
-          sum(col("cnt")).over(w.rowsBetween(-7, -1)))
-        .withColumn("pos", row_number().over(w))
-        .filter(col("pos") > 7 && col("trailing_sum") > 0)
-        .withColumn("ratio_ppm",
-          expr("(7L * cnt * 1000000L) div trailing_sum"))
-        .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("cnt"), col("trailing_sum"), col("ratio_ppm"),
-          (col("ratio_ppm") > 2000000L || col("ratio_ppm") < 500000L)
-            .as("anomalous"))
-    },
+    (s, dir) => volumeReadout(s,
+      graft.streaming.StreamingVolume.dailyCounts(t(s, dir, "events"))),
     Some("""
       WITH types AS (SELECT DISTINCT event_type FROM events),
       days AS (SELECT unnest(generate_series(
