@@ -340,7 +340,111 @@ object EntityResolution extends QueryPack {
                AS w_disagree
       FROM up JOIN mp USING (field), denom"""))
 
+  /** er7: the Fellegi–Sunter scoring step er6's weights exist FOR — every
+    * er1 candidate pair scored by Σ over fields of (agree ? w_agree :
+    * w_disagree) and ranked into the clerical-review queue a human (or an
+    * expensive model) works from the top of. Decisions are deliberately
+    * NOT thresholded here: on this generator m ≈ u (same-name records
+    * draw attributes independently), so any fixed cut would be a
+    * constant-column pretense — the ranked queue is the honest artifact,
+    * and a deployment picks cuts from ITS weight magnitudes.
+    *
+    * Scale shape: attribute representatives are one name-bounded
+    * aggregate (min per (name, field) — deterministic canonical value);
+    * each pair meets its two rep rows through uniform name-keyed joins
+    * (pair volume already bounded by er1's blocking); the 3-row weight
+    * table broadcasts. Float discipline: the per-field log-weights
+    * quantize to decimal BEFORE the per-pair sum (the tx21 rule), so the
+    * queue order cannot drift with join order.
+    */
+  val reviewQueue = GQuery(
+    "er7_review_queue",
+    (s, dir) => {
+      val vals = t(s, dir, "part").select(col("p_name"), explode(array(
+          struct(lit("brand").as("field"), col("p_brand").as("value")),
+          struct(lit("type").as("field"), col("p_type").as("value")),
+          struct(lit("size").as("field"),
+            col("p_size").cast("string").as("value")))).as("fv"))
+        .select(col("p_name"), col("fv.field"), col("fv.value"))
+      val reps = vals.groupBy(col("p_name"), col("field"))
+        .agg(min(col("value")).as("rep"))
+      val pairs = candidatePairs.run(s, dir)
+      val w = fsWeights.run(s, dir)
+        .select(col("field"), col("w_agree"), col("w_disagree"))
+      val pf = pairs
+        .join(reps.select(col("p_name").as("name_a"), col("field"),
+          col("rep").as("rep_a")), Seq("name_a"))
+        .join(reps.select(col("p_name").as("nb"),
+          col("field").as("field_b"), col("rep").as("rep_b")),
+          col("name_b") === col("nb") && col("field") === col("field_b"))
+        .drop("nb", "field_b")
+        .withColumn("agree", col("rep_a") === col("rep_b"))
+      val scored = pf.join(broadcast(w), "field")
+        .withColumn("wq",
+          when(col("agree"), col("w_agree")).otherwise(col("w_disagree"))
+            .cast("decimal(18,12)"))
+        .groupBy(col("name_a"), col("name_b"), col("dist"))
+        .agg(
+          sum(when(col("agree"), 1L).otherwise(0L)).as("n_agree"),
+          sum(col("wq")).cast("double").as("score"))
+      scored.withColumn("queue_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("score").desc, col("name_a"), col("name_b"))))
+    },
+    Some(s"""
+      WITH names AS (
+        SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS block FROM part),
+      pairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM names a JOIN names b USING (block)
+        WHERE a.p_name < b.p_name
+          AND levenshtein(a.p_name, b.p_name) <= $MaxEdits),
+      vals AS (
+        SELECT p_name, 'brand' AS field, p_brand AS value FROM part
+        UNION ALL SELECT p_name, 'type', p_type FROM part
+        UNION ALL SELECT p_name, 'size', CAST(p_size AS VARCHAR) FROM part),
+      reps AS (SELECT p_name, field, MIN(value) AS rep FROM vals GROUP BY 1, 2),
+      up AS (
+        SELECT field, CAST(SUM(c*(c-1)/2) AS BIGINT) AS u_pairs
+        FROM (SELECT field, value, COUNT(*) AS c FROM vals GROUP BY 1, 2)
+        GROUP BY 1),
+      mp AS (
+        SELECT field, CAST(SUM(c*(c-1)/2) AS BIGINT) AS m_pairs
+        FROM (SELECT field, p_name, value, COUNT(*) AS c
+              FROM vals GROUP BY 1, 2, 3)
+        GROUP BY 1),
+      denom AS (
+        SELECT CAST(SUM(c)*(SUM(c)-1)/2 AS BIGINT) AS total_pairs,
+               CAST(SUM(c*(c-1)/2) AS BIGINT) AS match_pairs
+        FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_name)),
+      w AS (
+        SELECT field,
+               log2((CAST(m_pairs AS DOUBLE) / match_pairs)
+                    / (CAST(u_pairs AS DOUBLE) / total_pairs)) AS w_agree,
+               log2((1.0 - CAST(m_pairs AS DOUBLE) / match_pairs)
+                    / (1.0 - CAST(u_pairs AS DOUBLE) / total_pairs))
+                 AS w_disagree
+        FROM up JOIN mp USING (field), denom),
+      pf AS (
+        SELECT p.name_a, p.name_b, p.dist, ra.field,
+               (ra.rep = rb.rep) AS agree
+        FROM pairs p
+        JOIN reps ra ON ra.p_name = p.name_a
+        JOIN reps rb ON rb.p_name = p.name_b AND rb.field = ra.field),
+      scored AS (
+        SELECT name_a, name_b, dist,
+               CAST(SUM(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree,
+               CAST(SUM(CAST(CASE WHEN agree THEN w_agree ELSE w_disagree END
+                             AS DECIMAL(18,12))) AS DOUBLE) AS score
+        FROM pf JOIN w USING (field) GROUP BY 1, 2, 3)
+      SELECT name_a, name_b, dist, n_agree, score,
+             row_number() OVER (ORDER BY score DESC, name_a, name_b)
+               AS queue_rank
+      FROM scored"""))
+
   override def queries: Seq[GQuery] =
     Seq(candidatePairs, entityClusters, goldenRecords, resolvedRevenue,
-      blockingQuality, fsWeights)
+      blockingQuality, fsWeights, reviewQueue)
 }

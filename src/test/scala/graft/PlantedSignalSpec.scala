@@ -116,6 +116,25 @@ class PlantedSignalSpec extends AnyFunSuite {
       s"expected the triangle at core degree 2, got $got")
   }
 
+  test("er7: an all-fields-agreeing variant pair scores exactly Σ w_agree") {
+    import spark.implicits._
+    // "aa alpha" (twice) and "ab alpha" share every attribute; "zz beta" is
+    // the disjoint background. Per field: m = 1 (the one same-name pair
+    // agrees), u = C(3,2)/C(4,2) = 1/2 → w_agree = log2(2) = 1 exactly, so
+    // the single candidate pair scores 3.0 with no float tolerance needed.
+    val part = Seq(
+      (1L, "aa alpha", "B1", "T1", 1),
+      (2L, "aa alpha", "B1", "T1", 1),
+      (3L, "ab alpha", "B1", "T1", 1),
+      (4L, "zz beta", "B9", "T9", 9))
+    val dir = Files.createTempDirectory("planted").toString
+    part.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = queries.EntityResolution.reviewQueue.run(spark, dir)
+      .as[(String, String, Long, Long, Double, Int)].collect().toSeq
+    assert(got === Seq(("aa alpha", "ab alpha", 1L, 3L, 3.0, 1)))
+  }
+
   test("dq7: a volume spike and a silent dropout both flag; on-trend does not") {
     import spark.implicits._
     // one event/day on Jan 1-14, except Jan 12 carries a 5× spike; the
