@@ -940,9 +940,98 @@ object Dedup extends QueryPack {
              ${sqlPolyHash("array_to_string(kept, ' ')")} AS cleaned_fp
       FROM cleaned"""))
 
+  /** dd18: the dedup PLANNER — before launching a near-dup pass over a new
+    * corpus, measure what each candidate-generation strategy would emit and
+    * choose. The exact inverted-index join (dd2) emits Σ_shingle C(df,2)
+    * rows; the MinHash-LSH band join (dd4) emits Σ_bucket C(n,2); both
+    * volumes fall out of ONE profiling pass over the same constructions the
+    * strategies themselves use, so the estimates are not models — they are
+    * the exact join cardinalities the engine would see ("measure, don't
+    * guess" applied to the engine's own plan choice). The decision rule is
+    * an integer budget (exact path admissible while its volume stays under
+    * 50 rows per document); the LSH reduction ratio rides along in ppm.
+    *
+    * Scale shape: both profiles are uniform-key groupBy counts (map-side
+    * combined) over relations the dedup pass computes anyway; the output
+    * is one row. The cost of deciding is one corpus scan — the cost of
+    * deciding WRONG is the difference between the two volumes, which is
+    * exactly what this reports.
+    */
+  val dedupPlanner = GQuery(
+    "dd18_dedup_planner",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          explode(transform(shingles3(tokens(col("text"))),
+            x => polyHash(x))).as("h"))
+        .distinct()
+      val exactVol = sh.groupBy(col("h"))
+        .agg(count(lit(1)).as("df"))
+        .agg(
+          count(lit(1)).as("n_distinct_shingles"),
+          sum(expr("df * (df - 1) div 2")).as("exact_pairs"))
+      val sig = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+        .select(col("doc_id"),
+          transform(col("sh"), x => polyHash(x)).as("hs"))
+        .select(col("doc_id"), minhashSig(col("hs"), 16).as("sig"))
+      val lshVol = sig.select(
+          posexplode(transform(sequence(lit(0), lit(3)), b =>
+            aggregate(slice(col("sig"), b * 4 + 1, lit(4)), lit(0L),
+              (acc, v) => (acc * 31 + v) % Mod)))
+            .as(Seq("band", "band_hash")))
+        .groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2")).as("lsh_pairs"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      nDocs.crossJoin(broadcast(exactVol)).crossJoin(broadcast(lshVol))
+        .select(col("n_docs"), col("n_distinct_shingles"),
+          col("exact_pairs"), col("lsh_pairs"),
+          expr("lsh_pairs * 1000000L div greatest(exact_pairs, 1L)")
+            .as("lsh_reduction_ppm"),
+          when(col("exact_pairs") <= col("n_docs") * 50,
+            lit("exact-inverted-index")).otherwise(lit("minhash-lsh"))
+            .as("chosen_strategy"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                 ${sqlShingles3("regexp_extract_all(text, '\\S+')")},
+                 x -> ${sqlPolyHash("x")})) AS h
+        FROM documents),
+      ev AS (
+        SELECT COUNT(*) AS n_distinct_shingles,
+               CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS exact_pairs
+        FROM (SELECT h, COUNT(*) AS df FROM sh GROUP BY 1)),
+      d AS (
+        SELECT doc_id,
+               list_transform(${sqlShingles3("regexp_extract_all(text, '\\S+')")},
+                              x -> ${sqlPolyHash("x")}) AS hs
+        FROM documents),
+      sig AS (SELECT doc_id, ${sqlMinhashSig("hs", 16)} AS sig FROM d),
+      bands AS (
+        SELECT doc_id, unnest(range(0, 4)) AS band,
+               unnest(list_transform(range(0, 4), b ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+                             (acc, v) -> (acc * 31 + v) % $Mod))) AS band_hash
+        FROM sig),
+      lv AS (
+        SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS lsh_pairs
+        FROM (SELECT band, band_hash, COUNT(*) AS n FROM bands GROUP BY 1, 2)),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT n_docs, n_distinct_shingles, exact_pairs, lsh_pairs,
+             CAST(lsh_pairs * 1000000 // greatest(exact_pairs, 1) AS BIGINT)
+               AS lsh_reduction_ppm,
+             CASE WHEN exact_pairs <= n_docs * 50
+                  THEN 'exact-inverted-index' ELSE 'minhash-lsh' END
+               AS chosen_strategy
+      FROM nd, ev, lv"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
       cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree,
       normalizedDedup, bloomIncremental, maximalSpans, sourceSketch,
-      verifiedNearDups, semanticClusters, spanScrub)
+      verifiedNearDups, semanticClusters, spanScrub, dedupPlanner)
 }

@@ -224,4 +224,20 @@ class NewOpsPropertySpec extends AnyFunSuite {
         s"interior pack ${p._1}/${p._2}#${p._3} has ${p._4} tokens")
     }
   }
+
+  test("dd18: planner volumes bracket the true candidate counts") {
+    val plan = queries.Dedup.dedupPlanner.run(spark, dir).collect().head
+    val (exactPairs, lshPairs) = (plan.getLong(2), plan.getLong(3))
+    // the exact-path estimate counts a pair once PER SHARED SHINGLE, so it
+    // upper-bounds the distinct dd2 pair count; same for LSH per shared band
+    val dd2Pairs = queries.Dedup.ngramJaccard.run(spark, dir).count()
+    val dd4Pairs = queries.Dedup.lshCandidates.run(spark, dir).count()
+    assert(exactPairs >= dd2Pairs,
+      s"exact estimate $exactPairs below true dd2 volume $dd2Pairs")
+    assert(lshPairs >= dd4Pairs,
+      s"LSH estimate $lshPairs below true dd4 volume $dd4Pairs")
+    assert(plan.getLong(0) === 500L) // n_docs at sf0.001
+    assert(lshPairs < exactPairs,
+      "on this corpus LSH must reduce the candidate volume")
+  }
 }
