@@ -672,8 +672,81 @@ object Profiling extends QueryPack {
       FROM dev d JOIN mad a USING (event_type)
       GROUP BY 1"""))
 
+  /** prof11: categorical entropy profile — Shannon entropy and its
+    * normalized form per categorical column, across two tables in one
+    * output: the "how much signal does this column carry" number feature
+    * selection and drift triage read first (a near-zero normalized entropy
+    * means the column is almost constant; near-one means uniform).
+    *
+    * Identity used: H = log2(n) − (Σ c·log2 c)/n over value counts c —
+    * one aggregate over the counts relation, no per-row p=c/n division.
+    * Float discipline (the tx21 rule): each c·log2(c) term quantizes to
+    * decimal(28,12) BEFORE the sum, so accumulation order cannot move the
+    * result; the closing algebra is the same expression tree in both
+    * engines. Scale shape: per table one unpivot scan (explode ×|cols|,
+    * map-side) into one uniform (column, value) groupBy; the entropy
+    * reduce runs over the value-count relation, bounded by distinct
+    * values, not rows.
+    */
+  val entropyProfile = GQuery(
+    "prof11_entropy_profile",
+    (s, dir) => {
+      def unpivot(df: DataFrame, table: String, cols: Seq[String]) =
+        df.select(explode(array(cols.map(c =>
+          struct(lit(table).as("table_name"), lit(c).as("column_name"),
+            col(c).cast("string").as("v"))): _*)).as("p"))
+          .select(col("p.*"))
+      val pairs = unpivot(Tables.load(s, dir, "events"), "events",
+          Seq("event_type"))
+        .unionByName(unpivot(Tables.load(s, dir, "documents"), "documents",
+          Seq("lang", "source")))
+      val counts = pairs
+        .groupBy(col("table_name"), col("column_name"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      counts
+        .groupBy(col("table_name"), col("column_name"))
+        .agg(
+          sum(col("c")).as("n"),
+          count(lit(1)).as("n_distinct"),
+          sum((col("c").cast("double") * log2(col("c").cast("double")))
+            .cast("decimal(28,12)")).as("sclc"))
+        .withColumn("entropy_bits",
+          log2(col("n").cast("double")) -
+            col("sclc").cast("double") / col("n").cast("double"))
+        .select(col("table_name"), col("column_name"), col("n"),
+          col("n_distinct"), col("entropy_bits"),
+          when(col("n_distinct") > 1,
+            col("entropy_bits") / log2(col("n_distinct").cast("double")))
+            .otherwise(lit(0.0)).as("normalized_entropy"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT 'events' AS table_name, 'event_type' AS column_name,
+               event_type AS v FROM events
+        UNION ALL SELECT 'documents', 'lang', lang FROM documents
+        UNION ALL SELECT 'documents', 'source', source FROM documents),
+      counts AS (
+        SELECT table_name, column_name, v, COUNT(*) AS c
+        FROM pairs GROUP BY 1, 2, 3),
+      aggd AS (
+        SELECT table_name, column_name,
+               CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS n_distinct,
+               SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                        AS DECIMAL(28,12))) AS sclc
+        FROM counts GROUP BY 1, 2)
+      SELECT table_name, column_name, n, n_distinct,
+             log2(CAST(n AS DOUBLE)) - CAST(sclc AS DOUBLE) / CAST(n AS DOUBLE)
+               AS entropy_bits,
+             CASE WHEN n_distinct > 1
+                  THEN (log2(CAST(n AS DOUBLE))
+                        - CAST(sclc AS DOUBLE) / CAST(n AS DOUBLE))
+                       / log2(CAST(n_distinct AS DOUBLE))
+                  ELSE 0.0 END AS normalized_entropy
+      FROM aggd"""))
+
   override def queries: Seq[GQuery] =
     Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix,
       quantileProfile, categoricalAssoc, histogramQuantiles, distributionDrift,
-      featureLabelAssoc, giniConcentration, robustOutliers)
+      featureLabelAssoc, giniConcentration, robustOutliers, entropyProfile)
 }

@@ -116,6 +116,35 @@ class PlantedSignalSpec extends AnyFunSuite {
       s"expected the triangle at core degree 2, got $got")
   }
 
+  test("prof11: uniform, skewed and constant columns order by entropy") {
+    import spark.implicits._
+    // lang uniform over 4 values → normalized entropy exactly 1.0;
+    // source constant → 0.0; event_type 50/50 over two values → 1.0 bit
+    val docs = (0 until 80).map(i =>
+      (i.toLong, "x", Seq("en", "de", "es", "fr")(i % 4), "web", 1L))
+    val events = (0 until 40).map(i =>
+      (i.toLong, ts("2024-01-02 00:00:00"), 1L,
+        if (i < 20) "view" else "click", 1.0, "{}"))
+    val dir = plant(events, docs)
+    val rows = queries.Profiling.entropyProfile.run(spark, dir)
+      .select("column_name", "n_distinct", "entropy_bits",
+        "normalized_entropy")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // the decimal(28,12) per-term quantization (determinism over
+    // last-ulp exactness) leaves ~1e-13 residue on irrational log2 terms
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(rows("lang")._2 === 4L)
+    assert(close(rows("lang")._3, 2.0) && close(rows("lang")._4, 1.0),
+      s"lang: ${rows("lang")}")
+    assert(rows("source")._2 === 1L)
+    assert(close(rows("source")._3, 0.0) && rows("source")._4 === 0.0,
+      s"source: ${rows("source")}")
+    assert(rows("event_type")._2 === 2L)
+    assert(close(rows("event_type")._3, 1.0) &&
+      close(rows("event_type")._4, 1.0), s"event_type: ${rows("event_type")}")
+  }
+
   test("er7: an all-fields-agreeing variant pair scores exactly Σ w_agree") {
     import spark.implicits._
     // "aa alpha" (twice) and "ab alpha" share every attribute; "zz beta" is
