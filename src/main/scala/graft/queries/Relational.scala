@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GQuery, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational operators over the synthetic TPC-H-ish tables.
@@ -452,8 +453,75 @@ object Relational extends QueryPack {
          AND p.ts BETWEEN v.ts - INTERVAL 2 HOUR AND v.ts + INTERVAL 2 HOUR)
       WHERE rk = 1"""))
 
+  /** q14: sole-late-supplier ranking — the TPC-H Q21 shape (the classic
+    * hard case for correlated-subquery planning): suppliers who shipped
+    * LATE (> 90 days after the order date) on multi-supplier orders where
+    * every OTHER supplier shipped on time — i.e. an EXISTS and a NOT
+    * EXISTS both correlated against the same fact table the outer row
+    * comes from. Expressed as the join forms Catalyst decorrelates those
+    * subqueries into anyway: the fact collapses to distinct
+    * (order, supplier, late) participation rows first (fact-sized →
+    * participation-sized), then one semi-join (some other supplier
+    * exists) and one anti-join (no other LATE supplier exists), both
+    * hash joins on the uniform order key with the supplier-inequality as
+    * a residual filter — never a per-row re-scan of lineitem. The
+    * supplier dimension broadcasts; top-20 is TakeOrderedAndProject.
+    */
+  val q14SoleLate = GQuery(
+    "q14_sole_late_supplier",
+    (s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > date_add(col("o_orderdate"), 90)).as("late"))
+        .distinct()
+        .persist() // three consumers below
+      val lateP = lo.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val anyOther = lo
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("s2"))
+        .distinct()
+      val lateOther = lo.filter(col("late"))
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("s3"))
+      val cand = lateP
+        .join(anyOther, col("l_orderkey") === col("ok2") &&
+          col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(lateOther, col("l_orderkey") === col("ok3") &&
+          col("s3") =!= col("l_suppkey"), "left_anti")
+      val counts = cand.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+      counts
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("numwait").desc, col("s_suppkey"))))
+    },
+    Some("""
+      WITH lo AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+               (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      cand AS (
+        SELECT p.l_orderkey, p.l_suppkey FROM lo p
+        WHERE p.late
+          AND EXISTS (SELECT 1 FROM lo q WHERE q.l_orderkey = p.l_orderkey
+                      AND q.l_suppkey <> p.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo r WHERE r.l_orderkey = p.l_orderkey
+                      AND r.l_suppkey <> p.l_suppkey AND r.late))
+      SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait,
+             row_number() OVER (ORDER BY COUNT(*) DESC, s.s_suppkey) AS rk
+      FROM cand JOIN supplier s ON cand.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+      ORDER BY numwait DESC, s_suppkey LIMIT 20"""))
+
   override def queries: Seq[GQuery] =
     Seq(q1Pricing, q2JoinRevenue, q3Filter, q4BigJoin, q5Rollup, q6Asof,
       q6bAsofMerge, q6cAsofForward, q6dAsofNearest, q7Range, q8Pivot,
-      q9AntiSemi, q10Percentiles, q11Cube, q12SetOps, q13Subqueries)
+      q9AntiSemi, q10Percentiles, q11Cube, q12SetOps, q13Subqueries,
+      q14SoleLate)
 }

@@ -543,6 +543,17 @@ class PlanSpec extends AnyFunSuite {
       s"dd17 degraded to a pairwise join:\n$p")
   }
 
+  test("q14: both correlated quantifiers plan as hash semi/anti joins") {
+    val p = plan("q14_sole_late_supplier")
+    assert(p.contains("LeftSemi"), s"EXISTS lost its semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS lost its anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"correlation degraded to a nested loop:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 planned a global sort:\n$p")
+  }
+
   test("w22: the WAU explode stays map-side; one (day,user) exchange") {
     val p = plan("w22_active_stickiness")
     // Generate (the ×7 day explode) must sit BELOW the distinct-count
