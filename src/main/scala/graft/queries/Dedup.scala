@@ -1029,9 +1029,122 @@ object Dedup extends QueryPack {
                AS chosen_strategy
       FROM nd, ev, lv"""))
 
+  /** pipe5: the scrubbed-corpus manifest — what a corpus looks like AFTER
+    * the cuts, per source: benchmark-contaminated documents (tx8's 4-gram
+    * overlap) drop whole, surviving documents lose their non-keeper
+    * repeated spans (dd17), and the per-source before/after token ledger
+    * is the artifact a data lead signs off on — "we removed X% as
+    * contamination and Y% as duplication" with the numbers attached.
+    * pipe2 decides which documents ship; this reports what shipping COST.
+    *
+    * Scale shape: both inputs are the existing operators' outputs (scrub
+    * rides dd17's linear plan, contamination rides tx8's broadcast probe
+    * join); the manifest is one groupBy over the ≤|sources| key after
+    * doc-keyed joins — nothing new moves.
+    */
+  val scrubManifest = GQuery(
+    "pipe5_scrub_manifest",
+    (s, dir) => {
+      val scrub = spanScrub.run(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"))
+      val contaminated = Text.decontamination.run(s, dir)
+        .select(col("doc_id"), lit(true).as("dirty"))
+      docs(s, dir).filter(col("doc_id") >= 5)
+        .select(col("doc_id"), col("source"))
+        .join(scrub, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left")
+        .withColumn("dirty", coalesce(col("dirty"), lit(false)))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dirty"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("dirty"), col("n_tokens")).otherwise(0L))
+            .as("tokens_before"),
+          sum(when(!col("dirty"), col("n_removed")).otherwise(0L))
+            .as("tokens_scrubbed"))
+        .withColumn("tokens_after",
+          col("tokens_before") - col("tokens_scrubbed"))
+        .withColumn("removed_ppm", expr(
+          "(tokens_scrubbed * 1000000L) div greatest(tokens_before, 1L)"))
+    },
+    Some(s"""
+      WITH t AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+        FROM documents),
+      w0 AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM t WHERE len(toks) >= 5),
+      w AS MATERIALIZED (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               ${sqlPolyHash(
+                 "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]")}
+                 AS fp
+        FROM w0),
+      fpmin AS (SELECT fp, MIN(doc_id) AS keeper FROM w GROUP BY 1),
+      scrubw AS (
+        SELECT w.doc_id, w.pos FROM w JOIN fpmin USING (fp)
+        WHERE w.doc_id > keeper),
+      g AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM scrubw),
+      spans AS (
+        SELECT doc_id, MIN(pos) AS sp, CAST(MAX(pos) + 4 AS INT) AS ep
+        FROM g GROUP BY doc_id, grp),
+      spl AS (SELECT doc_id, list(struct_pack(s := sp, e := ep)) AS spans
+              FROM spans GROUP BY 1),
+      removedTok AS (
+        -- token-exact removal (NOT Σ span lengths: islands 2-3 window
+        -- positions apart produce token-overlapping spans, which a length
+        -- sum double-counts; the kept-filter dedups exactly like dd17)
+        SELECT t.doc_id,
+               CAST(len(t.toks) - len(list_filter(t.toks, (x, i) ->
+                 len(list_filter(spl.spans,
+                     r -> i - 1 BETWEEN struct_extract(r, 's')
+                                    AND struct_extract(r, 'e'))) = 0))
+                 AS BIGINT) AS n_removed
+        FROM t JOIN spl ON t.doc_id = spl.doc_id),
+      probe AS (
+        SELECT DISTINCT
+               unnest(${sqlShinglesK("regexp_extract_all(text, '\\S+')", 4)})
+                 AS shingle
+        FROM documents WHERE doc_id < 5),
+      dirty AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id,
+                 unnest(${sqlShinglesK("regexp_extract_all(text, '\\S+')", 4)})
+                   AS shingle
+          FROM documents WHERE doc_id >= 5) c
+        JOIN probe USING (shingle)),
+      ledger AS (
+        SELECT d.source, d.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               COALESCE(r.n_removed, 0) AS n_removed,
+               (dd.doc_id IS NOT NULL) AS dirty
+        FROM documents d
+        JOIN t ON t.doc_id = d.doc_id
+        LEFT JOIN removedTok r ON r.doc_id = d.doc_id
+        LEFT JOIN dirty dd ON dd.doc_id = d.doc_id
+        WHERE d.doc_id >= 5)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN dirty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             CAST(SUM(CASE WHEN dirty THEN 0 ELSE n_tokens END) AS BIGINT)
+               AS tokens_before,
+             CAST(SUM(CASE WHEN dirty THEN 0 ELSE n_removed END) AS BIGINT)
+               AS tokens_scrubbed,
+             CAST(SUM(CASE WHEN dirty THEN 0 ELSE n_tokens END)
+                  - SUM(CASE WHEN dirty THEN 0 ELSE n_removed END) AS BIGINT)
+               AS tokens_after,
+             CAST((SUM(CASE WHEN dirty THEN 0 ELSE n_removed END) * 1000000)
+                  // greatest(SUM(CASE WHEN dirty THEN 0 ELSE n_tokens END), 1)
+                  AS BIGINT) AS removed_ppm
+      FROM ledger GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(exact, ngramJaccard, minhash, lshCandidates, simhash, cosinePairs,
       cleanCorpus, dedupClusters, clusterKeepers, repeatedSpans, simhashDegree,
       normalizedDedup, bloomIncremental, maximalSpans, sourceSketch,
-      verifiedNearDups, semanticClusters, spanScrub, dedupPlanner)
+      verifiedNearDups, semanticClusters, spanScrub, dedupPlanner,
+      scrubManifest)
 }
