@@ -476,19 +476,26 @@ object Relational extends QueryPack {
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > date_add(col("o_orderdate"), 90)).as("late"))
         .distinct()
-        .persist() // three consumers below
+        // cache hash-partitioned on the key all three consumers join on
+        // (the g1 edge-cache shape): the semi and anti joins then consume
+        // the cached partitioning instead of re-exchanging it three times
+        .repartition(col("l_orderkey"))
+        .persist()
       val lateP = lo.filter(col("late"))
         .select(col("l_orderkey"), col("l_suppkey"))
+      // no distinct: semi/anti joins are set-semantics on the probe side
+      // already, so deduplicating the build side only adds a shuffle
       val anyOther = lo
         .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("s2"))
-        .distinct()
       val lateOther = lo.filter(col("late"))
         .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("s3"))
       val cand = lateP
-        .join(anyOther, col("l_orderkey") === col("ok2") &&
-          col("s2") =!= col("l_suppkey"), "left_semi")
-        .join(lateOther, col("l_orderkey") === col("ok3") &&
-          col("s3") =!= col("l_suppkey"), "left_anti")
+        .join(anyOther.hint("shuffle_hash"),
+          col("l_orderkey") === col("ok2") &&
+            col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(lateOther.hint("shuffle_hash"),
+          col("l_orderkey") === col("ok3") &&
+            col("s3") =!= col("l_suppkey"), "left_anti")
       val counts = cand.groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
       counts
