@@ -884,10 +884,59 @@ object Windows extends QueryPack {
              CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
       FROM dau JOIN wau USING (day)"""))
 
+  /** w24: inter-event gap profile — the distribution every sessionizer's
+    * threshold should be READ FROM instead of guessed: per-user
+    * consecutive-event gaps in exact integer seconds, reduced to the
+    * quartile/p90/p99 profile plus the fraction of gaps beyond the classic
+    * 30-minute cut (t8's session gap lives exactly at that knee). One
+    * user-keyed window for the lag, one global aggregate over integer
+    * gaps — the percentile interpolation is exact rational arithmetic on
+    * integers (the w23 argument), identical in both engines.
+    */
+  val gapProfile = GQuery(
+    "w24_gap_profile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(expr(
+          "(unix_micros(ts) - unix_micros(prev)) div 1000000").as("gap_s"))
+      gaps.agg(
+          count(lit(1)).as("n_gaps"),
+          expr("percentile(gap_s, array(0.5, 0.9, 0.99))").as("qs"),
+          max(col("gap_s")).as("max_gap_s"),
+          sum(when(col("gap_s") > 1800, 1L).otherwise(0L)).as("n_over_30m"))
+        .select(col("n_gaps"),
+          element_at(col("qs"), 1).as("p50_s"),
+          element_at(col("qs"), 2).as("p90_s"),
+          element_at(col("qs"), 3).as("p99_s"),
+          col("max_gap_s"),
+          expr("n_over_30m * 1000000L div n_gaps").as("over_30m_ppm"))
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT CAST((epoch_us(ts) - epoch_us(prev)) // 1000000 AS BIGINT)
+                 AS gap_s
+        FROM (SELECT ts, lag(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev
+              FROM events)
+        WHERE prev IS NOT NULL)
+      SELECT COUNT(*) AS n_gaps,
+             quantile_cont(gap_s, 0.5) AS p50_s,
+             quantile_cont(gap_s, 0.9) AS p90_s,
+             quantile_cont(gap_s, 0.99) AS p99_s,
+             MAX(gap_s) AS max_gap_s,
+             CAST(SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) * 1000000
+                  // COUNT(*) AS BIGINT) AS over_30m_ppm
+      FROM gaps"""))
+
   override def queries: Seq[GQuery] =
     Seq(tumbling, sliding, sessions, countBatches, dedupFirst, topK,
       eventDeltas, propsJson, runningTotals, saltedStats, rolling1h,
       rankFamily, nextEventPairs, funnel, cohortRetention, markovTransitions,
       sequenceAnomaly, timeWeightedAvg, pmiCooccurrence, changePoint,
-      conversionLatency, activeStickiness)
+      conversionLatency, activeStickiness, gapProfile)
 }
