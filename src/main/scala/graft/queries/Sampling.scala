@@ -718,8 +718,77 @@ object Sampling extends QueryPack {
              COALESCE(s.n_sampled, 0) AS n_sampled
       FROM rates r LEFT JOIN sampled s ON r.lang = s.lang"""))
 
+  /** samp10: epoch plan — samp9 capped its keep-rate at 1.0 (sampling can
+    * only discard); real data recipes REPLICATE under-represented sources
+    * instead (multiple epochs of a small source per single epoch of the
+    * web crawl — the Llama-style data-budget table). Same tempered shares,
+    * uncapped: epochs = budget_share / source_size in integer ppm
+    * (> 1e6 ⇒ replicate, < 1e6 ⇒ subsample), with the whole-epoch count
+    * and the fractional remainder rate a loader needs to realize it.
+    *
+    * Scale shape: arithmetic over the ≤|sources| mass table (one map-side
+    * combined scan); the decimal-quantized √mass sum is samp9's (addition
+    * order cannot move shares); epochs_ppm is a floor of a double ratio —
+    * the expression tree is mirrored, so the floor lands identically.
+    */
+  val epochPlan = GQuery(
+    "samp10_epoch_plan",
+    (s, dir) => {
+      val rates = docs(s, dir).groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("lang_chars"))
+        .withColumn("total_chars",
+          sum(col("lang_chars")).over(Window.partitionBy()))
+        .withColumn("tempered",
+          sqrt(col("lang_chars").cast("double")).cast("decimal(28,12)"))
+        .withColumn("temp_share",
+          col("tempered").cast("double") /
+            sum(col("tempered")).over(Window.partitionBy()).cast("double"))
+      rates
+        .withColumn("target_chars",
+          floor(col("total_chars").cast("double") * 0.2 * col("temp_share"))
+            .cast("long"))
+        .withColumn("epochs_ppm",
+          floor(col("total_chars").cast("double") * 0.2 * col("temp_share")
+            * 1000000.0 / col("lang_chars").cast("double")).cast("long"))
+        .select(col("lang"), col("lang_chars"), col("target_chars"),
+          col("epochs_ppm"),
+          expr("epochs_ppm div 1000000").as("full_epochs"),
+          (col("epochs_ppm") % 1000000L).as("remainder_rate_ppm"),
+          when(col("epochs_ppm") > 1000000L, lit("replicate"))
+            .otherwise(lit("subsample")).as("plan"))
+    },
+    Some("""
+      WITH lc AS (
+        SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+        FROM documents GROUP BY 1),
+      lcq AS (
+        SELECT lang, lang_chars,
+               CAST(SUM(lang_chars) OVER () AS BIGINT) AS total_chars,
+               CAST(sqrt(CAST(lang_chars AS DOUBLE)) AS DECIMAL(28,12))
+                 AS tempered
+        FROM lc),
+      rates AS (
+        SELECT lang, lang_chars, total_chars,
+               CAST(tempered AS DOUBLE)
+                 / CAST(SUM(tempered) OVER () AS DOUBLE) AS temp_share
+        FROM lcq),
+      plan AS (
+        SELECT lang, lang_chars,
+               CAST(FLOOR(CAST(total_chars AS DOUBLE) * 0.2 * temp_share)
+                    AS BIGINT) AS target_chars,
+               CAST(FLOOR(CAST(total_chars AS DOUBLE) * 0.2 * temp_share
+                          * 1000000.0 / CAST(lang_chars AS DOUBLE))
+                    AS BIGINT) AS epochs_ppm
+        FROM rates)
+      SELECT lang, lang_chars, target_chars, epochs_ppm,
+             CAST(epochs_ppm // 1000000 AS BIGINT) AS full_epochs,
+             epochs_ppm % 1000000 AS remainder_rate_ppm,
+             CASE WHEN epochs_ppm > 1000000 THEN 'replicate'
+                  ELSE 'subsample' END AS plan
+      FROM plan"""))
+
   override def queries: Seq[GQuery] =
     Seq(stratifiedSample, reservoirPerStratum, mixtureResample, trainingMix,
       sequencePacking, groupedSplit, shardManifest, weightedSample,
-      htEstimate, bootstrapCi, temperatureMix)
+      htEstimate, bootstrapCi, temperatureMix, epochPlan)
 }
