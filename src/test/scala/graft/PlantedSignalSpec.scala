@@ -116,6 +116,45 @@ class PlantedSignalSpec extends AnyFunSuite {
       s"expected the triangle at core degree 2, got $got")
   }
 
+  test("w24: planted gaps yield exact percentiles and the 30-minute split") {
+    import spark.implicits._
+    // user 1: four events with gaps 60 s, 600 s, 3600 s — one of three
+    // gaps (333333 ppm) beyond the 30-minute session cut
+    val events = Seq(
+      (0L, ts("2024-01-02 00:00:00"), 1L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-02 00:01:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-02 00:11:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-02 01:11:00"), 1L, "click", 1.0, "{}"))
+    val row = queries.Windows.gapProfile.run(spark, plant(events))
+      .as[(Long, Double, Double, Double, Long, Long)].head()
+    assert(row._1 === 3L)
+    assert(row._2 === 600.0, s"p50 should be the middle gap, got ${row._2}")
+    assert(row._5 === 3600L)
+    assert(row._6 === 333333L, s"1/3 of gaps over 30m, got ${row._6}")
+  }
+
+  test("samp10: the replication decision flips exactly at one epoch") {
+    import spark.implicits._
+    // masses 10000 and 100 → tempered shares 10:1 over an 11-part budget
+    // of 2020 chars: en target 1836 (<1 epoch ⇒ subsample), de target 183
+    // (>1 epoch of its 100 chars ⇒ replicate)
+    val docs = (0 until 100).map(i => (i.toLong, "x", "en", "web", 100L)) :+
+      ((100L, "x", "de", "web", 100L))
+    val dir = plant(events = Seq((0L, ts("2024-01-02 00:00:00"), 1L,
+      "click", 1.0, "{}")), documents = docs)
+    val rows = queries.Sampling.epochPlan.run(spark, dir)
+      .select("lang", "target_chars", "epochs_ppm", "plan")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("en")._4 === "subsample")
+    assert(rows("de")._4 === "replicate")
+    assert(rows("de")._3 > 1000000L && rows("en")._3 < 1000000L)
+    // budget conservation: targets sum to ≤ the 20% budget, off by ≤ |sources| floors
+    val totalTarget = rows.values.map(_._2).sum
+    assert(totalTarget <= 2020L && totalTarget >= 2020L - 2,
+      s"targets must tile the budget, got $totalTarget")
+  }
+
   test("prof11: uniform, skewed and constant columns order by entropy") {
     import spark.implicits._
     // lang uniform over 4 values → normalized entropy exactly 1.0;
