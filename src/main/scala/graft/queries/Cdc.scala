@@ -391,7 +391,74 @@ object Cdc extends QueryPack {
              MAX(value) AS max_value
       FROM events GROUP BY 1"""))
 
+  /** cdc7: time-travel snapshot diff — the "what changed between versions"
+    * readout every lakehouse exposes (Delta CDF / Iceberg changelog): the
+    * visible snapshot as of Jan 15 vs the final snapshot, each entity
+    * classified inserted / deleted / updated / unchanged, with the entity
+    * and change-event mass per class. "Present" means the entity's latest
+    * change at the cutoff is an upsert (a tombstone at the top = absent) —
+    * exactly cdc1's visibility rule applied at two points in time.
+    *
+    * Scale shape: each snapshot is cdc1's plan (one user-keyed window over
+    * the pushdown-filtered changelog); the diff is one full-outer join on
+    * the entity key (uniform, entity-bounded sides) classified per row and
+    * reduced to a 4-row census. Update detection compares the winning
+    * change's event_id — exact integers, no payload comparison needed.
+    */
+  val snapshotDiff = GQuery(
+    "cdc7_snapshot_diff",
+    (s, dir) => {
+      def visibleAt(cutoff: Option[String]): DataFrame = {
+        val base = ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            when(col("event_type") === "error", lit("delete"))
+              .otherwise(lit("upsert")).as("op"))
+        val cut = cutoff.fold(base)(c => base.filter(col("ts") <= lit(c)))
+        cut.withColumn("rk", row_number().over(byKey))
+          .filter(col("rk") === 1 && col("op") === "upsert")
+          .select(col("user_id"), col("event_id"))
+      }
+      val t1 = visibleAt(Some("2024-01-15 00:00:00"))
+        .select(col("user_id").as("u1"), col("event_id").as("e1"))
+      val t2 = visibleAt(None)
+        .select(col("user_id").as("u2"), col("event_id").as("e2"))
+      t1.join(t2, col("u1") === col("u2"), "full_outer")
+        .select(
+          when(col("u1").isNull, lit("inserted"))
+            .when(col("u2").isNull, lit("deleted"))
+            .when(col("e1") === col("e2"), lit("unchanged"))
+            .otherwise(lit("updated")).as("diff_class"),
+          coalesce(col("u1"), col("u2")).as("user_id"))
+        .groupBy(col("diff_class"))
+        .agg(count(lit(1)).as("n_entities"))
+    },
+    Some("""
+      WITH log AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op
+        FROM events),
+      t1 AS (
+        SELECT user_id AS u1, event_id AS e1 FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rk
+          FROM log WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rk = 1 AND op = 'upsert'),
+      t2 AS (
+        SELECT user_id AS u2, event_id AS e2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rk
+          FROM log)
+        WHERE rk = 1 AND op = 'upsert')
+      SELECT CASE WHEN u1 IS NULL THEN 'inserted'
+                  WHEN u2 IS NULL THEN 'deleted'
+                  WHEN e1 = e2 THEN 'unchanged'
+                  ELSE 'updated' END AS diff_class,
+             COUNT(*) AS n_entities
+      FROM t1 FULL OUTER JOIN t2 ON u1 = u2
+      GROUP BY 1"""))
+
   override def queries: Seq[GQuery] =
     Seq(latestSnapshot, scd2History, concurrencyProfile, pointInTime,
-      sessionVersionOverlap, incrementalRollup)
+      sessionVersionOverlap, incrementalRollup, snapshotDiff)
 }

@@ -116,6 +116,21 @@ class PlantedSignalSpec extends AnyFunSuite {
       s"expected the triangle at core degree 2, got $got")
   }
 
+  test("cdc7: each diff class captures exactly its planted entity") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 1L, "click", 1.0, "{}"),   // unchanged
+      (2L, ts("2024-01-10 00:00:00"), 2L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-20 00:00:00"), 2L, "click", 2.0, "{}"),   // updated
+      (4L, ts("2024-01-20 00:00:00"), 3L, "click", 1.0, "{}"),   // inserted
+      (5L, ts("2024-01-10 00:00:00"), 4L, "click", 1.0, "{}"),
+      (6L, ts("2024-01-20 00:00:00"), 4L, "error", 0.0, "{}"))   // deleted
+    val got = queries.Cdc.snapshotDiff.run(spark, plant(events))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("unchanged" -> 1L, "updated" -> 1L,
+      "inserted" -> 1L, "deleted" -> 1L), s"got $got")
+  }
+
   test("w24: planted gaps yield exact percentiles and the 30-minute split") {
     import spark.implicits._
     // user 1: four events with gaps 60 s, 600 s, 3600 s — one of three
