@@ -738,7 +738,125 @@ object Sketches extends QueryPack {
              exp(bucket * ln(1.02)) * ((1 + 1.02) / 2) AS est
       FROM hits WHERE rk = 1"""))
 
+  /** sk9: HLL set algebra — the payoff of mergeable registers: the union
+    * of two audiences is the element-wise MAX of their register vectors
+    * (no data re-read), and intersection follows by inclusion–exclusion
+    * est(A) + est(B) − est(A∪B). This is how audience-overlap dashboards
+    * answer pairwise questions over sketches that were built once — and
+    * why register max being commutative/idempotent matters (sk3's scale
+    * argument, exercised as algebra instead of asserted). The exact
+    * intersection rides along as verification ballast; I–E error can go
+    * negative on small overlaps, so the estimate clamps at 0 and the raw
+    * signed value is kept next to it.
+    *
+    * Scale shape: registers come from one sk3-shaped aggregate (recomputed
+    * here for self-containment; a production run reads the cached register
+    * table) — after that, every pair is 256-row math: the pair join is
+    * |types|²·m rows, data-size-independent. The exact term joins the
+    * distinct (type, user) projection with itself on the uniform user key
+    * — the one non-sketch cost, kept for the accuracy exhibit.
+    */
+  val hllSetAlgebra = GQuery(
+    "sk9_hll_set_algebra",
+    (s, dir) => {
+      val ev = mix32(
+          t(s, dir, "events").select(col("event_type"), col("user_id")),
+          col("user_id"))
+        .withColumn("reg", col("pri") % HllM)
+        .withColumn("rest", expr(s"pri div $HllM"))
+      val regs = ev.groupBy(col("event_type"), col("reg"))
+        .agg(max(rho24Column(col("rest"))).as("rho"))
+      val spine = regs.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(HllM - 1))).as("reg"))
+      val filled = spine.join(regs, Seq("event_type", "reg"), "left")
+        .withColumn("rho", coalesce(col("rho"), lit(0)))
+        .persist()
+      val perType = filled.groupBy(col("event_type"))
+        .agg(sum(expr("shiftleft(1L, 25 - rho)")).as("int_sum"))
+        .withColumn("est", expr("1579496831811846144L div int_sum div 1000000"))
+      val pairRegs = filled.select(col("event_type").as("ta"),
+          col("reg"), col("rho").as("ra"))
+        .join(filled.select(col("event_type").as("tb"),
+          col("reg"), col("rho").as("rb")), Seq("reg"))
+        .filter(col("ta") < col("tb"))
+      val unionEst = pairRegs
+        .groupBy(col("ta"), col("tb"))
+        .agg(sum(expr("shiftleft(1L, 25 - greatest(ra, rb))")).as("int_sum_u"))
+        .withColumn("est_union",
+          expr("1579496831811846144L div int_sum_u div 1000000"))
+      val du = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct().persist()
+      val exact = du.select(col("event_type").as("ta"), col("user_id"))
+        .join(du.select(col("event_type").as("tb"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      unionEst
+        .join(perType.select(col("event_type").as("ta"),
+          col("est").as("est_a")), Seq("ta"))
+        .join(perType.select(col("event_type").as("tb"),
+          col("est").as("est_b")), Seq("tb"))
+        .join(exact, Seq("ta", "tb"), "left")
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union"))
+            .as("est_intersection_raw"),
+          greatest(lit(0L),
+            col("est_a") + col("est_b") - col("est_union"))
+            .as("est_intersection"),
+          coalesce(col("exact_intersection"), lit(0L))
+            .as("exact_intersection"))
+    },
+    Some(s"""
+      WITH ${sqlMix32("events", "event_type, user_id", "user_id")},
+      h AS (
+        SELECT event_type, pri % $HllM AS reg, pri // $HllM AS rest
+        FROM pr),
+      regs AS (
+        SELECT event_type, reg, MAX(${sqlRho24("rest")}) AS rho
+        FROM h GROUP BY 1, 2),
+      spine AS (
+        SELECT DISTINCT event_type, r.range AS reg
+        FROM events CROSS JOIN range($HllM) r),
+      filled AS (
+        SELECT s.event_type, s.reg, COALESCE(regs.rho, 0) AS rho
+        FROM spine s LEFT JOIN regs
+          ON s.event_type = regs.event_type AND s.reg = regs.reg),
+      per_type AS (
+        SELECT event_type,
+               1579496831811846144
+                 // CAST(SUM(1::BIGINT << (25 - rho)) AS BIGINT) // 1000000
+                 AS est
+        FROM filled GROUP BY 1),
+      union_est AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               1579496831811846144
+                 // CAST(SUM(1::BIGINT
+                      << (25 - greatest(a.rho, b.rho))) AS BIGINT) // 1000000
+                 AS est_union
+        FROM filled a JOIN filled b
+          ON a.reg = b.reg AND a.event_type < b.event_type
+        GROUP BY 1, 2),
+      du AS (SELECT DISTINCT event_type, user_id FROM events),
+      exact AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               COUNT(*) AS exact_intersection
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT u.ta AS type_a, u.tb AS type_b,
+             pa.est AS est_a, pb.est AS est_b, u.est_union,
+             pa.est + pb.est - u.est_union AS est_intersection_raw,
+             greatest(0, pa.est + pb.est - u.est_union) AS est_intersection,
+             COALESCE(e.exact_intersection, 0) AS exact_intersection
+      FROM union_est u
+      JOIN per_type pa ON pa.event_type = u.ta
+      JOIN per_type pb ON pb.event_type = u.tb
+      LEFT JOIN exact e ON e.ta = u.ta AND e.tb = u.tb"""))
+
   def queries: Seq[GQuery] =
     Seq(kmvQuantiles, countMinProbe, hllDistinct, kmvOverlap, rangeBuckets,
-      hllColumnProfile, skewProfile, ddQuantiles)
+      hllColumnProfile, skewProfile, ddQuantiles, hllSetAlgebra)
 }

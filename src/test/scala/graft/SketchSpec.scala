@@ -143,4 +143,20 @@ class SketchSpec extends AnyFunSuite {
         s"$tpe p=$p est=$est exact=$exact")
     }
   }
+  test("sk9: register-max union dominates each side; clamp is consistent") {
+    val rows = queries.Sketches.hllSetAlgebra.run(spark, sfDir)
+      .select("est_a", "est_b", "est_union", "est_intersection_raw",
+        "est_intersection")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, u) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // max merge can only raise rho, so int_sum falls and the union
+      // estimate dominates both sides — an arithmetic guarantee, not a
+      // statistical one
+      assert(u >= math.max(a, b), s"union $u below max($a, $b)")
+      assert(r.getLong(4) === math.max(0L, r.getLong(3)),
+        "clamp must be greatest(0, raw)")
+    }
+  }
 }
