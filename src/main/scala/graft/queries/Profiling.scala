@@ -148,6 +148,84 @@ object Profiling extends QueryPack {
       FROM z GROUP BY 1"""
     })
 
+  /** z2: layout-pruning audit — the quantified WHY behind z1: bucket the
+    * same rows under three physical orders (time-major, user-major,
+    * Z-order) and measure what a min/max-pruning reader would actually
+    * scan for a point probe on each dimension. Single-dimension layouts
+    * are perfect on their own axis and useless on the other (their
+    * cross-axis buckets span the whole domain); Z-order pays a little on
+    * both axes to be good at both — the number a table-layout decision
+    * should be made from, not the folklore.
+    *
+    * Scale shape: all three bucket assignments are per-row bit/div math
+    * riding ONE scan (the z1 argument — value-range buckets, no global
+    * sort, no ntile single-partition trap); the explode is ×3; per-layout
+    * envelopes are one uniform (layout, bucket) aggregate and the audit
+    * reduces to 3 rows. probe_ppm = Σ bucket-extent / (buckets · domain):
+    * the expected fraction of buckets a uniform point predicate cannot
+    * prune — exact integers end to end.
+    */
+  val layoutPruningAudit = GQuery(
+    "z2_layout_pruning_audit",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val x = pmod(col("user_id"), lit(65536L))
+      val y = pmod(expr("unix_millis(ts) div 1000"), lit(65536L))
+      val rows = e.select(x.as("x"), y.as("y"),
+        graft.functions.Morton.z16(x, y).as("zval"))
+      val tagged = rows.select(col("x"), col("y"), explode(array(
+          struct(lit("time_major").as("layout"),
+            expr("y div 2048").as("bucket")),
+          struct(lit("user_major").as("layout"),
+            expr("x div 2048").as("bucket")),
+          struct(lit("zorder").as("layout"),
+            shiftright(col("zval"), 27).as("bucket")))).as("p"))
+        .select(col("x"), col("y"), col("p.layout").as("layout"),
+          col("p.bucket").as("bucket"))
+      tagged.groupBy(col("layout"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("x")) - min(col("x")) + 1).as("x_extent"),
+          (max(col("y")) - min(col("y")) + 1).as("y_extent"))
+        .groupBy(col("layout"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("n")).as("n_rows"),
+          sum(col("x_extent")).as("sum_x_extent"),
+          sum(col("y_extent")).as("sum_y_extent"))
+        .select(col("layout"), col("n_buckets"), col("n_rows"),
+          expr("sum_x_extent * 1000000L div (n_buckets * 65536L)")
+            .as("x_probe_ppm"),
+          expr("sum_y_extent * 1000000L div (n_buckets * 65536L)")
+            .as("y_probe_ppm"))
+    },
+    Some {
+      val terms = graft.functions.Morton.sqlZ16("x", "y")
+      s"""
+      WITH d AS (
+        SELECT user_id % 65536 AS x,
+               (epoch_ms(ts) // 1000) % 65536 AS y
+        FROM events),
+      z AS (SELECT x, y, $terms AS zval FROM d),
+      tagged AS (
+        SELECT x, y, 'time_major' AS layout, y // 2048 AS bucket FROM z
+        UNION ALL
+        SELECT x, y, 'user_major', x // 2048 FROM z
+        UNION ALL
+        SELECT x, y, 'zorder', zval >> 27 FROM z),
+      env AS (
+        SELECT layout, bucket, COUNT(*) AS n,
+               MAX(x) - MIN(x) + 1 AS x_extent,
+               MAX(y) - MIN(y) + 1 AS y_extent
+        FROM tagged GROUP BY 1, 2)
+      SELECT layout, COUNT(*) AS n_buckets,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(x_extent) * 1000000 // (COUNT(*) * 65536) AS BIGINT)
+               AS x_probe_ppm,
+             CAST(SUM(y_extent) * 1000000 // (COUNT(*) * 65536) AS BIGINT)
+               AS y_probe_ppm
+      FROM env GROUP BY 1"""
+    })
+
   private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** Pairwise Pearson correlation of the numeric measure columns in ONE
@@ -748,5 +826,6 @@ object Profiling extends QueryPack {
   override def queries: Seq[GQuery] =
     Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix,
       quantileProfile, categoricalAssoc, histogramQuantiles, distributionDrift,
-      featureLabelAssoc, giniConcentration, robustOutliers, entropyProfile)
+      featureLabelAssoc, giniConcentration, robustOutliers, entropyProfile,
+      layoutPruningAudit)
 }
