@@ -279,6 +279,93 @@ object Experiments extends QueryPack {
                - (sy_a / n_a - theta * (sx_a / n_a - sx / n)) AS cuped_diff
       FROM a, b, th"""))
 
+  /** ab5: power analysis — the "how long must this test run" table every
+    * platform shows next to ab2's readout: for a grid of minimum
+    * detectable effects (1/2/5/10% of the pooled mean), the per-arm sample
+    * size n = 2(z_{α/2}+z_β)²·s²_p/δ² at α = 5% two-sided, 80% power, and
+    * whether the CURRENT arms already clear it. An experiment read before
+    * its powered size is a coin flip with a dashboard — this is the
+    * guardrail that says when reading ab2 is legitimate.
+    *
+    * Determinism: the z constants enter as shared double literals; pooled
+    * variance and mean come from the same exact decimal sums as ab1/ab2;
+    * the MDE grid is a ×4 literal explode; `ceil` lands identically on
+    * identical doubles. Scale: everything after the one user-keyed
+    * shuffle is algebra over a 2-row aggregate.
+    */
+  val powerAnalysis = GQuery(
+    "ab5_power_analysis",
+    (s, dir) => {
+      val agg = userMetric(s, dir)
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n0"), sum(col("m")).cast("double").as("sm"),
+          sum(col("m") * col("m")).cast("double").as("smm"))
+        .select(col("variant"), col("n0"),
+          col("sm"),
+          ((col("n0") * col("smm") - col("sm") * col("sm")) /
+            (col("n0").cast("double") * (col("n0") - 1))).as("v"))
+      val a = agg.filter(col("variant") === 0)
+        .select(col("n0").as("n_a"), col("sm").as("sm_a"), col("v").as("v_a"))
+      val b = agg.filter(col("variant") === 1)
+        .select(col("n0").as("n_b"), col("sm").as("sm_b"), col("v").as("v_b"))
+      val base = a.crossJoin(b)
+        .select(col("n_a"), col("n_b"),
+          ((col("sm_a") + col("sm_b")) /
+            (col("n_a") + col("n_b")).cast("double")).as("pooled_mean"),
+          (((col("n_a") - 1) * col("v_a") + (col("n_b") - 1) * col("v_b")) /
+            (col("n_a") + col("n_b") - 2).cast("double")).as("pooled_var"))
+      // z_{0.025} + z_{0.20}: 1.9599639845400545 + 0.8416212335729143
+      val zsum = lit(1.9599639845400545 + 0.8416212335729143)
+      base
+        .select(col("*"), explode(array(
+          lit(1L), lit(2L), lit(5L), lit(10L))).as("mde_pct"))
+        .withColumn("mde_abs",
+          col("pooled_mean") * col("mde_pct").cast("double") / 100.0)
+        .withColumn("required_n_per_arm",
+          ceil(lit(2.0) * zsum * zsum * col("pooled_var") /
+            (col("mde_abs") * col("mde_abs"))).cast("long"))
+        .select(col("mde_pct"), col("mde_abs"), col("required_n_per_arm"),
+          least(col("n_a"), col("n_b")).as("current_n_min"),
+          (least(col("n_a"), col("n_b")) >= col("required_n_per_arm"))
+            .as("powered"))
+    },
+    Some(s"""
+      WITH $SqlUserMetric,
+      agg AS (
+        SELECT variant, COUNT(*) AS n0,
+               CAST(SUM(m) AS DOUBLE) AS sm,
+               (COUNT(*) * CAST(SUM(CAST(m AS DECIMAL(19,6))
+                                    * CAST(m AS DECIMAL(19,6))) AS DOUBLE)
+                 - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)) AS v
+        FROM um GROUP BY 1),
+      a AS (SELECT n0 AS n_a, sm AS sm_a, v AS v_a FROM agg WHERE variant = 0),
+      b AS (SELECT n0 AS n_b, sm AS sm_b, v AS v_b FROM agg WHERE variant = 1),
+      base AS (
+        SELECT n_a, n_b,
+               (sm_a + sm_b) / CAST(n_a + n_b AS DOUBLE) AS pooled_mean,
+               ((n_a - 1) * v_a + (n_b - 1) * v_b)
+                 / CAST(n_a + n_b - 2 AS DOUBLE) AS pooled_var
+        FROM a, b),
+      grid AS (SELECT unnest([1, 2, 5, 10]) AS mde_pct)
+      SELECT CAST(mde_pct AS BIGINT) AS mde_pct,
+             pooled_mean * CAST(mde_pct AS DOUBLE) / 100.0 AS mde_abs,
+             CAST(CEIL(2.0 * ${1.9599639845400545 + 0.8416212335729143}
+                       * ${1.9599639845400545 + 0.8416212335729143}
+                       * pooled_var
+                       / ((pooled_mean * CAST(mde_pct AS DOUBLE) / 100.0)
+                          * (pooled_mean * CAST(mde_pct AS DOUBLE) / 100.0)))
+                  AS BIGINT) AS required_n_per_arm,
+             least(n_a, n_b) AS current_n_min,
+             least(n_a, n_b) >= CAST(CEIL(2.0
+                       * ${1.9599639845400545 + 0.8416212335729143}
+                       * ${1.9599639845400545 + 0.8416212335729143}
+                       * pooled_var
+                       / ((pooled_mean * CAST(mde_pct AS DOUBLE) / 100.0)
+                          * (pooled_mean * CAST(mde_pct AS DOUBLE) / 100.0)))
+                  AS BIGINT) AS powered
+      FROM base, grid"""))
+
   override def queries: Seq[GQuery] =
-    Seq(variantMetrics, effectTest, srmCheck, cuped)
+    Seq(variantMetrics, effectTest, srmCheck, cuped, powerAnalysis)
 }

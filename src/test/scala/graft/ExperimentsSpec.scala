@@ -120,4 +120,21 @@ class ExperimentsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"streamed readout diverged:\n stream=$got\n batch=$users")
     } finally q.stop()
   }
+  test("ab5: required n shrinks quartically-ish in MDE; powered is consistent") {
+    val rows = queries.Experiments.powerAnalysis.run(spark, dir)
+      .select("mde_pct", "required_n_per_arm", "current_n_min", "powered")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(1L, 2L, 5L, 10L)))
+    // n ∝ 1/δ²: doubling the MDE must cut required n by ~4 (ceil slack)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 < lo._2, s"required n must fall as MDE grows: $lo -> $hi")
+    }
+    val r1 = rows(0)._2.toDouble; val r2 = rows(1)._2.toDouble
+    assert(r1 / r2 > 3.9 && r1 / r2 < 4.1, s"1%→2% ratio ${r1 / r2} not ~4")
+    rows.foreach { r =>
+      assert(r._4 === (r._3 >= r._2), s"powered flag inconsistent: $r")
+    }
+  }
 }
