@@ -1003,7 +1003,7 @@ object Dedup extends QueryPack {
         FROM documents),
       ev AS (
         SELECT COUNT(*) AS n_distinct_shingles,
-               CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS exact_pairs
+               CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS exact_pairs
         FROM (SELECT h, COUNT(*) AS df FROM sh GROUP BY 1)),
       d AS (
         SELECT doc_id,

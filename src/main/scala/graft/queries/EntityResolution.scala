@@ -234,10 +234,12 @@ object EntityResolution extends QueryPack {
                a.block = b.block AS same_block
         FROM names a JOIN names b ON a.p_name < b.p_name)
       SELECT COUNT(*) AS n_all_pairs,
-             SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS n_true_matches,
-             SUM(CASE WHEN same_block THEN 1 ELSE 0 END) AS n_candidates,
-             SUM(CASE WHEN is_true AND same_block THEN 1 ELSE 0 END)
-               AS n_candidates_true,
+             CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_matches,
+             CAST(SUM(CASE WHEN same_block THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+             CAST(SUM(CASE WHEN is_true AND same_block THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_candidates_true,
              CAST(SUM(CASE WHEN is_true AND same_block THEN 1 ELSE 0 END)
                   AS DOUBLE)
                / CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS DOUBLE)
@@ -318,17 +320,17 @@ object EntityResolution extends QueryPack {
         UNION ALL SELECT p_name, 'type', p_type FROM part
         UNION ALL SELECT p_name, 'size', CAST(p_size AS VARCHAR) FROM part),
       up AS (
-        SELECT field, CAST(SUM(c*(c-1)/2) AS BIGINT) AS u_pairs
+        SELECT field, CAST(SUM(c*(c-1)//2) AS BIGINT) AS u_pairs
         FROM (SELECT field, value, COUNT(*) AS c FROM vals GROUP BY 1, 2)
         GROUP BY 1),
       mp AS (
-        SELECT field, CAST(SUM(c*(c-1)/2) AS BIGINT) AS m_pairs
+        SELECT field, CAST(SUM(c*(c-1)//2) AS BIGINT) AS m_pairs
         FROM (SELECT field, p_name, value, COUNT(*) AS c
               FROM vals GROUP BY 1, 2, 3)
         GROUP BY 1),
       denom AS (
-        SELECT CAST(SUM(c)*(SUM(c)-1)/2 AS BIGINT) AS total_pairs,
-               CAST(SUM(c*(c-1)/2) AS BIGINT) AS match_pairs
+        SELECT CAST(SUM(c)*(SUM(c)-1)//2 AS BIGINT) AS total_pairs,
+               CAST(SUM(c*(c-1)//2) AS BIGINT) AS match_pairs
         FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_name))
       SELECT field, m_pairs, u_pairs, match_pairs, total_pairs,
              CAST(m_pairs AS DOUBLE) / match_pairs AS m,
@@ -406,17 +408,17 @@ object EntityResolution extends QueryPack {
         UNION ALL SELECT p_name, 'size', CAST(p_size AS VARCHAR) FROM part),
       reps AS (SELECT p_name, field, MIN(value) AS rep FROM vals GROUP BY 1, 2),
       up AS (
-        SELECT field, CAST(SUM(c*(c-1)/2) AS BIGINT) AS u_pairs
+        SELECT field, CAST(SUM(c*(c-1)//2) AS BIGINT) AS u_pairs
         FROM (SELECT field, value, COUNT(*) AS c FROM vals GROUP BY 1, 2)
         GROUP BY 1),
       mp AS (
-        SELECT field, CAST(SUM(c*(c-1)/2) AS BIGINT) AS m_pairs
+        SELECT field, CAST(SUM(c*(c-1)//2) AS BIGINT) AS m_pairs
         FROM (SELECT field, p_name, value, COUNT(*) AS c
               FROM vals GROUP BY 1, 2, 3)
         GROUP BY 1),
       denom AS (
-        SELECT CAST(SUM(c)*(SUM(c)-1)/2 AS BIGINT) AS total_pairs,
-               CAST(SUM(c*(c-1)/2) AS BIGINT) AS match_pairs
+        SELECT CAST(SUM(c)*(SUM(c)-1)//2 AS BIGINT) AS total_pairs,
+               CAST(SUM(c*(c-1)//2) AS BIGINT) AS match_pairs
         FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_name)),
       w AS (
         SELECT field,

@@ -281,38 +281,157 @@ object Profiling extends QueryPack {
       s"WITH m AS (SELECT $moments FROM lineitem) $rows"
     })
 
+  private val QuantilePs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+
+  /** Melt the numeric columns to (column_name, value) and collapse to the
+    * per-column VALUE HISTOGRAM with running (`cum`) and total (`tot`)
+    * counts — the shared substrate of prof4/prof4b. The groupBy is
+    * map-side combined (low-cardinality columns collapse before the
+    * shuffle), and the window walks DISTINCT values per column, never
+    * rows — so the per-column sequential piece is O(distinct), not O(n).
+    */
+  private def valueHistogram(li: DataFrame): DataFrame = {
+    val melted = li.select(expr(
+      s"stack(${NumCols.size}, " +
+        NumCols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") +
+        ") as (column_name, value)"))
+      .filter(col("value").isNotNull)
+    val wCum = Window.partitionBy(col("column_name")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("column_name"))
+    melted.groupBy(col("column_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tot", sum(col("cnt")).over(wAll))
+  }
+
+  /** The 0-based rank a percentile interpolates at: pos = p·(n−1), the
+    * definition Spark `percentile` and DuckDB `quantile_cont` share. */
+  private def rankPos(p: Double, tot: Column): Column =
+    lit(p) * (tot - lit(1)).cast("double")
+
   /** Exact interpolated quantiles (p1/p25/p50/p75/p99) for every numeric
-    * column in ONE aggregate — the distribution half of the profile that
-    * prof1's min/max can't see (skew, heavy tails, discretization). Kept
-    * EXACT here so the oracle checks values (DuckDB `quantile_cont` and
-    * Spark `percentile` share the p·(n−1) interpolation definition); at
-    * 100 TB the drop-in is `approx_percentile` — a bounded, mergeable
-    * sketch with the same output shape — whose tolerance-equivalence is
-    * asserted in SqlSurfaceSpec.
+    * column — the distribution half of the profile that prof1's min/max
+    * can't see (skew, heavy tails, discretization). EXACT but scale-safe:
+    * instead of `percentile` (whose partial state is the full value list,
+    * so the merge task materializes every row on one executor — an OOM at
+    * 100 TB, flagged in round 4), the quantile is read off the per-column
+    * value histogram: v_at(rank) is a conditional MIN over cumulative
+    * counts, and the p·(n−1) interpolation (Spark's own
+    * `lowerValue·(higher−pos) + higherValue·(pos−lower)` double formula,
+    * replicated bit-for-bit) runs on the ≤#cols×#ps result. Every stage is
+    * mergeable; the only per-column sequential work is the histogram
+    * window over DISTINCT values. The sketch-based drop-in with the same
+    * output shape is prof4b (`approx_percentile`, rank-band-gated).
     */
   val quantileProfile = GQuery(
     "prof4_exact_quantiles",
     (s, dir) => {
-      val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
-      val psSql = ps.mkString("array(", ", ", ")")
-      val li = Tables.load(s, dir, "lineitem")
-      val one = li.agg(
-        expr(s"percentile(CAST(${NumCols.head} AS DOUBLE), $psSql)")
-          .as(s"q__${NumCols.head}"),
-        NumCols.tail.map(c =>
-          expr(s"percentile(CAST($c AS DOUBLE), $psSql)").as(s"q__$c")): _*)
-      val stackExpr = s"stack(${NumCols.size}, " +
-        NumCols.map(c => s"'$c', q__$c").mkString(", ") +
-        ") as (column_name, qs)"
-      one.select(expr(stackExpr))
-        .select(col("column_name"), posexplode(col("qs")).as(Seq("pos", "q")))
-        .select(col("column_name"),
-          element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
-          col("q"))
+      val hist = valueHistogram(Tables.load(s, dir, "lineitem"))
+      // v_lo/v_hi per p: the smallest value whose cumulative count covers
+      // 0-based position floor(pos) / ceil(pos)
+      val aggCols = QuantilePs.zipWithIndex.flatMap { case (p, i) => Seq(
+        min(when(col("cum") > floor(rankPos(p, col("tot"))), col("value")))
+          .as(s"vlo_$i"),
+        min(when(col("cum") > ceil(rankPos(p, col("tot"))), col("value")))
+          .as(s"vhi_$i"))
+      }
+      val perCol = hist.groupBy(col("column_name"))
+        .agg(max(col("tot")).as("n"), aggCols: _*)
+      perCol
+        .select(col("column_name"), explode(array(
+          QuantilePs.zipWithIndex.map { case (p, i) => struct(
+            lit(p).as("p"), rankPos(p, col("n")).as("pos"),
+            col(s"vlo_$i").as("vlo"), col(s"vhi_$i").as("vhi")) }: _*))
+          .as("e"))
+        .select(col("e.p").as("p"), col("column_name"),
+          col("e.pos").as("pos"), col("e.vlo").as("vlo"),
+          col("e.vhi").as("vhi"),
+          floor(col("e.pos")).cast("double").as("lower"),
+          ceil(col("e.pos")).cast("double").as("higher"))
+        .select(col("column_name"), col("p"),
+          when(col("lower") === col("higher"), col("vlo"))
+            .otherwise(col("vlo") * (col("higher") - col("pos")) +
+              col("vhi") * (col("pos") - col("lower"))).as("q"))
     },
-    Some(NumCols.flatMap(c => Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p => s"""
+    Some(NumCols.flatMap(c => QuantilePs.map(p => s"""
       SELECT '$c' AS column_name, CAST($p AS DOUBLE) AS p,
              quantile_cont(CAST($c AS DOUBLE), $p) AS q
+      FROM lineitem""")).mkString(" UNION ALL ")))
+
+  /** prof4b: the 100 TB quantile path with its own green row —
+    * `approx_percentile` (a bounded, MERGEABLE sketch; constant-size
+    * partials, no single-reducer value list) for the same (column, p)
+    * grid, gated by the sketch's published rank guarantee: with accuracy
+    * A the returned value's rank error is ≤ n/A, so the estimate must lie
+    * within the EXACT values at ranks [floor(pos)−⌈n/A⌉, ceil(pos)+⌈n/A⌉]
+    * (clamped to [0, n−1]), which the prof4 histogram machinery reads off
+    * the same one scan. Output: the exact quantile (value-checked against
+    * DuckDB `quantile_cont`) plus `in_band` (oracle asserts TRUE — a
+    * sketch that ever violated its rank bound flips the row red).
+    */
+  val approxQuantileProfile = GQuery(
+    "prof4b_approx_quantiles",
+    (s, dir) => {
+      val Accuracy = 10000
+      val li = Tables.load(s, dir, "lineitem")
+      val hist = valueHistogram(li)
+      // band ranks: err = ceil(n / A); clamp into [0, n-1]
+      def err(tot: Column): Column = ceil(tot.cast("double") / Accuracy)
+      def atRank(rank: Column): Column =
+        min(when(col("cum") > rank, col("value")))
+      val aggCols = QuantilePs.zipWithIndex.flatMap { case (p, i) =>
+        val pos = rankPos(p, col("tot"))
+        Seq(
+          atRank(floor(pos)).as(s"vlo_$i"),
+          atRank(ceil(pos)).as(s"vhi_$i"),
+          atRank(greatest(floor(pos) - err(col("tot")), lit(0L)))
+            .as(s"blo_$i"),
+          atRank(least(ceil(pos) + err(col("tot")), col("tot") - 1))
+            .as(s"bhi_$i"))
+      }
+      val perCol = hist.groupBy(col("column_name"))
+        .agg(max(col("tot")).as("n"), aggCols: _*)
+      val exact = perCol
+        .select(col("column_name"), explode(array(
+          QuantilePs.zipWithIndex.map { case (p, i) => struct(
+            lit(p).as("p"), rankPos(p, col("n")).as("pos"),
+            col(s"vlo_$i").as("vlo"), col(s"vhi_$i").as("vhi"),
+            col(s"blo_$i").as("band_lo"), col(s"bhi_$i").as("band_hi")) }: _*))
+          .as("e"))
+        .select(col("column_name"), col("e.p").as("p"),
+          col("e.band_lo").as("band_lo"), col("e.band_hi").as("band_hi"),
+          floor(col("e.pos")).cast("double").as("lower"),
+          ceil(col("e.pos")).cast("double").as("higher"),
+          col("e.pos").as("pos"), col("e.vlo").as("vlo"),
+          col("e.vhi").as("vhi"))
+        .select(col("column_name"), col("p"), col("band_lo"), col("band_hi"),
+          when(col("lower") === col("higher"), col("vlo"))
+            .otherwise(col("vlo") * (col("higher") - col("pos")) +
+              col("vhi") * (col("pos") - col("lower"))).as("q"))
+      val psSql = QuantilePs.mkString("array(", ", ", ")")
+      val approx = li.agg(
+        expr(s"approx_percentile(CAST(${NumCols.head} AS DOUBLE), $psSql," +
+          s" $Accuracy)").as(s"a__${NumCols.head}"),
+        NumCols.tail.map(c =>
+          expr(s"approx_percentile(CAST($c AS DOUBLE), $psSql, $Accuracy)")
+            .as(s"a__$c")): _*)
+        .select(expr(s"stack(${NumCols.size}, " +
+          NumCols.map(c => s"'$c', a__$c").mkString(", ") +
+          ") as (column_name, qs)"))
+        .select(col("column_name"),
+          posexplode(col("qs")).as(Seq("pi", "approx_q")))
+        .select(col("column_name"),
+          element_at(array(QuantilePs.map(lit): _*), col("pi") + 1).as("p"),
+          col("approx_q"))
+      exact.join(broadcast(approx), Seq("column_name", "p"))
+        .select(col("column_name"), col("p"), col("q"),
+          (col("approx_q") >= col("band_lo") &&
+            col("approx_q") <= col("band_hi")).as("in_band"))
+    },
+    Some(NumCols.flatMap(c => QuantilePs.map(p => s"""
+      SELECT '$c' AS column_name, CAST($p AS DOUBLE) AS p,
+             quantile_cont(CAST($c AS DOUBLE), $p) AS q, TRUE AS in_band
       FROM lineitem""")).mkString(" UNION ALL ")))
 
   /** Categorical association: Pearson chi-square and Cramér's V between two
@@ -742,8 +861,8 @@ object Profiling extends QueryPack {
         FROM dev GROUP BY 1)
       SELECT d.event_type, COUNT(*) AS n,
              MAX(d.median) AS median, MAX(a.mad) AS mad,
-             SUM(CASE WHEN d.dev > 3.0 * 1.4826 * a.mad
-                      THEN 1 ELSE 0 END) AS n_outliers,
+             CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * a.mad
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
              CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * a.mad
                       THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
                AS outlier_ppm
@@ -825,7 +944,8 @@ object Profiling extends QueryPack {
 
   override def queries: Seq[GQuery] =
     Seq(numericProfile, categoricalProfile, zorderLayout, correlationMatrix,
-      quantileProfile, categoricalAssoc, histogramQuantiles, distributionDrift,
+      quantileProfile, approxQuantileProfile, categoricalAssoc,
+      histogramQuantiles, distributionDrift,
       featureLabelAssoc, giniConcentration, robustOutliers, entropyProfile,
       layoutPruningAudit)
 }

@@ -215,10 +215,14 @@ object Quality extends QueryPack {
                  / CAST(o_totalprice AS DOUBLE) AS rel
         FROM orders LEFT JOIN derived ON o_orderkey = l_orderkey)
       SELECT COUNT(*) AS n_orders,
-             SUM(CASE WHEN derived IS NULL THEN 1 ELSE 0 END) AS n_orphaned,
-             SUM(CASE WHEN diff < 0.01 THEN 1 ELSE 0 END) AS n_exact,
-             SUM(CASE WHEN rel <= 0.01 THEN 1 ELSE 0 END) AS n_within_1pct,
-             SUM(CASE WHEN rel <= 0.10 THEN 1 ELSE 0 END) AS n_within_10pct,
+             CAST(SUM(CASE WHEN derived IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphaned,
+             CAST(SUM(CASE WHEN diff < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+             CAST(SUM(CASE WHEN rel <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_1pct,
+             CAST(SUM(CASE WHEN rel <= 0.10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_10pct,
              MAX(rel) AS max_rel_drift
       FROM j"""))
 
@@ -261,15 +265,15 @@ object Quality extends QueryPack {
         SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
         FROM customer GROUP BY 1, 2),
       census AS (
-        SELECT COUNT(*) AS n_classes, SUM(sz) AS n_rows,
-               SUM(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS g2,
-               SUM(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS r2,
-               SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS g5,
-               SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS r5,
-               SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS g10,
-               SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS r10,
-               SUM(CASE WHEN sz < 25 THEN 1 ELSE 0 END) AS g25,
-               SUM(CASE WHEN sz < 25 THEN sz ELSE 0 END) AS r25
+        SELECT COUNT(*) AS n_classes, CAST(SUM(sz) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+               CAST(SUM(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS r2,
+               CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS g5,
+               CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS r5,
+               CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS g10,
+               CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS r10,
+               CAST(SUM(CASE WHEN sz < 25 THEN 1 ELSE 0 END) AS BIGINT) AS g25,
+               CAST(SUM(CASE WHEN sz < 25 THEN sz ELSE 0 END) AS BIGINT) AS r25
         FROM classes)
       SELECT k, n_classes, n_rows, classes_below_k, rows_below_k,
              CAST(rows_below_k * 1000000 // n_rows AS BIGINT) AS rows_below_ppm
@@ -312,9 +316,12 @@ object Quality extends QueryPack {
         SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz,
                COUNT(DISTINCT FLOOR(c_acctbal / 1000)) AS l
         FROM customer GROUP BY 1, 2)
-      SELECT COUNT(*) AS n_classes, SUM(sz) AS n_rows, MIN(l) AS min_l,
-             SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS classes_below_3,
-             SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS rows_below_3
+      SELECT COUNT(*) AS n_classes, CAST(SUM(sz) AS BIGINT) AS n_rows,
+             MIN(l) AS min_l,
+             CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_3,
+             CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_below_3
       FROM classes"""))
 
   /** dq6: freshness audit — per-source staleness every ingest dashboard
@@ -425,7 +432,7 @@ object Quality extends QueryPack {
                  AS pos
         FROM grid)
       SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
-             trailing_sum,
+             CAST(trailing_sum AS BIGINT) AS trailing_sum,
              CAST((7 * cnt * 1000000) // trailing_sum AS BIGINT)
                AS ratio_ppm,
              CAST((7 * cnt * 1000000) // trailing_sum AS BIGINT) > 2000000

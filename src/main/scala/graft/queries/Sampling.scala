@@ -527,7 +527,8 @@ object Sampling extends QueryPack {
                            ELSE 536870912 END
         GROUP BY 1),
       truth AS (
-        SELECT lang, COUNT(*) AS true_docs, SUM(n_chars) AS true_chars
+        SELECT lang, COUNT(*) AS true_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS true_chars
         FROM documents GROUP BY 1)
       SELECT lang, n_sampled, est_docs, true_docs,
              est_docs / true_docs - 1.0 AS rel_err_docs,

@@ -1117,7 +1117,8 @@ object Text extends QueryPack {
         SELECT labeled_lang, predicted_lang, COUNT(*) AS n
         FROM pred GROUP BY 1, 2)
       SELECT labeled_lang, predicted_lang, n,
-             SUM(n) OVER (PARTITION BY labeled_lang) AS row_total,
+             CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT)
+               AS row_total,
              CAST(n AS DOUBLE)
                / CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS DOUBLE)
                AS cell_rate

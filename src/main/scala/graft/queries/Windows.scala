@@ -834,8 +834,10 @@ object Windows extends QueryPack {
                  AS delay_s,
                fv.fv, fp.fp
         FROM fv LEFT JOIN fp USING (user_id))
-      SELECT SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS n_with_view,
-             SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+      SELECT CAST(SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_view,
+             CAST(SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
              quantile_cont(delay_s, 0.25) AS d25,
              quantile_cont(delay_s, 0.5) AS d50,
              quantile_cont(delay_s, 0.75) AS d75,

@@ -268,6 +268,27 @@ class PlanSpec extends AnyFunSuite {
     assert(pq === 1, s"expected a single documents scan:\n$p")
   }
 
+  test("prof4/prof4b: quantiles come off the histogram — no full-value-list " +
+      "percentile aggregate, one melt scan") {
+    // the r4 perf-weak shape was `percentile`, whose merge task
+    // materializes every row's value on one executor; the rewrite must
+    // keep the plan free of it (hash-aggregable conditional MINs over the
+    // histogram instead), with exactly one lineitem scan feeding the melt
+    val p = plan("prof4_exact_quantiles")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"full-value-list percentile agg crept back:\n$p")
+    val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(pq === 1, s"expected a single lineitem scan ($pq):\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    // prof4b keeps the exact arm percentile-free too; its only percentile
+    // is the bounded approx_percentile sketch
+    val pb = plan("prof4b_approx_quantiles")
+    assert(pb.toLowerCase.contains("approx_percentile"),
+      s"sketch arm missing:\n$pb")
+    assert(!pb.replaceAll("(?i)approx_percentile", "").toLowerCase
+      .contains("percentile"), s"exact percentile agg in prof4b:\n$pb")
+  }
+
   test("w18: the transition model broadcasts back; top-k never globally sorts") {
     val p = plan("w18_sequence_anomaly")
     assert(p.contains("BroadcastHashJoin"), s"model-apply join must broadcast:\n$p")

@@ -41,6 +41,19 @@ def main(sf_dir, out_dir):
             print(f"  {name}: rows={len(spark_df)} (no oracle, rows-only)")
             continue
         try:
+            # HUGEINT lint: DuckDB returns int128 for bare SUM(BIGINT); the
+            # driver's hash is dtype-sensitive, so a HUGEINT column passes
+            # the stringified compare below but fails the driver gate. Fail
+            # loudly with the column name so the oracle gets a
+            # CAST(... AS BIGINT) before it ever ships.
+            hug = [(r[0], r[1]) for r in con.execute(
+                f"DESCRIBE ({oracle[name]})").fetchall()
+                if "HUGEINT" in str(r[1]).upper()]
+            if hug:
+                print(f"FAIL {name}: HUGEINT oracle column(s) "
+                      f"{[h[0] for h in hug]} — add CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
