@@ -82,7 +82,12 @@ object Bench {
             val q = spark.readStream.format("blockfeed")
               .option("path", stub.base)
               .option("from", "2270370").option("to", "2270469")
-              .option("maxHeightsPerTrigger", "40").load()
+              .option("maxHeightsPerTrigger", "40")
+              // RPC fetches are I/O-bound: split each 40-height batch into
+              // parallel reader tasks (the reference backfills at
+              // concurrency 16 for the same reason) instead of one task
+              // walking 80 sequential GETs
+              .option("heightsPerPartition", "5").load()
               .writeStream.format("noop")
               .trigger(Trigger.AvailableNow()).start()
             q.awaitTermination(300000)

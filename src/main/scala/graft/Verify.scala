@@ -30,7 +30,8 @@ object Verify {
       "sim5_knn_ivf_trained" -> (() => graft.queries.Similarity.sim5Model(spark, sfDir)),
       "sim13_knn_ivf_multiprobe" -> (() => graft.queries.Similarity.sim5Model(spark, sfDir)),
       "sim15_nprobe_sweep" -> (() => graft.queries.Similarity.sim5Model(spark, sfDir)),
-      "sim7_knn_pq_adc" -> (() => graft.queries.Similarity.sim7Model(spark, sfDir)))
+      "sim7_knn_pq_adc" -> (() => graft.queries.Similarity.sim7Model(spark, sfDir)),
+      "sim17_knn_ivfpq" -> (() => graft.queries.Similarity.sim17Model(spark, sfDir)))
       .foreach { case (name, model) =>
         if (selected.contains(name))
           try model().coalesce(1).write.mode("overwrite")

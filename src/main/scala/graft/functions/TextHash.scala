@@ -102,6 +102,24 @@ object TextHash {
       s"range(1, len($t) - ${k - 2}), i -> $concat)) ELSE [] END"
   }
 
+  /** [[shinglesK]] WITH multiplicity (no distinct) — for within-document
+    * repetition statistics, where how often a gram recurs is the signal.
+    */
+  def shinglesKAll(toks: Column, k: Int): Column = {
+    require(k >= 2, "k >= 2")
+    val n = greatest(size(toks) - (k - 1), lit(0))
+    (2 to k).foldLeft(slice(toks, lit(1), n)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), n), (a, b) => concat_ws(" ", a, b))
+    }
+  }
+
+  /** DuckDB SQL for [[shinglesKAll]] over a token-list expression `t`. */
+  def sqlShinglesKAll(t: String, k: Int): String = {
+    val concat = (0 until k).map(j => s"$t[i+$j]").mkString(" || ' ' || ")
+    s"CASE WHEN len($t) >= $k THEN list_transform(" +
+      s"range(1, len($t) - ${k - 2}), i -> $concat) ELSE [] END"
+  }
+
   /** MinHash signature (k values) over an array of shingle hashes:
     * sig_i = min over shingles s of (a_i·s + b_i) mod Mod, a_i = 2i+1,
     * b_i = 7919·(i+1). Standard universal-hash minwise scheme (Broder '97).

@@ -28,29 +28,39 @@ object Profiling extends QueryPack {
     "l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** Per-numeric-column null count / exact distinct / min / max in a single
-    * pass. At 100 TB the exact COUNT(DISTINCT) per column is the one
-    * expensive term (Spark expands it to per-column shuffles); the swap-in is
-    * `approx_count_distinct` (HLL, one pass, mergeable) — kept exact here so
-    * the oracle checks values. The mergeable swap-in exists as its own
-    * oracle-gated query: sk6_hll_column_profile (queries/Sketches.scala)
-    * profiles all 8 columns' distincts from ONE scan into 8×256 registers;
-    * SqlSurfaceSpec additionally pins Spark's built-in approx agg tolerance.
+    * pass — via the same VALUE-HISTOGRAM substrate as prof4 rather than a
+    * multi-`count_distinct` aggregate: Spark plans N exact distincts as an
+    * Expand that multiplies every row ×(N+1) before the shuffle, which
+    * made this the inventory's 6th-slowest plan. The melt shuffles each
+    * row's N values ONCE on the uniform (column, value) key with map-side
+    * combine (low-cardinality columns collapse before the wire), and
+    * every profile figure is then an aggregate over the per-column
+    * distinct-value relation: n_distinct = COUNT of non-null histogram
+    * rows, nulls/rows from the counts, min/max over values. Values melt
+    * through DECIMAL(38,6) so distinctness stays EXACT for every source
+    * type (a double melt would conflate BIGINTs past 2^53); min/max cast
+    * to double only on output. All stages mergeable. The sketch swap-in
+    * remains sk6_hll_column_profile (8×256 HLL registers, one scan);
+    * SqlSurfaceSpec pins Spark's built-in approx agg tolerance.
     */
   val numericProfile = GQuery(
     "prof1_numeric_profile",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: NumCols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("double").as(s"${c}__min"),
-        max(col(c)).cast("double").as(s"${c}__max")))
-      val one = li.agg(aggs.head, aggs.tail: _*)
-      val stackExpr = s"stack(${NumCols.size}, " + NumCols.map(c =>
-        s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
-        .mkString(", ") +
-        ") as (column_name, n_nulls, n_distinct, min_value, max_value)"
-      one.select(col("n_rows"), expr(stackExpr))
+      val melted = li.select(expr(
+        s"stack(${NumCols.size}, " +
+          NumCols.map(c => s"'$c', CAST($c AS DECIMAL(38,6))").mkString(", ") +
+          ") as (column_name, value)"))
+      melted.groupBy(col("column_name"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("column_name"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("value").isNull, col("cnt")).otherwise(0L))
+            .as("n_nulls"),
+          count(col("value")).as("n_distinct"),
+          min(col("value")).cast("double").as("min_value"),
+          max(col("value")).cast("double").as("max_value"))
         .select(col("column_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_value"), col("max_value"))
     },

@@ -1129,8 +1129,203 @@ object Similarity extends QueryPack {
                                 ORDER BY sq8_cosine DESC, neighbor_id) AS rank
       FROM scored QUALIFY rank <= $K"""))
 
+  /** sim17's fitted model, one relation for the Verify dump: the coarse
+    * IVF centroids (marked `sub = -1`) unioned with the residual PQ
+    * codebook (`sub >= 0`). Both fits are the existing bit-deterministic
+    * kernels, so this re-fit reproduces the model the query used.
+    */
+  def sim17Model(s: SparkSession, dir: String): DataFrame = {
+    val coarse = sim5Model(s, dir)
+    val q = quantized(s, dir)
+    val cells = graft.functions.IvfIndex.assignWith(
+      q.select(col("vec_id"), col("qv")), coarse)
+    val resid = q.join(cells.select("vec_id", "cell"), "vec_id")
+      .join(broadcast(coarse.select(col("cell"), col("cq").as("ccq"))), "cell")
+      .select(col("vec_id"),
+        zip_with(col("qv"), col("ccq"), (a, b) => a - b).as("qv"))
+    val (codebook, _) = graft.functions.PqIndex.fitEncode(
+      s, resid, m = 4, subDim = 16, ks = 8, iters = 1)
+    coarse.select(lit(-1).as("sub"), col("cell"), col("cq"))
+      .unionByName(codebook.select(col("sub"), col("cell"), col("cq")))
+  }
+
+  /** sim17: IVF-PQ — the composition production ANN indexes actually
+    * deploy (the faiss IVFPQ workhorse): the trained coarse quantizer
+    * (sim5's cells, probed at nprobe=2 like sim13) prunes the corpus, and
+    * each in-cell vector is stored as PQ codes of its RESIDUAL
+    * (vector − its coarse centroid), so the 8-cell sub-codebooks spend
+    * their budget on in-cell variance instead of the global spread sim7's
+    * flat PQ wastes them on. Scoring uses the inner-product decomposition
+    * ⟨q, x⟩ ≈ ⟨q, c⟩ + Σ_sub ⟨q_sub, cb[sub][code_sub(x − c)]⟩: the
+    * coarse term rides the probe relation, the residual term is sim7's
+    * ADC lookup-table sum, all exact integer math; the top-3K pool gets
+    * an exact re-rank so emitted cosines are exact for whatever the index
+    * surfaces.
+    *
+    * Scale shape: the corpus-sized scan touches (coarse cell, 4 codes,
+    * norm) per vector — sim7's ~16× bandwidth collapse PLUS the
+    * (ncells − nprobe)/ncells of the corpus skipped entirely by the probe
+    * equi-join on the cell key (no corpus-wide candidate relation ever
+    * materializes). Centroids, codebooks, queries, probes and LUTs are
+    * KB-scale broadcast model state. The oracle replays assignment →
+    * residual → codes → probes → ADC → re-rank from the dumped model.
+    */
+  val knnIvfPq = GQuery(
+    "sim17_knn_ivfpq",
+    (s, dir) => {
+      val M = 4; val SubDim = 16; val Pool = 3 * K; val NProbe = 2
+      val q = quantized(s, dir)
+      val coarse = sim5Model(s, dir)
+      val cells = graft.functions.IvfIndex.assignWith(
+        q.select(col("vec_id"), col("qv")), coarse)
+      // the assignment join feeds BOTH the residual fit and the ADC scan —
+      // persist so the coarse argmin pass runs once (freed by Bench/driver
+      // after the query like every intra-query build side)
+      val corpus = q.join(cells.select("vec_id", "cell"), "vec_id")
+        .join(broadcast(coarse.select(col("cell"), col("cq").as("ccq"))), "cell")
+        .persist()
+      val resid = corpus.select(col("vec_id"),
+        zip_with(col("qv"), col("ccq"), (a, b) => a - b).as("qv"))
+      val (codebook, codes) = graft.functions.PqIndex.fitEncode(
+        s, resid, M, SubDim, ks = 8, iters = 1)
+      // probes: each query's 2 nearest coarse cells by cosine, with the
+      // coarse dot term ⟨q, c⟩ riding the probe row
+      val cents = coarse
+        .withColumn("cnorm", sqrt(dotQ(col("cq"), col("cq")).cast("double")))
+      val crk = row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(
+          (dotQ(col("q_qv"), col("cq")) / (col("q_norm") * col("cnorm"))).desc,
+          col("cell")))
+      val probes = q.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+          col("norm").as("q_norm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("crk", crk).filter(col("crk") <= NProbe)
+        .select(col("query_id"), col("cell"), col("q_norm"),
+          dotQ(col("q_qv"), col("cq")).as("cdot"))
+      // residual LUT: ⟨q_sub, cb[sub][code]⟩ for every (query, sub, code)
+      val lut = graft.functions.PqIndex
+        .subvectors(q.filter(col("vec_id") < NQueries)
+          .select(col("vec_id"), col("qv")), M, SubDim)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(broadcast(codebook), "sub")
+        .select(col("query_id"), col("sub"), col("cell").as("code"),
+          dotQ(col("sqv"), col("cq")).as("rdot"))
+      // candidates = corpus vectors in probed cells (equi join on the
+      // coarse cell); ADC = coarse dot + Σ_sub LUT[code]
+      val adc = codes
+        .join(corpus.select(col("vec_id"), col("cell"), col("norm")), "vec_id")
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("norm"), col("q_norm"),
+          col("cdot"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg((first(col("cdot")) + sum(col("rdot"))).as("approx_dot"),
+          first(col("norm")).as("norm"), first(col("q_norm")).as("q_norm"))
+        .select(col("query_id"), col("vec_id"),
+          (col("approx_dot").cast("double") / (col("norm") * col("q_norm")))
+            .as("approx_cos"))
+      val pool = adc.withColumn("crk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("approx_cos").desc, col("vec_id"))))
+        .filter(col("crk") <= Pool)
+      // exact re-rank of the bounded pool — the only touch of full vectors
+      val rer = pool
+        .join(q.select(col("vec_id"), col("qv"), col("norm")), "vec_id")
+        .join(broadcast(q.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+            col("norm").as("q_norm"))), "query_id")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm")))
+            .as("cosine"))
+      rer.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rank") <= K)
+    },
+    Some(s"""
+      WITH q AS ($sqlQuantized),
+      m AS (
+        SELECT sub, cell, cq
+        FROM read_parquet('{GRAFT_OUT}/sim17_knn_ivfpq/_model/*.parquet')),
+      coarse AS (
+        SELECT cell, cq, sqrt(CAST(${sqlDotQ("cq", "cq")} AS DOUBLE)) AS cnorm
+        FROM m WHERE sub = -1),
+      cb AS (SELECT sub, cell AS code, cq FROM m WHERE sub >= 0),
+      assigned AS (
+        SELECT vec_id, qv, norm, cell, ccq FROM (
+          SELECT q.vec_id, q.qv, q.norm, c.cell, c.cq AS ccq,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY CAST(${sqlDotQ("q.qv", "c.cq")} AS DOUBLE)
+                            / (q.norm * c.cnorm) DESC, c.cell) AS crk
+          FROM q CROSS JOIN coarse c)
+        WHERE crk = 1),
+      resid AS (
+        SELECT vec_id, cell, norm,
+               list_transform(range(1, len(qv) + 1), i -> qv[i] - ccq[i])
+                 AS rv
+        FROM assigned),
+      subv AS (
+        SELECT vec_id, cell, norm, s.sub,
+               list_slice(rv, s.sub*16 + 1, s.sub*16 + 16) AS sqv
+        FROM resid, (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub) s),
+      codes AS (
+        SELECT vec_id, cell, sub, code FROM (
+          SELECT v.vec_id, v.cell, v.sub, c.code,
+                 row_number() OVER (PARTITION BY v.vec_id, v.sub
+                   ORDER BY CAST(${sqlDotQ("c.cq", "c.cq")} AS BIGINT)
+                            - 2 * CAST(${sqlDotQ("v.sqv", "c.cq")} AS BIGINT),
+                            c.code) AS crk
+          FROM subv v JOIN cb c ON v.sub = c.sub)
+        WHERE crk = 1),
+      queries AS (SELECT vec_id, qv, norm FROM q WHERE vec_id < $NQueries),
+      probes AS (
+        SELECT query_id, cell, q_norm, cdot FROM (
+          SELECT qq.vec_id AS query_id, c.cell, qq.norm AS q_norm,
+                 CAST(${sqlDotQ("qq.qv", "c.cq")} AS BIGINT) AS cdot,
+                 row_number() OVER (PARTITION BY qq.vec_id
+                   ORDER BY CAST(${sqlDotQ("qq.qv", "c.cq")} AS DOUBLE)
+                            / (qq.norm * c.cnorm) DESC, c.cell) AS crk
+          FROM queries qq CROSS JOIN coarse c)
+        WHERE crk <= 2),
+      lut AS (
+        SELECT qq.vec_id AS query_id, c.sub, c.code,
+               CAST(${sqlDotQ(
+                 "list_slice(qq.qv, c.sub*16 + 1, c.sub*16 + 16)", "c.cq")}
+                 AS BIGINT) AS rdot
+        FROM queries qq CROSS JOIN cb c),
+      adc AS (
+        SELECT p.query_id, k.vec_id,
+               CAST(p.cdot + SUM(l.rdot) AS DOUBLE)
+                 / (MIN(a.norm) * MIN(p.q_norm)) AS approx_cos
+        FROM codes k
+        JOIN assigned a ON k.vec_id = a.vec_id
+        JOIN probes p ON a.cell = p.cell AND k.vec_id <> p.query_id
+        JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub
+                  AND l.code = k.code
+        GROUP BY p.query_id, k.vec_id, p.cdot),
+      cand AS (
+        SELECT query_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY approx_cos DESC, vec_id) AS crk
+          FROM adc)
+        WHERE crk <= ${3 * K}),
+      rer AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               CAST(${sqlDotQ("x.qv", "qq.qv")} AS DOUBLE)
+                 / (x.norm * qq.norm) AS cosine
+        FROM cand c
+        JOIN q x ON c.vec_id = x.vec_id
+        JOIN queries qq ON c.query_id = qq.vec_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rer QUALIFY rank <= $K"""))
+
   override def queries: Seq[GQuery] =
     Seq(knnBrute, knnIvf, rangeSearch, knnLsh, knnIvfTrained, knnBatched,
       knnPq, knnFiltered, recallEval, embeddingOutliers, knnMultiprobe,
-      centroidClassify, knnIvfMultiprobe, rrfHybrid, nprobeSweep, knnSq8)
+      centroidClassify, knnIvfMultiprobe, rrfHybrid, nprobeSweep, knnSq8,
+      knnIvfPq)
 }

@@ -1293,10 +1293,82 @@ object Text extends QueryPack {
       ORDER BY pair_count DESC, lhs, rhs
       LIMIT 50"""))
 
+  /** tx24: INTRA-document repetition census — the other half of the
+    * repetition signal tx16 measures across documents. Per (doc, n) for
+    * n ∈ {2,3,4}: total n-gram occurrences, characters covered by grams
+    * that recur WITHIN the document (the Gopher-family
+    * "fraction of characters in duplicate n-grams" filters — Rae et al.
+    * 2021 §A1.1 run exactly this battery before training), and the char
+    * coverage of the single heaviest gram (count × gram length — a
+    * well-ordered scalar max, no tie-break needed). Fractions are exact
+    * integer ppm so no float boundary drifts between engines; a looping
+    * doc ("buy now buy now buy now…") pins dup_char_ppm near 10^6 while a
+    * clean doc sits near 0 — the threshold a corpus gate cuts on.
+    *
+    * Scale shape: shingles explode map-side (tokens stay in HOF argument
+    * position — the shinglesKAll slices — so no per-element re-eval);
+    * ONE map-side-combinable shuffle on the uniform (doc, n, gram) key,
+    * then a (doc, n)-keyed aggregate over the per-doc gram inventory.
+    * Nothing is cross-document, so the query scales with corpus size
+    * like a scan, and a multi-MB pathological document costs its own
+    * gram count, never a driver-side structure.
+    */
+  val intraDocRepetition = GQuery(
+    "tx24_intra_doc_repetition",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        tokens(col("text")).as("toks"))
+      val grams = d.select(col("doc_id"), col("n_chars"),
+        explode(flatten(array(Seq(2, 3, 4).map(k =>
+          transform(shinglesKAll(col("toks"), k),
+            g => struct(lit(k).as("n"), g.as("gram")))): _*))).as("e"))
+        .select(col("doc_id"), col("n_chars"),
+          col("e.n").as("n"), col("e.gram").as("gram"))
+      val counts = grams
+        .groupBy(col("doc_id"), col("n_chars"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("gram_chars", length(col("gram")).cast("long"))
+      counts.groupBy(col("doc_id"), col("n_chars"), col("n"))
+        .agg(
+          sum(col("c")).as("n_grams"),
+          sum(when(col("c") > 1, col("c") * col("gram_chars"))
+            .otherwise(0L)).as("dup_chars"),
+          max(col("c") * col("gram_chars")).as("top_chars"))
+        .select(col("doc_id"), col("n"), col("n_chars"), col("n_grams"),
+          col("dup_chars"), col("top_chars"),
+          expr("dup_chars * 1000000L div n_chars").as("dup_char_ppm"),
+          expr("top_chars * 1000000L div n_chars").as("top_char_ppm"))
+    },
+    Some {
+      val toks = "regexp_extract_all(text, '\\S+')"
+      val arms = Seq(2, 3, 4).map(k =>
+        s"""SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars, $k AS n,
+               unnest(${sqlShinglesKAll(toks, k)}) AS gram
+            FROM documents""").mkString(" UNION ALL ")
+      s"""
+      WITH g AS ($arms),
+      counts AS (
+        SELECT doc_id, n_chars, n, gram, COUNT(*) AS c,
+               CAST(len(gram) AS BIGINT) AS gram_chars
+        FROM g GROUP BY 1, 2, 3, 4),
+      agg AS (
+        SELECT doc_id, n, n_chars,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN c > 1 THEN c * gram_chars ELSE 0 END)
+                    AS BIGINT) AS dup_chars,
+               CAST(MAX(c * gram_chars) AS BIGINT) AS top_chars
+        FROM counts GROUP BY 1, 2, 3)
+      SELECT doc_id, n, n_chars, n_grams, dup_chars, top_chars,
+             CAST(dup_chars * 1000000 // n_chars AS BIGINT) AS dup_char_ppm,
+             CAST(top_chars * 1000000 // n_chars AS BIGINT) AS top_char_ppm
+      FROM agg"""
+    })
+
   override def queries: Seq[GQuery] =
     Seq(tokenCounts, quality, langId, fingerprint, corpusStats, tfidfTopTerms,
       bigramStats, decontamination, lmScores, mixSplit, vocabCap, qualityGate,
       vocabGrowth, piiScan, chunking, dupNgramRate, qualityRules, bm25TopK,
       fuzzyDecontamination, dsirSelection, zipfFit, langIdEval,
-      qualityCalibration, bpeMergeStats)
+      qualityCalibration, bpeMergeStats, intraDocRepetition)
 }

@@ -184,20 +184,23 @@ final class HttpBlockClient(
     conn.setReadTimeout(readTimeoutMillis)
     conn.setRequestMethod("GET")
     conn.setRequestProperty("Accept", "application/json")
-    try {
-      val code = conn.getResponseCode
-      if (code == 200) {
-        val in = conn.getInputStream
-        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        // JSON-RPC-level error in a 200 envelope = absent, not transient
-        if ("\"error\"\\s*:".r.findFirstIn(body).isDefined) None else Some(body)
-      } else {
-        Option(conn.getErrorStream).foreach(es => try es.readAllBytes() finally es.close())
-        if (code == 429 || code == 502 || code == 503 || code == 504)
-          throw new java.io.IOException(s"transient HTTP $code from $base$pathAndQuery")
-        None
-      }
-    } finally conn.disconnect()
+    // NOTE: no conn.disconnect() — fully consuming and closing the stream
+    // returns the socket to the JVM's keep-alive pool, so a partition's
+    // height loop rides ONE connection instead of a TCP+TLS setup per RPC
+    // (disconnect() force-closes the socket and was costing ~40 ms/call)
+    val code = conn.getResponseCode
+    if (code == 200) {
+      val in = conn.getInputStream
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      // JSON-RPC-level error in a 200 envelope = absent, not transient
+      if (HttpBlockClient.ErrorField.findFirstIn(body).isDefined) None
+      else Some(body)
+    } else {
+      Option(conn.getErrorStream).foreach(es => try es.readAllBytes() finally es.close())
+      if (code == 429 || code == 502 || code == 503 || code == 504)
+        throw new java.io.IOException(s"transient HTTP $code from $base$pathAndQuery")
+      None
+    }
   }
 
   private def field(json: String, name: String): Option[Long] =
@@ -235,4 +238,9 @@ final class HttpBlockClient(
     (from to to by 20L).iterator.flatMap { lo =>
       get(s"/blockchain?minHeight=$lo&maxHeight=${math.min(lo + 19, to)}")
     }.toSeq
+}
+
+object HttpBlockClient {
+  /** Hoisted: a per-call `.r` compile showed up at ~200 RPCs/batch. */
+  private val ErrorField = "\"error\"\\s*:".r
 }

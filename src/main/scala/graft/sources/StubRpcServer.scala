@@ -52,15 +52,21 @@ final class StubRpcServer(dir: String,
   }
 
   /** `${var:-default}` resolution — templates served over HTTP arrive
-    * concrete, as from a real node.
+    * concrete, as from a real node. Memoized per (path, vars): the bench
+    * measures the CLIENT's RPC path, and a per-request regex pass over a
+    * multi-KB block body would bill stub CPU to the client's number.
     */
-  private def resolved(path: String, vars: Map[String, String]): String = {
-    val raw = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
-    "\\$\\{([a-zA-Z0-9_]+)(?::-([^}]*))?\\}".r.replaceAllIn(raw, m => {
-      val v = vars.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))
-      scala.util.matching.Regex.quoteReplacement(v)
+  private val resolvedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Map[String, String]), String]()
+
+  private def resolved(path: String, vars: Map[String, String]): String =
+    resolvedCache.computeIfAbsent((path, vars), { case (p, vs) =>
+      val raw = new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+      "\\$\\{([a-zA-Z0-9_]+)(?::-([^}]*))?\\}".r.replaceAllIn(raw, m => {
+        val v = vs.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))
+        scala.util.matching.Regex.quoteReplacement(v)
+      })
     })
-  }
 
   /** Chain height → template file height (live slots serve live payloads). */
   private def srcHeight(h: Long): Long =

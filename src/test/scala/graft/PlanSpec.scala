@@ -268,6 +268,17 @@ class PlanSpec extends AnyFunSuite {
     assert(pq === 1, s"expected a single documents scan:\n$p")
   }
 
+  test("prof1: the profile rides the histogram — no count-distinct Expand") {
+    // N exact count_distincts in one aggregate plan as an Expand that
+    // multiplies every row ×(N+1) pre-shuffle; the histogram formulation
+    // must keep the plan Expand-free (stack's generator is not Expand)
+    // with a single lineitem scan
+    val p = plan("prof1_numeric_profile")
+    assert(!p.contains("Expand"), s"count-distinct Expand crept back:\n$p")
+    val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(pq === 1, s"expected a single lineitem scan ($pq):\n$p")
+  }
+
   test("prof4/prof4b: quantiles come off the histogram — no full-value-list " +
       "percentile aggregate, one melt scan") {
     // the r4 perf-weak shape was `percentile`, whose merge task
