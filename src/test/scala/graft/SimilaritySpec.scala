@@ -92,6 +92,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean recall@5 $mean below floor")
   }
 
+  test("IVF-PQ (sim17) answers every query; residual PQ beats chance " +
+      "and its cosines are exact") {
+    val exact = topk("sim1_knn_bruteforce")
+    val ivfpq = topk("sim17_knn_ivfpq")
+    val recalls = exact.map { case (q, truth) =>
+      ivfpq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe=2-of-8 coarse pruning STACKED on 4×16 residual codebooks and
+    // a 15-candidate re-rank: doubly lossy by design (measured ≈0.26 at
+    // sf0.001 — below the unpruned sim5/sim7 floors because cross-cell
+    // true neighbors are gone before PQ ever scores), so the gate is a
+    // breakage floor at 20× the 1% chance rate, not a quality target
+    assert(exact.keySet === ivfpq.keySet, "every query must answer")
+    assert(mean >= 0.2, s"mean recall@5 $mean below floor")
+    // the exact re-rank must emit true cosines for any pair that is also
+    // in the exact top-K
+    val brute = graft.queries.Similarity.knnBrute.run(spark, dir)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val overlapping = graft.queries.Similarity.knnIvfPq.run(spark, dir)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .flatMap(r => brute.get((r.getLong(0), r.getLong(1)))
+        .map(exactCos => (exactCos, r.getDouble(2))))
+    assert(overlapping.nonEmpty)
+    overlapping.foreach { case (e, a) => assert(e === a) }
+  }
+
   test("PQ emitted cosines are exact (re-rank reads true vectors)") {
     val brute = graft.queries.Similarity.knnBrute.run(spark, dir)
       .select("query_id", "neighbor_id", "cosine").collect()
