@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Sketches,
     graft.queries.EntityResolution,
     graft.queries.TimeSeries,
-    graft.queries.Experiments)
+    graft.queries.Experiments,
+    graft.queries.StreamGate)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -45,4 +45,32 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** The same table as a STREAMING relation (file source over the parquet
+    * path) — what the st-family gate queries read so real `readStream`
+    * machinery, not a batch scan, sits under the DuckDB oracle. The schema
+    * comes from a batch probe (file streaming sources require one
+    * up-front), and `events.ts` gets the identical encoding-branch
+    * treatment as [[load]] so batch and stream see one engine-facing type.
+    */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    // file streaming sources demand a DIRECTORY basePath; a glob suffix
+    // makes Spark derive basePath = dir while still matching only this
+    // table's file
+    val df = spark.readStream.schema(schema).parquet(s"$dir/$name.parquet*")
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => df
+        case other => sys.error(
+          s"events.ts read as unexpected type $other — testdata parquet encoding " +
+            "changed again; add a branch in Tables.loadStream")
+      }
+    } else df
+  }
 }

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{GQuery, QueryPack, Tables}
+
+/** Streaming execution ON the DuckDB oracle gate.
+  *
+  * Every streaming operator in `graft.streaming` is spec-gated against its
+  * batch twin; this pack additionally runs the REAL Structured Streaming
+  * machinery — file streaming source over the same parquet, micro-batch
+  * planner, stateful aggregation, AvailableNow drain — inside a driver
+  * query, then hands the drained state to the shared readout. Because the
+  * streamed state provably equals the batch aggregation (CRDT-additive
+  * counts, associative max_by), the ORACLE IS THE BATCH TWIN'S SQL: the
+  * driver's DuckDB hash-compare now covers the streaming path end to end,
+  * not only via ScalaTest.
+  *
+  * Scale notes: the file source partitions file splits like the batch
+  * reader; state is (type, day)-bounded for st1 and entity-bounded for
+  * st2 — the same bounded-state arguments as StreamingVolume/StreamingCdc
+  * (SCALE.md "Streaming state discipline").
+  */
+object StreamGate extends QueryPack {
+
+  /** Run `df` (a complete-mode streaming aggregation) to exhaustion via
+    * AvailableNow and return the drained in-memory state table.
+    */
+  private def drain(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      if (!q.awaitTermination(300000))
+        sys.error(s"streaming drain $name did not finish in 300s")
+    } finally q.stop()
+    s.table(name)
+  }
+
+  /** st1: dq7's volume-anomaly audit with the counts computed by the LIVE
+    * path — `StreamingVolume.dailyCounts` over a real parquet readStream —
+    * then the shared `Quality.volumeReadout`. Oracle: dq7's own SQL
+    * (batch ≡ stream because the counts are CRDT-additive).
+    */
+  val volumeReadout = GQuery(
+    "st1_stream_volume_readout",
+    (s, dir) => {
+      val ev = Tables.loadStream(s, dir, "events")
+        .select(col("event_type"), col("ts"))
+      Quality.volumeReadout(s,
+        drain(s, graft.streaming.StreamingVolume.dailyCounts(ev), "st1_counts"))
+    },
+    Quality.volumeAnomaly.oracle)
+
+  /** st2: cdc1's latest-wins snapshot maintained by the LIVE path —
+    * `StreamingCdc.snapshotState` over the streamed changelog; tombstones
+    * stay in state (they must beat late older upserts) and the visible
+    * filter applies to the DRAINED state, exactly as a serving layer
+    * would. Oracle: the cdc1 ranked-changelog SQL restricted to the
+    * streaming snapshot's columns.
+    */
+  val cdcSnapshot = GQuery(
+    "st2_stream_cdc_snapshot",
+    (s, dir) => {
+      val log = Tables.loadStream(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("value"))
+      drain(s, graft.streaming.StreamingCdc.snapshotState(log), "st2_state")
+        .filter(col("op") === "upsert").drop("op")
+    },
+    Some("""
+      WITH log AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               value
+        FROM events),
+      ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM log)
+      SELECT user_id, epoch_ms(ts) AS as_of_ms, value AS current_value,
+             n_changes
+      FROM ranked WHERE rk = 1 AND op = 'upsert'"""))
+
+  override def queries: Seq[GQuery] = Seq(volumeReadout, cdcSnapshot)
+}
