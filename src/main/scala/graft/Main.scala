@@ -15,7 +15,15 @@ import org.apache.spark.sql.streaming.Trigger
   *     [txEvents=a,b] [blockEvents=c] [nth=10] [ordered=true]
   *     [maxHeightsPerTrigger=10000] [trigger=availableNow|<interval>]
   *     [stateStore=rocksdb] [sink=blockfiles] [ws=ws://node/websocket]
+  *     [watchdog=<seconds>]
   * }}}
+  *
+  * `watchdog=N` (requires `stateStore=rocksdb`) attaches a SECOND
+  * streaming query: the [[graft.streaming.FeedWatchdog]]
+  * missed-heartbeat alarm over block times per chain — a console alert
+  * the moment event time proves the chain silent longer than N seconds
+  * (the live ops complement of the 6 s/block envelope the reference's
+  * buffers assume).
   *
   * Spark mappings: history+live merge, gap-fill, restart resume and dedup
   * all come from the blockfeed offset log (+`checkpoint=`); `skipEmpty`
@@ -108,8 +116,27 @@ object Main {
         .foreachBatch(BlockSinks.multiSink(sinks))
         .trigger(trigger)
     opts.get("checkpoint").foreach(c => writer = writer.option("checkpointLocation", c))
+    val watchdogQ = opts.get("watchdog").map { secs =>
+      if (!opts.get("stateStore").contains("rocksdb"))
+        sys.error("watchdog= requires stateStore=rocksdb " +
+          "(transformWithState runs on the RocksDB state store)")
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      EventTables.blocks(raw)
+        .select(col("chain_id"), col("time"))
+        .withWatermark("time", "0 seconds")
+        .as[(String, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.FeedWatchdog(secs.toLong * 1000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[graft.streaming.FeedStall])
+        .toDF().writeStream.format("console").trigger(trigger).start()
+    }
     val q = writer.start()
     q.awaitTermination()
+    watchdogQ.foreach(_.stop())
     // no spark.stop(): the session is process-scoped (getOrCreate) and may
     // be shared — JVM exit tears it down in real CLI use
   }

@@ -30,6 +30,30 @@ class MainSpec extends AnyFunSuite {
       java.nio.file.Files.getLastModifiedTime(f) == stamps(f.toString)))
   }
 
+  test("CLI watchdog: the stalled-chain alarm runs alongside the stream " +
+      "without disturbing delivery") {
+    val out = java.nio.file.Files.createTempDirectory("cli_wd_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cli_wd_ckpt").toString
+    // watchdog= spawns the transformWithState alarm as a second query on
+    // the same source (requires rocksdb); the primary file delivery must
+    // be byte-for-byte unaffected
+    Main.main(Array(
+      "from=2270370", s"out=$out", s"checkpoint=$ckpt",
+      "maxHeightsPerTrigger=40", "trigger=availableNow",
+      "stateStore=rocksdb", "watchdog=30"))
+    import scala.jdk.CollectionConverters._
+    val files =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .filter(_.toString.endsWith(".json")).size
+    assert(files === 106)
+    // mis-configuration is an explicit error, not a silent no-alarm run
+    val e = intercept[RuntimeException] {
+      Main.main(Array("from=2270370", s"out=$out", s"checkpoint=$ckpt",
+        "trigger=availableNow", "watchdog=30"))
+    }
+    assert(e.getMessage.contains("rocksdb"))
+  }
+
   test("CLI sink=blockfiles: the DSv2 writer path lands the same 106 files") {
     val out = java.nio.file.Files.createTempDirectory("cli_dsv2").toString
     val ckpt = java.nio.file.Files.createTempDirectory("cli_dsv2_ckpt").toString
