@@ -333,6 +333,10 @@ object Profiling extends QueryPack {
     * mergeable; the only per-column sequential work is the histogram
     * window over DISTINCT values. The sketch-based drop-in with the same
     * output shape is prof4b (`approx_percentile`, rank-band-gated).
+    * Null semantics match `percentile` (nulls ignored) with one edge: an
+    * ALL-null column yields no output rows here where SQL engines emit a
+    * NULL-quantile row — irrelevant for the gated tables (no nulls) and
+    * for the profile consumer (prof1 reports the null census).
     */
   val quantileProfile = GQuery(
     "prof4_exact_quantiles",

@@ -27,6 +27,12 @@ object StreamGate extends QueryPack {
 
   /** Run `df` (a complete-mode streaming aggregation) to exhaustion via
     * AvailableNow and return the drained in-memory state table.
+    *
+    * The memory sink driver-materializes the state — correct for a GATE
+    * harness over type/day- and entity-bounded state at oracle scale; a
+    * production deployment of the same aggregations writes Update-mode
+    * deltas to a real sink (Kafka/files) and never collects (see
+    * `Main.scala` and the streaming specs' foreachBatch paths).
     */
   private def drain(s: SparkSession, df: DataFrame, name: String): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
