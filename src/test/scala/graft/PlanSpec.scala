@@ -268,6 +268,28 @@ class PlanSpec extends AnyFunSuite {
     assert(pq === 1, s"expected a single documents scan:\n$p")
   }
 
+  test("tx24: intra-doc repetition is one scan, zero joins") {
+    // per-document math with a corpus-shaped plan: shingles explode
+    // map-side and everything downstream is keyed aggregation — nothing
+    // crosses documents, so any Join node means a regression
+    val p = plan("tx24_intra_doc_repetition")
+    assert(!p.contains("Join"), s"cross-document join crept in:\n$p")
+    val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(pq === 1, s"expected a single documents scan ($pq):\n$p")
+  }
+
+  test("sim17: model state broadcasts; no unbroadcast cross anywhere") {
+    // the KB-scale model relations (probes, LUT, centroids) must ride
+    // broadcasts — the only nested-loop allowed is the deliberate
+    // queries×centroids broadcast cross (≤ NQueries·ncells rows, the
+    // sim13 pattern); an unbroadcast CartesianProduct would mean a
+    // corpus-sized side leaked into a cross
+    val p = plan("sim17_knn_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model-state joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cross:\n$p")
+  }
+
   test("prof1: the profile rides the histogram — no count-distinct Expand") {
     // N exact count_distincts in one aggregate plan as an Expand that
     // multiplies every row ×(N+1) pre-shuffle; the histogram formulation

@@ -13,6 +13,76 @@ class ProfilingSpec extends AnyFunSuite {
   private lazy val spark = Session.builder("profiling-spec").getOrCreate()
   private val dir = "/root/testdata/sf0.001"
 
+  /** Adversarial fixture for the histogram-substrate rewrites: 8 columns
+    * shaped to hit every edge the TPC-H tables never exercise — negatives,
+    * a constant column, two-valued, extreme magnitudes next to tiny ones,
+    * heavy duplication, and an odd row count (interpolation lands between
+    * ranks). Written as a parquet `lineitem` so the REAL prof1/prof4
+    * query bodies run unmodified.
+    */
+  private lazy val adversarialDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("prof_prop").toString
+    val rnd = new scala.util.Random(20260814L)
+    val n = 1001 // odd: quantile positions interpolate
+    val rows = (0 until n).map { i =>
+      (i.toLong - 500L,                        // l_orderkey: negatives
+       42L,                                    // l_partkey: constant
+       if (i % 3 == 0) 7L else -7L,            // l_suppkey: two-valued
+       rnd.nextInt(5).toLong,                  // l_linenumber: heavy dups
+       BigDecimal(rnd.nextInt(2000) - 1000)    // l_quantity: decimal-ish
+         .setScale(2, BigDecimal.RoundingMode.HALF_UP),
+       BigDecimal(math.pow(10, rnd.nextInt(13)).toLong)
+         .setScale(2, BigDecimal.RoundingMode.HALF_UP),                         // l_extendedprice: 1..1e12
+       BigDecimal(rnd.nextGaussian()).setScale(2, BigDecimal.RoundingMode.HALF_UP), // l_discount
+       BigDecimal(i % 2).setScale(2, BigDecimal.RoundingMode.HALF_UP))          // l_tax: two-valued
+    }
+    import spark.implicits._
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    tmp
+  }
+
+  test("prof4 histogram quantiles ≡ Spark percentile, bit-for-bit, " +
+      "on adversarial data") {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = queries.Profiling.quantileProfile.run(spark, adversarialDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val psSql = "array(0.01, 0.25, 0.5, 0.75, 0.99)"
+    val li = Tables.load(spark, adversarialDir, "lineitem")
+    for (c <- cols) {
+      val exp = li.select(
+        expr(s"percentile(CAST($c AS DOUBLE), $psSql)")).head().getSeq[Double](0)
+      Seq(0.01, 0.25, 0.5, 0.75, 0.99).zip(exp).foreach { case (p, q) =>
+        assert(got((c, p)) === q,
+          s"$c p=$p: histogram ${got((c, p))} != percentile $q")
+      }
+    }
+    assert(got.size === cols.size * 5)
+  }
+
+  test("prof1 histogram profile ≡ direct count_distinct aggregate " +
+      "on adversarial data") {
+    val got = queries.Profiling.numericProfile.run(spark, adversarialDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val li = Tables.load(spark, adversarialDir, "lineitem")
+    for (c <- got.keys) {
+      val e = li.agg(
+        count(lit(1)), sum(when(col(c).isNull, 1L).otherwise(0L)),
+        count_distinct(col(c)), min(col(c)).cast("double"),
+        max(col(c)).cast("double")).head()
+      assert(got(c) === ((e.getLong(0), Option(e.get(1)).map(_.toString.toLong)
+        .getOrElse(0L), e.getLong(2), e.getDouble(3), e.getDouble(4))),
+        s"$c profile mismatch")
+    }
+  }
+
   test("dd12: bloom-pruned result equals the plain hash semi-join (exact)") {
     val out = queries.Dedup.bloomIncremental.run(spark, dir)
     val d = Tables.load(spark, dir, "documents")
