@@ -69,7 +69,7 @@ object Sketches extends QueryPack {
     .drop("ma", "mb", "mc", "md", "me")
 
   /** The oracle-side mix32: CTE steps from a relation exposing `$key`. */
-  private def sqlMix32(from: String, keep: String, key: String): String = s"""
+  private[queries] def sqlMix32(from: String, keep: String, key: String): String = s"""
       x1 AS (SELECT $keep, ($key * 2654435761) % 4294967296 AS ma FROM $from),
       x2 AS (SELECT $keep, xor(ma, ma // 65536) AS mb FROM x1),
       x3 AS (SELECT $keep, (mb * 1540483477) % 4294967296 AS mc FROM x2),
@@ -248,7 +248,7 @@ object Sketches extends QueryPack {
     (23 to 0 by -1).foldLeft(when(lit(false), lit(0))) { (acc, j) =>
       acc.when(rest >= (1L << j), lit(24 - j))
     }.otherwise(lit(25))
-  private def sqlRho24(rest: String): String =
+  private[queries] def sqlRho24(rest: String): String =
     (23 to 0 by -1).map(j => s"WHEN $rest >= ${1L << j} THEN ${24 - j}")
       .mkString("CASE ", " ", " ELSE 25 END")
 

@@ -34,9 +34,10 @@ object StreamGate extends QueryPack {
     * deltas to a real sink (Kafka/files) and never collects (see
     * `Main.scala` and the streaming specs' foreachBatch paths).
     */
-  private def drain(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+  private def drain(s: SparkSession, df: DataFrame, name: String,
+                    mode: String = "complete"): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     try {
       if (!q.awaitTermination(300000))
         sys.error(s"streaming drain $name did not finish in 300s")
@@ -94,5 +95,57 @@ object StreamGate extends QueryPack {
              n_changes
       FROM ranked WHERE rk = 1 AND op = 'upsert'"""))
 
-  override def queries: Seq[GQuery] = Seq(volumeReadout, cdcSnapshot)
+  /** st3: sk3's HyperLogLog registers maintained by the LIVE path —
+    * `StreamingHll`'s flatMapGroupsWithState (256 bytes of state per
+    * group) over the streamed events, latest snapshot per group selected
+    * from the append stream. Oracle: sk3's own register/estimate SQL
+    * (the shared mix32/ρ fragments, reduced to the sketch columns) —
+    * valid because register max is commutative AND idempotent, so the
+    * drained registers are a pure function of the row SET.
+    */
+  val hllSnapshots = GQuery(
+    "st3_stream_hll_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val occs = Tables.loadStream(s, dir, "events")
+        .select(col("event_type").as("group"), col("user_id").as("id"))
+        .as[graft.streaming.StreamingHll.HllOcc]
+      val snaps = drain(s, graft.streaming.StreamingHll(occs).toDF(),
+        "st3_snaps", mode = "append")
+      snaps
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("group")).orderBy(col("tick").desc)))
+        .filter(col("rk") === 1)
+        .select(col("group").as("event_type"), col("intSum").as("int_sum"),
+          col("nZeroRegisters").as("n_zero_registers"),
+          col("estHll").as("est_hll"))
+    },
+    Some(s"""
+      WITH ${Sketches.sqlMix32("events", "event_type, user_id", "user_id")},
+      h AS (
+        SELECT event_type, pri % 256 AS reg, pri // 256 AS rest
+        FROM pr),
+      regs AS (
+        SELECT event_type, reg, MAX(${Sketches.sqlRho24("rest")}) AS rho
+        FROM h GROUP BY 1, 2),
+      spine AS (
+        SELECT DISTINCT event_type, r.range AS reg
+        FROM events CROSS JOIN range(256) r),
+      filled AS (
+        SELECT s.event_type, s.reg, COALESCE(regs.rho, 0) AS rho
+        FROM spine s LEFT JOIN regs
+          ON s.event_type = regs.event_type AND s.reg = regs.reg),
+      agg AS (
+        SELECT event_type,
+               CAST(SUM(1::BIGINT << (25 - rho)) AS BIGINT) AS int_sum,
+               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero_registers
+        FROM filled GROUP BY 1)
+      SELECT event_type, int_sum, n_zero_registers,
+             1579496831811846144 // int_sum // 1000000 AS est_hll
+      FROM agg"""))
+
+  override def queries: Seq[GQuery] =
+    Seq(volumeReadout, cdcSnapshot, hllSnapshots)
 }
