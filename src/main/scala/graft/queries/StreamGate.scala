@@ -146,6 +146,36 @@ object StreamGate extends QueryPack {
              1579496831811846144 // int_sum // 1000000 AS est_hll
       FROM agg"""))
 
+  /** st4: sk1's KMV bottom-k quantile sample maintained by the LIVE path —
+    * `StreamingKmv` (≤ 512 (priority, id, value) rows of state per group)
+    * over the streamed events; latest snapshot per (group, percentile)
+    * from the append stream. Oracle: sk1's own SQL verbatim — valid
+    * because bottom-k by the total (priority, id) order is a pure
+    * function of the row SET (selection, not accumulation), the fourth
+    * state algebra on the gate after additive counts, latest-wins and
+    * register max.
+    */
+  val kmvSnapshots = GQuery(
+    "st4_stream_kmv_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      val occs = Tables.loadStream(s, dir, "events")
+        .select(col("event_type").as("group"), col("event_id").as("id"),
+          col("value").as("value"))
+        .as[graft.streaming.StreamingKmv.KmvOcc]
+      val snaps = drain(s, graft.streaming.StreamingKmv(occs).toDF(),
+        "st4_snaps", mode = "append")
+      snaps
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("group"), col("pPct"))
+            .orderBy(col("tick").desc)))
+        .filter(col("rk") === 1)
+        .select(col("group").as("event_type"), col("pPct").as("p_pct"),
+          col("nSample").as("n_sample"), col("estValue").as("est_value"))
+    },
+    Sketches.kmvQuantiles.oracle)
+
   override def queries: Seq[GQuery] =
-    Seq(volumeReadout, cdcSnapshot, hllSnapshots)
+    Seq(volumeReadout, cdcSnapshot, hllSnapshots, kmvSnapshots)
 }
