@@ -176,6 +176,62 @@ object StreamGate extends QueryPack {
     },
     Sketches.kmvQuantiles.oracle)
 
+  /** st5: the transformWithState TIMER path on the gate — the
+    * [[graft.streaming.FeedWatchdog]] missed-heartbeat alarm drained over
+    * the streamed events. Under an AvailableNow drain of a single-file
+    * table the alert set is a pure function of the data: one batch
+    * absorbs every event (watermark still unset), each source arms one
+    * event-time timer at `last_seen + silence`, and the closing no-data
+    * batch fires exactly the timers the final watermark (= corpus max ts,
+    * delay 0) has passed. So the oracle is plain SQL over per-source max
+    * timestamps — which makes this the end-to-end check that timer
+    * registration, watermark propagation and `handleExpiredTimer` agree
+    * with the declarative semantics. Timestamps compare at ms precision
+    * (timer resolution) on both sides.
+    */
+  val watchdogAlerts = GQuery(
+    "st5_stream_watchdog_alerts",
+    (s, dir) => {
+      val Silence = 1200 * 1000L // 20 min: non-vacuous at BOTH gate SFs
+      // (sf0.001 tail gaps 3.9ks-25.6ks; sf0.01 gaps 1.1ks-2.0ks, three
+      // sources past 1200 s; nearest boundary 63 s away on either side)
+      import s.implicits._
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = Tables.loadStream(s, dir, "events")
+          .select(col("event_type"), col("ts"))
+          .withWatermark("ts", "0 seconds")
+          .as[(String, java.sql.Timestamp)]
+        val alerts = ev.groupByKey(_._1)
+          .transformWithState(new graft.streaming.FeedWatchdog(Silence),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            org.apache.spark.sql.Encoders.product[graft.streaming.FeedStall])
+        drain(s, alerts.toDF(), "st5_alerts", mode = "append")
+          .select(col("source"),
+            expr("unix_millis(last_seen)").as("last_seen_ms"),
+            col("silence_ms"))
+      } finally prev match {
+        case Some(p) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+    Some("""
+      WITH last AS (
+        SELECT event_type AS source, epoch_ms(MAX(ts)) AS last_seen_ms
+        FROM events GROUP BY 1),
+      wm AS (SELECT epoch_ms(MAX(ts)) AS m FROM events)
+      SELECT source, last_seen_ms,
+             CAST(1200000 AS BIGINT) AS silence_ms
+      FROM last, wm
+      WHERE last_seen_ms + 1200000 < m"""))
+
   override def queries: Seq[GQuery] =
-    Seq(volumeReadout, cdcSnapshot, hllSnapshots, kmvSnapshots)
+    Seq(volumeReadout, cdcSnapshot, hllSnapshots, kmvSnapshots,
+      watchdogAlerts)
 }
