@@ -116,10 +116,13 @@ object Main {
         .foreachBatch(BlockSinks.multiSink(sinks))
         .trigger(trigger)
     opts.get("checkpoint").foreach(c => writer = writer.option("checkpointLocation", c))
+    if (opts.contains("watchdog") && !opts.get("stateStore").contains("rocksdb"))
+      sys.error("watchdog= requires stateStore=rocksdb " +
+        "(transformWithState runs on the RocksDB state store)")
+    // primary starts FIRST so a failed start never leaks a running side
+    // query; the watchdog attaches after
+    val q = writer.start()
     val watchdogQ = opts.get("watchdog").map { secs =>
-      if (!opts.get("stateStore").contains("rocksdb"))
-        sys.error("watchdog= requires stateStore=rocksdb " +
-          "(transformWithState runs on the RocksDB state store)")
       import spark.implicits._
       import org.apache.spark.sql.functions.col
       EventTables.blocks(raw)
@@ -134,9 +137,16 @@ object Main {
           org.apache.spark.sql.Encoders.product[graft.streaming.FeedStall])
         .toDF().writeStream.format("console").trigger(trigger).start()
     }
-    val q = writer.start()
     q.awaitTermination()
-    watchdogQ.foreach(_.stop())
+    // bounded (AvailableNow) runs must let the watchdog finish its own
+    // drain — stopping it the instant the primary lands would race the
+    // timer-firing no-data batch and silently drop the stall alerts the
+    // feature exists to print; live (interval) runs stop it with the job
+    watchdogQ.foreach { w =>
+      if (opts.get("trigger").forall(_ == "availableNow"))
+        w.awaitTermination(300000)
+      w.stop()
+    }
     // no spark.stop(): the session is process-scoped (getOrCreate) and may
     // be shared — JVM exit tears it down in real CLI use
   }

@@ -56,10 +56,12 @@ object Tables {
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val schema = spark.read.parquet(path).schema
-    // file streaming sources demand a DIRECTORY basePath; a glob suffix
-    // makes Spark derive basePath = dir while still matching only this
-    // table's file
-    val df = spark.readStream.schema(schema).parquet(s"$dir/$name.parquet*")
+    // file streaming sources demand a DIRECTORY basePath; the
+    // single-alternative brace glob makes Spark derive basePath = dir
+    // while matching EXACTLY this table's file — a bare `*` suffix would
+    // silently ingest any sibling whose name merely starts with it
+    // (events.parquet_bak, …) and double every count downstream
+    val df = spark.readStream.schema(schema).parquet(s"$dir/{$name.parquet}")
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

@@ -37,9 +37,13 @@ object Profiling extends QueryPack {
     * every profile figure is then an aggregate over the per-column
     * distinct-value relation: n_distinct = COUNT of non-null histogram
     * rows, nulls/rows from the counts, min/max over values. Values melt
-    * through DECIMAL(38,6) so distinctness stays EXACT for every source
-    * type (a double melt would conflate BIGINTs past 2^53); min/max cast
-    * to double only on output. All stages mergeable. The sketch swap-in
+    * through DECIMAL(38,6), exact for every column whose values fit
+    * |v| < 10^32 at 10^-6 resolution — all integer/decimal/price-scale
+    * columns, and far beyond 2^53 where a double melt would conflate
+    * BIGINTs. Outside that envelope (astronomical doubles, sub-micro
+    * fractions) the non-ANSI cast nulls/conflates: profile such columns
+    * with a per-type melt, not this one. Min/max cast to double only on
+    * output. All stages mergeable. The sketch swap-in
     * remains sk6_hll_column_profile (8×256 HLL registers, one scan);
     * SqlSurfaceSpec pins Spark's built-in approx agg tolerance.
     */
@@ -379,8 +383,10 @@ object Profiling extends QueryPack {
     * grid, gated by the sketch's published rank guarantee: with accuracy
     * A the returned value's rank error is ≤ n/A, so the estimate must lie
     * within the EXACT values at ranks [floor(pos)−⌈n/A⌉, ceil(pos)+⌈n/A⌉]
-    * (clamped to [0, n−1]), which the prof4 histogram machinery reads off
-    * the same one scan. Output: the exact quantile (value-checked against
+    * (clamped to [0, n−1]), read off prof4's histogram machinery on its
+    * own melt scan (two scans total — one for the exact band, one for the
+    * sketch aggregate; PlanSpec pins the count, and at 100 TB only the
+    * sketch arm runs). Output: the exact quantile (value-checked against
     * DuckDB `quantile_cont`) plus `in_band` (oracle asserts TRUE — a
     * sketch that ever violated its rank bound flips the row red).
     */

@@ -184,22 +184,30 @@ final class HttpBlockClient(
     conn.setReadTimeout(readTimeoutMillis)
     conn.setRequestMethod("GET")
     conn.setRequestProperty("Accept", "application/json")
-    // NOTE: no conn.disconnect() — fully consuming and closing the stream
-    // returns the socket to the JVM's keep-alive pool, so a partition's
-    // height loop rides ONE connection instead of a TCP+TLS setup per RPC
-    // (disconnect() force-closes the socket and was costing ~40 ms/call)
-    val code = conn.getResponseCode
-    if (code == 200) {
-      val in = conn.getInputStream
-      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      // JSON-RPC-level error in a 200 envelope = absent, not transient
-      if (HttpBlockClient.ErrorField.findFirstIn(body).isDefined) None
-      else Some(body)
-    } else {
-      Option(conn.getErrorStream).foreach(es => try es.readAllBytes() finally es.close())
-      if (code == 429 || code == 502 || code == 503 || code == 504)
-        throw new java.io.IOException(s"transient HTTP $code from $base$pathAndQuery")
-      None
+    // NOTE: no conn.disconnect() on SUCCESS paths — fully consuming and
+    // closing the stream returns the socket to the JVM's keep-alive pool,
+    // so a partition's height loop rides ONE connection instead of a TCP
+    // setup per RPC (disconnect() force-closes the socket and was costing
+    // ~40 ms/call). On EXCEPTION paths (connect/read timeout, reset) the
+    // connection never reaches a consumable state, so disconnect() is the
+    // only cleanup — without it a retried flaky endpoint leaks one pending
+    // socket per attempt until GC.
+    try {
+      val code = conn.getResponseCode
+      if (code == 200) {
+        val in = conn.getInputStream
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        // JSON-RPC-level error in a 200 envelope = absent, not transient
+        if (HttpBlockClient.ErrorField.findFirstIn(body).isDefined) None
+        else Some(body)
+      } else {
+        Option(conn.getErrorStream).foreach(es => try es.readAllBytes() finally es.close())
+        if (code == 429 || code == 502 || code == 503 || code == 504)
+          throw new java.io.IOException(s"transient HTTP $code from $base$pathAndQuery")
+        None
+      }
+    } catch {
+      case e: java.io.IOException => conn.disconnect(); throw e
     }
   }
 

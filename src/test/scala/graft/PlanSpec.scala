@@ -314,12 +314,15 @@ class PlanSpec extends AnyFunSuite {
     assert(pq === 1, s"expected a single lineitem scan ($pq):\n$p")
     assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
     // prof4b keeps the exact arm percentile-free too; its only percentile
-    // is the bounded approx_percentile sketch
+    // is the bounded approx_percentile sketch, and its cost is exactly
+    // two scans (histogram band + sketch aggregate) — no silent growth
     val pb = plan("prof4b_approx_quantiles")
     assert(pb.toLowerCase.contains("approx_percentile"),
       s"sketch arm missing:\n$pb")
     assert(!pb.replaceAll("(?i)approx_percentile", "").toLowerCase
       .contains("percentile"), s"exact percentile agg in prof4b:\n$pb")
+    val pbScans = "\\(\\d+\\) Scan parquet".r.findAllIn(pb).size
+    assert(pbScans === 2, s"expected two lineitem scans ($pbScans):\n$pb")
   }
 
   test("w18: the transition model broadcasts back; top-k never globally sorts") {

@@ -33,29 +33,21 @@ class StreamGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     tmp
   }
 
-  private def streamedCounts(maxFiles: Option[Int],
+  private def streamedCounts(srcDir: String,
+                             maxFiles: Option[Int],
                              ckpt: Option[String],
-                             name: String,
-                             stopAfterFirstBatch: Boolean = false): DataFrame = {
+                             name: String): DataFrame = {
     val schema = spark.read.parquet(s"$chunkedDir/events.parquet").schema
     var reader = spark.readStream.schema(schema)
     maxFiles.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
-    val ev = reader.parquet(s"$chunkedDir/events.parquet")
+    val ev = reader.parquet(s"$srcDir/events.parquet")
       .select(col("event_type"), col("ts"))
     var writer = graft.streaming.StreamingVolume.dailyCounts(ev)
       .writeStream.format("memory").queryName(name).outputMode("complete")
     ckpt.foreach(c => writer = writer.option("checkpointLocation", c))
     val q = writer.trigger(Trigger.AvailableNow()).start()
-    if (stopAfterFirstBatch) {
-      // wait for the first committed batch, then kill mid-stream
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (q.recentProgress.length < 1 && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      q.stop()
-    } else {
-      assert(q.awaitTermination(120000), "drain timed out")
-      q.stop()
-    }
+    assert(q.awaitTermination(120000), "drain timed out")
+    q.stop()
     spark.table(name)
   }
 
@@ -68,18 +60,36 @@ class StreamGateSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("multi-batch arrival accumulates to the batch aggregation") {
     val batch = asSet(graft.streaming.StreamingVolume.dailyCounts(
       Tables.load(spark, dir, "events")))
-    val streamed = asSet(streamedCounts(Some(1), None, "sg_chunked"))
+    val streamed = asSet(streamedCounts(chunkedDir, Some(1), None,
+      "sg_chunked"))
     assert(streamed === batch)
   }
 
-  test("kill mid-stream, resume from checkpoint: exactly-once totals") {
+  test("stop between arrivals, resume from checkpoint: exactly-once totals") {
+    // DETERMINISTIC two-phase arrival (a mid-flight kill races batch
+    // completion on a fast host): run 1 sees only the first chunk file and
+    // drains to natural termination; the remaining chunks then land and
+    // run 2 resumes from the same checkpoint. Exactly-once means the
+    // resumed complete-mode state equals the batch aggregation — chunk 1
+    // neither lost (offsets carry it) nor double-counted (state carries
+    // its contribution).
+    val stage = java.nio.file.Files.createTempDirectory("sg_stage").toString
+    val tbl = java.nio.file.Paths.get(s"$stage/events.parquet")
+    java.nio.file.Files.createDirectories(tbl)
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files
+      .list(java.nio.file.Paths.get(s"$chunkedDir/events.parquet"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    assert(parts.size === 3)
+    def land(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.copy(p, tbl.resolve(p.getFileName.toString))
     val ckpt = java.nio.file.Files.createTempDirectory("sg_ckpt").toString
-    // run 1: one file per trigger, killed after the first committed batch
-    streamedCounts(Some(1), Some(ckpt), "sg_resume_a",
-      stopAfterFirstBatch = true)
-    // run 2: resume from the same checkpoint to exhaustion
+    land(parts.head)
+    streamedCounts(stage, Some(1), Some(ckpt), "sg_resume_a")
+    parts.tail.foreach(land)
     val resumed = asSet(
-      streamedCounts(Some(1), Some(ckpt), "sg_resume_b"))
+      streamedCounts(stage, Some(1), Some(ckpt), "sg_resume_b"))
     val batch = asSet(graft.streaming.StreamingVolume.dailyCounts(
       Tables.load(spark, dir, "events")))
     assert(resumed === batch,
