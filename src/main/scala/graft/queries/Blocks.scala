@@ -283,8 +283,36 @@ object Blocks extends QueryPack {
       SELECT COALESCE(e.type, '') AS event_type, COUNT(*) AS n_events
       FROM ev GROUP BY 1"""))
 
+  /** st6: the MICRO-BATCH connector path on the oracle gate. s1b gates
+    * the batch scan; this drains the same ground truth through
+    * `readStream.format("blockfeed")` — height-offset planning, admission
+    * control (maxHeightsPerTrigger=40 splits the 100 heights into 3
+    * micro-batches), executor partition readers, AvailableNow
+    * termination — so the offset machinery itself must reproduce s1b's
+    * rows exactly. Oracle: s1b's SQL verbatim (DuckDB over the same
+    * golden templates).
+    */
+  val st6StreamConnector = GQuery(
+    "st6_stream_connector_scan",
+    (s, _) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val df = s.readStream.format("blockfeed").option("path", T)
+        .option("from", From.toString).option("to", To.toString)
+        .option("maxHeightsPerTrigger", "40").load()
+        .select("height", "chain_id", "num_txs")
+      val q = df.writeStream.format("memory").queryName("st6_blocks")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(300000))
+          sys.error("st6 drain did not finish in 300s")
+      } finally q.stop()
+      s.table("st6_blocks")
+    },
+    s1Connector.oracle)
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
-      p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector)
+      p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector,
+      st6StreamConnector)
 }
