@@ -119,13 +119,14 @@ object Main {
     if (opts.contains("watchdog") && !opts.get("stateStore").contains("rocksdb"))
       sys.error("watchdog= requires stateStore=rocksdb " +
         "(transformWithState runs on the RocksDB state store)")
-    // primary starts FIRST so a failed start never leaks a running side
-    // query; the watchdog attaches after
+    // primary starts FIRST; if the watchdog then fails to start, the
+    // primary is stopped before rethrowing so neither order leaks a
+    // running query
     val q = writer.start()
     val watchdogQ = opts.get("watchdog").map { secs =>
       import spark.implicits._
       import org.apache.spark.sql.functions.col
-      EventTables.blocks(raw)
+      try EventTables.blocks(raw)
         .select(col("chain_id"), col("time"))
         .withWatermark("time", "0 seconds")
         .as[(String, java.sql.Timestamp)]
@@ -136,15 +137,22 @@ object Main {
           org.apache.spark.sql.streaming.OutputMode.Append(),
           org.apache.spark.sql.Encoders.product[graft.streaming.FeedStall])
         .toDF().writeStream.format("console").trigger(trigger).start()
+      catch { case e: Throwable => q.stop(); throw e }
     }
     q.awaitTermination()
     // bounded (AvailableNow) runs must let the watchdog finish its own
     // drain — stopping it the instant the primary lands would race the
     // timer-firing no-data batch and silently drop the stall alerts the
-    // feature exists to print; live (interval) runs stop it with the job
+    // feature exists to print; live (interval) runs stop it with the job.
+    // Boundedness comes from the PARSED trigger, not a re-derived string
+    // compare that could drift from the parse rule above.
     watchdogQ.foreach { w =>
-      if (opts.get("trigger").forall(_ == "availableNow"))
-        w.awaitTermination(300000)
+      if (trigger == Trigger.AvailableNow()) {
+        if (!w.awaitTermination(300000))
+          System.err.println(
+            "[main] WARNING: watchdog drain did not finish in 300s — " +
+              "stall alerts from the final no-data batch may be missing")
+      }
       w.stop()
     }
     // no spark.stop(): the session is process-scoped (getOrCreate) and may

@@ -294,20 +294,12 @@ object Blocks extends QueryPack {
     */
   val st6StreamConnector = GQuery(
     "st6_stream_connector_scan",
-    (s, _) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val df = s.readStream.format("blockfeed").option("path", T)
+    (s, _) => StreamGate.drain(s,
+      s.readStream.format("blockfeed").option("path", T)
         .option("from", From.toString).option("to", To.toString)
         .option("maxHeightsPerTrigger", "40").load()
-        .select("height", "chain_id", "num_txs")
-      val q = df.writeStream.format("memory").queryName("st6_blocks")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try {
-        if (!q.awaitTermination(300000))
-          sys.error("st6 drain did not finish in 300s")
-      } finally q.stop()
-      s.table("st6_blocks")
-    },
+        .select("height", "chain_id", "num_txs"),
+      "st6_blocks", mode = "append"),
     s1Connector.oracle)
 
   override def queries: Seq[GQuery] =

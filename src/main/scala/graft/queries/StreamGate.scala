@@ -34,7 +34,7 @@ object StreamGate extends QueryPack {
     * deltas to a real sink (Kafka/files) and never collects (see
     * `Main.scala` and the streaming specs' foreachBatch paths).
     */
-  private def drain(s: SparkSession, df: DataFrame, name: String,
+  private[queries] def drain(s: SparkSession, df: DataFrame, name: String,
                     mode: String = "complete"): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()

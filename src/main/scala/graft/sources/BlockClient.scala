@@ -192,23 +192,32 @@ final class HttpBlockClient(
     // connection never reaches a consumable state, so disconnect() is the
     // only cleanup — without it a retried flaky endpoint leaks one pending
     // socket per attempt until GC.
-    try {
-      val code = conn.getResponseCode
-      if (code == 200) {
-        val in = conn.getInputStream
-        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        // JSON-RPC-level error in a 200 envelope = absent, not transient
-        if (HttpBlockClient.ErrorField.findFirstIn(body).isDefined) None
-        else Some(body)
-      } else {
-        Option(conn.getErrorStream).foreach(es => try es.readAllBytes() finally es.close())
-        if (code == 429 || code == 502 || code == 503 || code == 504)
-          throw new java.io.IOException(s"transient HTTP $code from $base$pathAndQuery")
-        None
+    // the transient-HTTP throw happens OUTSIDE the catch below: its error
+    // stream was fully drained (socket back in the keep-alive pool), so
+    // disconnecting there would force a fresh TCP setup on every retry —
+    // the exact ~40 ms/call regression keep-alive exists to avoid
+    var transient: Option[Int] = None
+    val res =
+      try {
+        val code = conn.getResponseCode
+        if (code == 200) {
+          val in = conn.getInputStream
+          val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          // JSON-RPC-level error in a 200 envelope = absent, not transient
+          if (HttpBlockClient.ErrorField.findFirstIn(body).isDefined) None
+          else Some(body)
+        } else {
+          Option(conn.getErrorStream).foreach(es => try es.readAllBytes() finally es.close())
+          if (code == 429 || code == 502 || code == 503 || code == 504)
+            transient = Some(code)
+          None
+        }
+      } catch {
+        case e: java.io.IOException => conn.disconnect(); throw e
       }
-    } catch {
-      case e: java.io.IOException => conn.disconnect(); throw e
-    }
+    transient.foreach(code => throw new java.io.IOException(
+      s"transient HTTP $code from $base$pathAndQuery"))
+    res
   }
 
   private def field(json: String, name: String): Option[Long] =
