@@ -112,15 +112,20 @@ object Bench {
     // a fixed path, then end stdout with a compact line — headline totals,
     // streaming envelope, the 10 slowest queries, and a pointer to the full
     // map — that always fits the driver's window.
+    // Subset runs (query-name args, the documented iteration aid) must not
+    // clobber the committed full-sweep snapshot with a partial total that
+    // still claims metric=total -- they go to BENCH_local_subset.json.
+    val snapPath =
+      if (args.isEmpty) "BENCH_local.json" else "BENCH_local_subset.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(snapPath),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val top = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"queries":$top,""" +
-      s""""full_queries_file":"BENCH_local.json"$streaming}""")
+      s""""full_queries_file":"$snapPath"$streaming}""")
     spark.stop()
   }
 }

@@ -40,9 +40,11 @@ object Profiling extends QueryPack {
     * through DECIMAL(38,6), exact for every column whose values fit
     * |v| < 10^32 at 10^-6 resolution — all integer/decimal/price-scale
     * columns, and far beyond 2^53 where a double melt would conflate
-    * BIGINTs. Outside that envelope (astronomical doubles, sub-micro
-    * fractions) the non-ANSI cast nulls/conflates: profile such columns
-    * with a per-type melt, not this one. Min/max cast to double only on
+    * BIGINTs. Outside that envelope the cast is GUARDED: a raw-null flag
+    * melts beside the value, `n_nulls` counts raw nulls, and any null the
+    * cast introduces (overflow) raises via `assert_true` instead of
+    * drifting into the figures. Sub-1e-6 conflation remains undetectable
+    * here — profile such columns with a per-type melt. Min/max cast to double only on
     * output. All stages mergeable. The sketch swap-in
     * remains sk6_hll_column_profile (8×256 HLL registers, one scan);
     * SqlSurfaceSpec pins Spark's built-in approx agg tolerance.
@@ -51,20 +53,35 @@ object Profiling extends QueryPack {
     "prof1_numeric_profile",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
+      // Melt the raw-null flag next to the cast value: n_nulls counts RAW
+      // nulls (the oracle profiles the raw column), and any null the
+      // DECIMAL(38,6) cast *introduces* (|v| >= 10^32 overflow) is an
+      // envelope violation that must fail loudly, not drift into the
+      // profile. (Sub-1e-6 precision conflation remains the documented
+      // envelope; it cannot be detected without a per-type distinct.)
       val melted = li.select(expr(
         s"stack(${NumCols.size}, " +
-          NumCols.map(c => s"'$c', CAST($c AS DECIMAL(38,6))").mkString(", ") +
-          ") as (column_name, value)"))
+          NumCols.map(c =>
+            s"'$c', $c IS NULL, CAST($c AS DECIMAL(38,6))").mkString(", ") +
+          ") as (column_name, raw_null, value)"))
       melted.groupBy(col("column_name"), col("value"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("raw_null"), 1L).otherwise(0L)).as("raw_nulls"))
         .groupBy(col("column_name"))
         .agg(
           sum(col("cnt")).as("n_rows"),
-          sum(when(col("value").isNull, col("cnt")).otherwise(0L))
-            .as("n_nulls"),
+          sum(col("raw_nulls")).as("n_nulls"),
+          (sum(when(col("value").isNull, col("cnt")).otherwise(0L)) -
+            sum(col("raw_nulls"))).as("cast_nulls"),
           count(col("value")).as("n_distinct"),
           min(col("value")).cast("double").as("min_value"),
           max(col("value")).cast("double").as("max_value"))
+        // assert_true returns NULL when the guard holds and raises
+        // otherwise; as a filter predicate it can't be pruned away.
+        .filter(assert_true(col("cast_nulls") === 0L,
+          concat(lit("prof1 melt envelope violated: DECIMAL(38,6) cast " +
+            "nulled values in "), col("column_name"))).isNull)
         .select(col("column_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_value"), col("max_value"))
     },
@@ -333,10 +350,15 @@ object Profiling extends QueryPack {
     * value histogram: v_at(rank) is a conditional MIN over cumulative
     * counts, and the p·(n−1) interpolation (Spark's own
     * `lowerValue·(higher−pos) + higherValue·(pos−lower)` double formula,
-    * replicated bit-for-bit) runs on the ≤#cols×#ps result. Every stage is
-    * mergeable; the only per-column sequential work is the histogram
-    * window over DISTINCT values. The sketch-based drop-in with the same
-    * output shape is prof4b (`approx_percentile`, rank-band-gated).
+    * replicated bit-for-bit) runs on the ≤#cols×#ps result. CAVEAT FIRST:
+    * the histogram's cumulative window is per-column SINGLE-TASK in
+    * DISTINCT values — for continuous columns at 100 TB distinct ≈ rows,
+    * so one task sorts/scans a column's whole distinct domain (it spills
+    * rather than OOMs, but it is still a serial tail). The exact arm is
+    * therefore a VERIFICATION tool; at scale only the sketch arm runs:
+    * prof4b is the drop-in with the same output shape
+    * (`approx_percentile`, rank-band-gated). Every other stage here is
+    * mergeable.
     * Null semantics match `percentile` (nulls ignored) with one edge: an
     * ALL-null column yields no output rows here where SQL engines emit a
     * NULL-quantile row — irrelevant for the gated tables (no nulls) and

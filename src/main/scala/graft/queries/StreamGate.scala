@@ -183,11 +183,15 @@ object StreamGate extends QueryPack {
     * absorbs every event (watermark still unset), each source arms one
     * event-time timer at `last_seen + silence`, and the closing no-data
     * batch fires exactly the timers the final watermark (= corpus max ts,
-    * delay 0) has passed. So the oracle is plain SQL over per-source max
+    * delay 0) has reached. So the oracle is plain SQL over per-source max
     * timestamps — which makes this the end-to-end check that timer
     * registration, watermark propagation and `handleExpiredTimer` agree
     * with the declarative semantics. Timestamps compare at ms precision
-    * (timer resolution) on both sides.
+    * (timer resolution) on both sides. The boundary is INCLUSIVE: a timer
+    * at expiry == watermark fires (pinned empirically by
+    * FeedWatchdogSpec's st5-boundary test), hence the oracle's
+    * `last_seen_ms + silence <= m` — the gated data keeps ~63 s of
+    * clearance on either side, but the comparison no longer relies on it.
     */
   val watchdogAlerts = GQuery(
     "st5_stream_watchdog_alerts",
@@ -229,7 +233,7 @@ object StreamGate extends QueryPack {
       SELECT source, last_seen_ms,
              CAST(1200000 AS BIGINT) AS silence_ms
       FROM last, wm
-      WHERE last_seen_ms + 1200000 < m"""))
+      WHERE last_seen_ms + 1200000 <= m"""))
 
   override def queries: Seq[GQuery] =
     Seq(volumeReadout, cdcSnapshot, hllSnapshots, kmvSnapshots,

@@ -32,11 +32,9 @@ final class StubRpcServer(dir: String,
   def failNext(n: Int): Unit = failures.set(n)
   def requestCount: Int = requests.get()
 
-  // TCP_NODELAY on the JDK HttpServer: its two-small-writes response path
-  // (headers, then body) otherwise trips Nagle × delayed-ACK and bills a
-  // flat ~40 ms to EVERY RPC — measured 45 ms/call on loopback with this
-  // unset vs ~1 ms with it. Must be set before server creation.
-  System.setProperty("sun.net.httpserver.nodelay", "true")
+  // Touching the companion forces its initializer (the nodelay property,
+  // see object scaladoc) to have run before THIS create call.
+  require(StubRpcServer.nodelayConfigured, "nodelay init must precede create")
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
@@ -149,4 +147,25 @@ final class StubRpcServer(dir: String,
     * on exactly this).
     */
   def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
+}
+
+/** Companion holding JVM-global one-time config for the stub. */
+object StubRpcServer {
+  /** TCP_NODELAY on the JDK HttpServer: its two-small-writes response path
+    * (headers, then body) otherwise trips Nagle × delayed-ACK and bills a
+    * flat ~40 ms to EVERY RPC — measured 45 ms/call on loopback with this
+    * unset vs ~1 ms with it. `sun.net.httpserver.ServerConfig` reads the
+    * property ONCE in its static init (triggered by the JVM's first
+    * `HttpServer.create`), so the set must happen before any server exists.
+    * Holding it in the companion's initializer — and touching the companion
+    * from the class constructor before `create` — guarantees that ordering
+    * for every server this class makes. (If some other library created an
+    * HttpServer even earlier, ServerConfig is already frozen and nothing
+    * can re-open it; no such path exists in this codebase — this class owns
+    * the only HttpServer.create.)
+    */
+  private[graft] val nodelayConfigured: Boolean = {
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+    true
+  }
 }

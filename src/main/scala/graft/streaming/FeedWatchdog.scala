@@ -58,8 +58,17 @@ class FeedWatchdog(silenceMillis: Long)
 
   override def handleExpiredTimer(key: String, timers: TimerValues,
                                   expired: ExpiredTimerInfo): Iterator[FeedStall] = {
-    val last = lastSeen.get()
-    Iterator.single(
-      FeedStall(key, new Timestamp(last), expired.getExpiryTimeInMs - last))
+    // A timer for a key implies its state exists (handleInputRows always
+    // writes lastSeen before registering). Guard anyway: if a future
+    // clear()/TTL change breaks that invariant, `get()` on empty state would
+    // return a default and emit a garbage epoch-0 stall alert — emitting
+    // nothing keeps the break loud in tests (missing alert) instead of
+    // corrupting the output.
+    if (!lastSeen.exists()) Iterator.empty
+    else {
+      val last = lastSeen.get()
+      Iterator.single(
+        FeedStall(key, new Timestamp(last), expired.getExpiryTimeInMs - last))
+    }
   }
 }

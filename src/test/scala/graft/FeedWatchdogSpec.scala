@@ -75,4 +75,46 @@ class FeedWatchdogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(collected().size === 2)
     } finally q.stop()
   }
+
+  /** Pins the expiry-vs-watermark boundary the st5 oracle depends on.
+    * Empirically (this test): an event-time timer fires when the watermark
+    * reaches its expiry INCLUSIVELY — expiry == watermark fires, expiry one
+    * millisecond above does not. So the declarative twin of the alarm is
+    * `last_seen + silence <= max_ts` (the st5 oracle), NOT the strict `<`
+    * it originally used — the gated data's ~63 s boundary clearance had
+    * masked the difference. This test is what makes the boundary a pinned
+    * semantic rather than a data accident; if a Spark upgrade flips the
+    * comparison, this fails before the gate does.
+    */
+  test("timer at expiry == watermark fires; expiry above watermark does not (st5 boundary)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feed = MemoryStream[(String, Timestamp)]
+    val alerts = feed.toDS().toDF("source", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new FeedWatchdog(silenceMillis = 30000L),
+        TimeMode.EventTime(), OutputMode.Append(), Encoders.product[FeedStall])
+    val q = alerts.toDF().writeStream.format("memory")
+      .queryName("wd_boundary").outputMode("append").start()
+    try {
+      def collected(): Set[(String, Timestamp, Long)] =
+        spark.table("wd_boundary")
+          .select(col("source"), col("last_seen"), col("silence_ms"))
+          .as[(String, Timestamp, Long)].collect().toSet
+
+      // x's deadline = 10:00:30.000; z's = 10:00:30.001
+      feed.addData(("x", ts("10:00:00")), ("y", ts("10:00:00")),
+        ("z", Timestamp.valueOf("2024-01-01 10:00:00.001")))
+      q.processAllAvailable()
+      assert(collected() === Set.empty)
+
+      // y lands the watermark EXACTLY on x's deadline: inclusive compare →
+      // x fires; z, whose expiry sits 1 ms ABOVE the watermark, does not
+      feed.addData(("y", ts("10:00:30")))
+      q.processAllAvailable()
+      assert(collected() === Set(("x", ts("10:00:00"), 30000L)))
+    } finally q.stop()
+  }
 }
