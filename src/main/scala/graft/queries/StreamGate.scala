@@ -193,39 +193,42 @@ object StreamGate extends QueryPack {
     * `last_seen_ms + silence <= m` — the gated data keeps ~63 s of
     * clearance on either side, but the comparison no longer relies on it.
     */
-  val watchdogAlerts = GQuery(
-    "st5_stream_watchdog_alerts",
-    (s, dir) => {
-      val Silence = 1200 * 1000L // 20 min: non-vacuous at BOTH gate SFs
-      // (sf0.001 tail gaps 3.9ks-25.6ks; sf0.01 gaps 1.1ks-2.0ks, three
-      // sources past 1200 s; nearest boundary 63 s away on either side)
-      import s.implicits._
-      val prev = s.conf.getOption(
+  private val WatchdogSilence = 1200 * 1000L // 20 min: non-vacuous at BOTH
+  // gate SFs (sf0.001 tail gaps 3.9ks-25.6ks; sf0.01 gaps 1.1ks-2.0ks,
+  // three sources past 1200 s; nearest boundary 63 s away on either side)
+
+  /** The shared st5/st5b watchdog pipeline: per-source event-time timers on
+    * RocksDB state over an already-watermarked (source, ts) stream, drained
+    * and projected to the oracle's (source, last_seen_ms, silence_ms).
+    */
+  private def watchdogDrain(s: SparkSession,
+                            ev: org.apache.spark.sql.Dataset[
+                              (String, java.sql.Timestamp)],
+                            sink: String): DataFrame = {
+    val prev = s.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val stallEnc: org.apache.spark.sql.Encoder[graft.streaming.FeedStall] =
+        org.apache.spark.sql.Encoders.product[graft.streaming.FeedStall]
+      val alerts = ev.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+        .transformWithState(new graft.streaming.FeedWatchdog(WatchdogSilence),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      drain(s, alerts.toDF(), sink, mode = "append")
+        .select(col("source"),
+          expr("unix_millis(last_seen)").as("last_seen_ms"),
+          col("silence_ms"))
+    } finally prev match {
+      case Some(p) => s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset(
         "spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val ev = Tables.loadStream(s, dir, "events")
-          .select(col("event_type"), col("ts"))
-          .withWatermark("ts", "0 seconds")
-          .as[(String, java.sql.Timestamp)]
-        val alerts = ev.groupByKey(_._1)
-          .transformWithState(new graft.streaming.FeedWatchdog(Silence),
-            org.apache.spark.sql.streaming.TimeMode.EventTime(),
-            org.apache.spark.sql.streaming.OutputMode.Append(),
-            org.apache.spark.sql.Encoders.product[graft.streaming.FeedStall])
-        drain(s, alerts.toDF(), "st5_alerts", mode = "append")
-          .select(col("source"),
-            expr("unix_millis(last_seen)").as("last_seen_ms"),
-            col("silence_ms"))
-      } finally prev match {
-        case Some(p) => s.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
-      }
-    },
-    Some("""
+    }
+  }
+
+  private val watchdogOracle = Some("""
       WITH last AS (
         SELECT event_type AS source, epoch_ms(MAX(ts)) AS last_seen_ms
         FROM events GROUP BY 1),
@@ -233,9 +236,83 @@ object StreamGate extends QueryPack {
       SELECT source, last_seen_ms,
              CAST(1200000 AS BIGINT) AS silence_ms
       FROM last, wm
-      WHERE last_seen_ms + 1200000 <= m"""))
+      WHERE last_seen_ms + 1200000 <= m""")
+
+  val watchdogAlerts = GQuery(
+    "st5_stream_watchdog_alerts",
+    (s, dir) => {
+      import s.implicits._
+      watchdogDrain(s,
+        Tables.loadStream(s, dir, "events")
+          .select(col("event_type"), col("ts"))
+          .withWatermark("ts", "0 seconds")
+          .as[(String, java.sql.Timestamp)],
+        "st5_alerts")
+    },
+    watchdogOracle)
+
+  /** st5b: st5 across a BATCH BOUNDARY — the same watchdog drain with the
+    * events table re-staged as two ts-split parquet files read one per
+    * trigger, so the watermark genuinely advances BETWEEN micro-batches
+    * and timers fire mid-stream (batch 2's timer phase runs against file
+    * 1's watermark; the round-5 gate only ever fired timers in the single
+    * closing batch). The alert set provably equals st5's under THIS
+    * 2-way split: AvailableNow runs no no-data batch while files remain,
+    * and a batch's input re-arms a source's timer before that batch's
+    * timer phase — so a source with a later event cannot alert early
+    * (its mid-split deadline could only be checked in batch 2, whose
+    * input has already re-armed it), and a source without one alerts
+    * with its final last_seen whether the firing batch is 2 or the
+    * closing batch. (A 3-way split loses this guarantee: a deadline
+    * strictly between two boundaries fires before the re-arming file is
+    * read — that variant is the intermediate-stall DETECTOR, not st5's
+    * tail-stall semantics.) The ts-ranged split also keeps every file-2
+    * row on-time w.r.t. file 1's watermark, so the 0-second watermark
+    * drops nothing. Same oracle as st5; the boundary mechanics are
+    * additionally pinned on synthetic data in FeedWatchdogSpec.
+    */
+  val watchdogAlertsSplit = GQuery(
+    "st5b_stream_watchdog_split",
+    (s, dir) => {
+      import s.implicits._
+      val ev0 = Tables.load(s, dir, "events").select(col("event_type"), col("ts"))
+      val mm = ev0.agg(min(col("ts")), max(col("ts"))).head()
+      val midMs = (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
+      val mid = new java.sql.Timestamp(midMs)
+      val stage = java.nio.file.Files.createTempDirectory("st5b_stage")
+      try {
+        // Two single-file halves with forced modification-time order:
+        // FileStreamSource admits oldest-first, so file 0 IS batch 1.
+        import scala.jdk.CollectionConverters._
+        Seq((col("ts") <= lit(mid), "000"), (col("ts") > lit(mid), "001"))
+          .zipWithIndex.foreach { case ((pred, nm), i) =>
+            val tmp = stage.resolve(s"_w$nm")
+            ev0.filter(pred).coalesce(1).write.parquet(tmp.toString)
+            val part = java.nio.file.Files.list(tmp).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .next()
+            val dst = stage.resolve(s"$nm.parquet")
+            java.nio.file.Files.move(part, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis() - 60000L * (2 - i)))
+          }
+        val ev = s.readStream.schema(ev0.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(stage.toString)
+          .withWatermark("ts", "0 seconds")
+          .as[(String, java.sql.Timestamp)]
+        watchdogDrain(s, ev, "st5b_alerts")
+      } finally {
+        // the drained memory sink no longer needs the staged files
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    watchdogOracle)
 
   override def queries: Seq[GQuery] =
     Seq(volumeReadout, cdcSnapshot, hllSnapshots, kmvSnapshots,
-      watchdogAlerts)
+      watchdogAlerts, watchdogAlertsSplit)
 }

@@ -95,4 +95,98 @@ class StreamGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resumed === batch,
       "restart from checkpoint must neither lose nor double-count chunks")
   }
+
+  /** The st5b mechanics pinned on synthetic data THROUGH the real file
+    * source: with a ts-split two-file corpus read one file per trigger, a
+    * tail-stalled source's timer fires against file 1's watermark — BEFORE
+    * file 2 even exists on disk — and the final alert set still equals the
+    * single-batch drain's (a source with a later event re-arms during file
+    * 2's input phase and never alerts early). Data: silence 1000 s;
+    * B stalls at t=10000 s forever (deadline 11000 s ≤ W1 = 11800 s →
+    * fires mid-stream); A (11500 s → 15000 s) and C (11800 s → 14500 s)
+    * keep their mid-split deadlines above W1 and their final gaps under
+    * silence → B alone, in every batching.
+    */
+  test("watchdog timers fire mid-stream at a file batch boundary (st5b)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val stallEnc: org.apache.spark.sql.Encoder[graft.streaming.FeedStall] =
+      org.apache.spark.sql.Encoders.product[graft.streaming.FeedStall]
+    // NB: keep every event strictly above epoch 0 — the initial watermark
+    // IS 0, and a row at exactly the watermark is dropped as late by the
+    // stateful operator (no timer ever arms for it).
+    val df = Seq(("A", 11500L), ("A", 15000L), ("B", 10000L),
+      ("C", 11800L), ("C", 14500L)).toDF("source", "secs")
+      .select(col("source"), timestamp_seconds(col("secs")).as("ts"))
+    val stage = java.nio.file.Files.createTempDirectory("sg_wd_stage")
+    def land(pred: org.apache.spark.sql.Column, nm: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = stage.resolve(s"_w$nm")
+      df.filter(pred).coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      java.nio.file.Files.move(part, stage.resolve(s"$nm.parquet"))
+    }
+    val split = timestamp_seconds(lit(12000L))
+    land(col("ts") <= split, "000")
+
+    def watchdog(src: String) =
+      s.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .as[(String, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.FeedWatchdog(1000 * 1000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = watchdog(stage.toString).toDF().writeStream.format("memory")
+      .queryName("sg_wd").outputMode("append").start()
+    try {
+      def collected(): Set[(String, Long, Long)] =
+        s.table("sg_wd")
+          .select(col("source"), expr("unix_millis(last_seen)"),
+            col("silence_ms"))
+          .as[(String, Long, Long)].collect().toSet
+      q.processAllAvailable()
+      // The timer-firing no-data batch commits asynchronously after the
+      // data batch advances the watermark — processAllAvailable does not
+      // wait for it, so poll. File 001 does not exist for this whole wait:
+      // when the alert lands it has provably fired mid-stream.
+      val deadline = System.currentTimeMillis() + 60000
+      while (collected().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(collected() === Set(("B", 10000000L, 1000000L)),
+        "tail stall must fire against file 1's watermark")
+      land(col("ts") > split, "001")
+      q.processAllAvailable()
+      assert(collected() === Set(("B", 10000000L, 1000000L)),
+        "file 2's re-arms must not add or change alerts")
+    } finally q.stop()
+
+    // equality with the single-batch drain over the same corpus
+    val single = java.nio.file.Files.createTempDirectory("sg_wd_single")
+    land2(single, df)
+    val q2 = watchdog(single.toString).toDF().writeStream.format("memory")
+      .queryName("sg_wd_single").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000), "single-batch drain timed out")
+    q2.stop()
+    val singleSet = s.table("sg_wd_single")
+      .select(col("source"), expr("unix_millis(last_seen)"), col("silence_ms"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(singleSet === Set(("B", 10000000L, 1000000L)),
+      "batch-boundary and single-batch alert sets must agree")
+  }
+
+  private def land2(dirP: java.nio.file.Path, df: DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = dirP.resolve("_w")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    java.nio.file.Files.move(part, dirP.resolve("000.parquet"))
+  }
 }
