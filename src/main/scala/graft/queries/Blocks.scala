@@ -465,9 +465,47 @@ object Blocks extends QueryPack {
       "st6_blocks", mode = "append"),
     s1Connector.oracle)
 
+  /** st7: st6 under CHAOS — the same micro-batch drain but over the REAL
+    * HTTP transport (StubRpcServer on loopback) with transient 503s
+    * injected at two layers: `failNext(1)` hits the very first RPC (the
+    * driver-side `currentHeight` bounds call — absorbed by the planning
+    * client's new retry decorator), and `failOnceAtHeights` 503s the
+    * first `/block` fetch of three mid-range heights (absorbed by the
+    * executor readers' `RetryingBlockClient`). The projection computes
+    * `num_txs` from the block payload instead of reading the meta column,
+    * deliberately forcing mode=full so every height takes the per-height
+    * RPC path the faults target. Exactly-once under retry means the
+    * drained rows still hash-match s1b's oracle — no dropped height, no
+    * double fetch surfacing twice, no partial row from a failed attempt.
+    */
+  val st7ChaosConnector = GQuery(
+    "st7_stream_connector_chaos",
+    (s, _) => {
+      val stub = new graft.StubRpcServer(T)
+      try {
+        stub.failNext(1)
+        stub.failOnceAtHeights(Seq(2270390L, 2270425L, 2270455L))
+        val out = StreamGate.drain(s,
+          s.readStream.format("blockfeed").option("path", stub.base)
+            .option("from", From.toString).option("to", To.toString)
+            .option("maxHeightsPerTrigger", "40").load()
+            .select(col("height"), col("chain_id"),
+              size(coalesce(col("block.data.txs"), array())).as("num_txs")),
+          "st7_blocks", mode = "append")
+        // fail LOUDLY if the chaos never engaged (e.g. a projection change
+        // silently flipping the scan back to meta mode would skip every
+        // /block request the faults target)
+        require(stub.pendingHeightFaults == 0,
+          s"st7 chaos did not engage: ${stub.pendingHeightFaults} height " +
+            "faults were never requested")
+        out
+      } finally stub.stop()
+    },
+    s1Connector.oracle)
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
       p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector,
-      st6StreamConnector)
+      st6StreamConnector, st7ChaosConnector)
 }

@@ -117,7 +117,11 @@ class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
   extends Scan {
 
   private val path = options.get("path")
-  private def client: BlockClient = BlockClient.open(path)
+  // planning RPCs (bounds, page probing) deserve the same T4 transient
+  // retry as the executor readers: a 503 during planSplits must not kill
+  // the whole query when the same blip mid-read would be absorbed
+  private def client: BlockClient =
+    new RetryingBlockClient(BlockClient.open(path))
 
   private val prunedOrdinals: Array[Int] =
     required.fieldNames.map(n => BlockFeed.RawFields.indexOf(n))
@@ -184,7 +188,10 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
                           minNumTxs: Int)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private val client = BlockClient.open(path)
+  // retry-wrapped for the same reason as BlockFeedScan.client: offset
+  // planning runs once per trigger on the driver and has no task retry
+  // above it
+  private val client = new RetryingBlockClient(BlockClient.open(path))
   /** Chain tip at stream construction: the history/live provenance boundary
     * (reference `combinedFlow` captures the same thing, `MultiplexFlow.kt:88`).
     */

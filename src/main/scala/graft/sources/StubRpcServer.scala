@@ -30,6 +30,19 @@ final class StubRpcServer(dir: String,
   private val requests = new AtomicInteger(0)
 
   def failNext(n: Int): Unit = failures.set(n)
+
+  // One-shot per-height faults: the FIRST /block or /block_results request
+  // for each listed height gets a 503, the retry succeeds — a transient
+  // failure pinned to a known point mid-range (failNext hits whatever
+  // request comes next, which may be driver-side planning).
+  private val heightFaults =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+  def failOnceAtHeights(hs: Seq[Long]): Unit = {
+    heightFaults.clear(); hs.foreach(h => heightFaults.add(h))
+  }
+  /** Injected height faults not yet served — 0 proves the chaos engaged. */
+  def pendingHeightFaults: Int = heightFaults.size()
+
   def requestCount: Int = requests.get()
 
   // Touching the companion forces its initializer (the nodelay property,
@@ -95,6 +108,8 @@ final class StubRpcServer(dir: String,
       case "/block" | "/block_results" =>
         val sub = ex.getRequestURI.getPath.stripPrefix("/")
         q.get("height").map(_.toLong) match {
+          case Some(h) if heightFaults.remove(h) =>
+            send(ex, 503, """{"error":"stub transient failure"}""")
           case Some(h) =>
             val p = Paths.get(s"$dir/$sub/${srcHeight(h)}.json")
             if (Files.exists(p)) send(ex, 200, resolved(p.toString, Map.empty))
