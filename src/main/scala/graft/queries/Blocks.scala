@@ -488,7 +488,9 @@ object Blocks extends QueryPack {
         val out = StreamGate.drain(s,
           s.readStream.format("blockfeed").option("path", stub.base)
             .option("from", From.toString).option("to", To.toString)
-            .option("maxHeightsPerTrigger", "40").load()
+            .option("maxHeightsPerTrigger", "40")
+            // loopback chaos drill: real backoff MECHANICS, token waits
+            .option("retryBaseWaitMs", "25").load()
             .select(col("height"), col("chain_id"),
               size(coalesce(col("block.data.txs"), array())).as("num_txs")),
           "st7_blocks", mode = "append")

@@ -30,6 +30,8 @@ import scala.jdk.CollectionConverters._
   * .toBlockData`, `HistoricalBlockFlow.kt:52` — batch mode only),
   * `heightsPerPartition` (default 128 = reference `DEFAULT_BATCH_SIZE`),
   * `maxHeightsPerTrigger` (default 10000 = reference live buffer),
+  * `retryBaseWaitMs` (default 1000 = reference `Backoff.kt:12` base; the
+  * T4 exponential-backoff base for planning AND reader RPC retries),
   * `ws` (S7–S9: websocket subscribe URL, e.g. the node's `/websocket`
   * endpoint — the stream's tip then comes from pushed `NewBlock` events via
   * [[WsSubscription]] instead of per-trigger polling; block data still
@@ -120,8 +122,12 @@ class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
   // planning RPCs (bounds, page probing) deserve the same T4 transient
   // retry as the executor readers: a 503 during planSplits must not kill
   // the whole query when the same blip mid-read would be absorbed
+  // T4 backoff is configurable so tests/chaos drills don't pay production
+  // waits; default = the reference's 1 s base (Backoff.kt:12)
+  private val retryBaseWaitMs = options.getLong("retryBaseWaitMs", 1000L)
   private def client: BlockClient =
-    new RetryingBlockClient(BlockClient.open(path))
+    new RetryingBlockClient(BlockClient.open(path),
+      baseWaitMillis = retryBaseWaitMs)
 
   private val prunedOrdinals: Array[Int] =
     required.fieldNames.map(n => BlockFeed.RawFields.indexOf(n))
@@ -171,7 +177,7 @@ class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
         .toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs)
+      new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs, retryBaseWaitMs)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -191,7 +197,9 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
   // retry-wrapped for the same reason as BlockFeedScan.client: offset
   // planning runs once per trigger on the driver and has no task retry
   // above it
-  private val client = new RetryingBlockClient(BlockClient.open(path))
+  private val retryBaseWaitMs = options.getLong("retryBaseWaitMs", 1000L)
+  private val client = new RetryingBlockClient(BlockClient.open(path),
+    baseWaitMillis = retryBaseWaitMs)
   /** Chain tip at stream construction: the history/live provenance boundary
     * (reference `combinedFlow` captures the same thing, `MultiplexFlow.kt:88`).
     */
@@ -270,7 +278,7 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs)
+    new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs, retryBaseWaitMs)
 
   override def deserializeOffset(json: String): Offset = HeightOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
@@ -278,14 +286,15 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
 }
 
 class BlockFeedReaderFactory(path: String, prunedOrdinals: Array[Int],
-                             minNumTxs: Int)
+                             minNumTxs: Int, retryBaseWaitMs: Long = 1000L)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[HeightRangePartition]
     // T4: executor-side fetches retry transient I/O with the reference's
     // exponential backoff before surfacing a task failure
     new BlockFeedPartitionReader(
-      new RetryingBlockClient(BlockClient.open(path)), p, prunedOrdinals, minNumTxs)
+      new RetryingBlockClient(BlockClient.open(path),
+        baseWaitMillis = retryBaseWaitMs), p, prunedOrdinals, minNumTxs)
   }
 }
 
