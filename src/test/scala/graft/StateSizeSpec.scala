@@ -33,8 +33,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class StateSizeSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession =
-    Session.builder("statesize-test").getOrCreate()
+  // pinned on an own session: in the shared test JVM another suite may
+  // have selected RocksDB, whose metrics lack the content-size figure
+  private lazy val spark: SparkSession = {
+    val s = Session.builder("statesize-test").getOrCreate().newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    s
+  }
   private val dir = "/root/testdata/sf0.001"
 
   /** Drain `pipeline` over `data` in `chunks` micro-batches; return
