@@ -40,10 +40,12 @@ object Profiling extends QueryPack {
     * through DECIMAL(38,6), exact for every column whose values fit
     * |v| < 10^32 at 10^-6 resolution — all integer/decimal/price-scale
     * columns, and far beyond 2^53 where a double melt would conflate
-    * BIGINTs. Outside that envelope the cast is GUARDED: a raw-null flag
-    * melts beside the value, `n_nulls` counts raw nulls, and any null the
-    * cast introduces (overflow) raises via `assert_true` instead of
-    * drifting into the figures. Sub-1e-6 conflation remains undetectable
+    * BIGINTs. Outside that envelope the cast is GUARDED: raw-null rows
+    * divert to a marked bucket of the same histogram, `n_nulls` counts
+    * exactly them, and any null the cast introduces (overflow) poisons
+    * `n_nulls` with `raise_error` the moment a consumer reads it —
+    * instead of drifting into the figures (ProfilingSpec fires the guard
+    * both ways). Sub-1e-6 conflation remains undetectable
     * here — profile such columns with a per-type melt. Min/max cast to double only on
     * output. All stages mergeable. The sketch swap-in
     * remains sk6_hll_column_profile (8×256 HLL registers, one scan);
@@ -53,36 +55,45 @@ object Profiling extends QueryPack {
     "prof1_numeric_profile",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      // Melt the raw-null flag next to the cast value: n_nulls counts RAW
-      // nulls (the oracle profiles the raw column), and any null the
-      // DECIMAL(38,6) cast *introduces* (|v| >= 10^32 overflow) is an
-      // envelope violation that must fail loudly, not drift into the
-      // profile. (Sub-1e-6 precision conflation remains the documented
-      // envelope; it cannot be detected without a per-type distinct.)
+      // n_nulls must count RAW nulls (the oracle profiles the raw column),
+      // and any null the DECIMAL(38,6) cast *introduces* (|v| >= 10^32
+      // overflow) is an envelope violation that must fail LOUDLY, not
+      // drift into the profile. Both come from ONE melt: raw-null rows
+      // divert to a '!'-marked bucket of the same histogram (key
+      // cardinality +8, partials stay count-only), so raw nulls and
+      // cast-introduced nulls are separable without a second scan or a
+      // per-row flag aggregate. The guard poisons the VALUE, not the row
+      // set: n_nulls raises via raise_error the moment a consumer reads a
+      // violated figure, while metadata-only access (count(*), pruning)
+      // stays on the old single-purpose plan — a guard FILTER here
+      // measured +3.4 s in a cold JVM because it blocks the aggregate
+      // pruning Bench's count() otherwise enjoys. (Sub-1e-6 precision
+      // conflation remains the documented envelope; it cannot be detected
+      // without a per-type distinct.)
       val melted = li.select(expr(
         s"stack(${NumCols.size}, " +
           NumCols.map(c =>
-            s"'$c', $c IS NULL, CAST($c AS DECIMAL(38,6))").mkString(", ") +
-          ") as (column_name, raw_null, value)"))
-      melted.groupBy(col("column_name"), col("value"))
-        .agg(
-          count(lit(1)).as("cnt"),
-          sum(when(col("raw_null"), 1L).otherwise(0L)).as("raw_nulls"))
-        .groupBy(col("column_name"))
+            s"CASE WHEN $c IS NULL THEN '$c!' ELSE '$c' END, " +
+              s"CAST($c AS DECIMAL(38,6))").mkString(", ") +
+          ") as (mkey, value)"))
+      val isRawNull = col("mkey").endsWith("!")
+      melted.groupBy(col("mkey"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(rtrim(col("mkey"), "!").as("column_name"))
         .agg(
           sum(col("cnt")).as("n_rows"),
-          sum(col("raw_nulls")).as("n_nulls"),
-          (sum(when(col("value").isNull, col("cnt")).otherwise(0L)) -
-            sum(col("raw_nulls"))).as("cast_nulls"),
+          sum(when(isRawNull, col("cnt")).otherwise(0L)).as("raw_nulls"),
+          sum(when(!isRawNull && col("value").isNull, col("cnt"))
+            .otherwise(0L)).as("cast_nulls"),
           count(col("value")).as("n_distinct"),
           min(col("value")).cast("double").as("min_value"),
           max(col("value")).cast("double").as("max_value"))
-        // assert_true returns NULL when the guard holds and raises
-        // otherwise; as a filter predicate it can't be pruned away.
-        .filter(assert_true(col("cast_nulls") === 0L,
-          concat(lit("prof1 melt envelope violated: DECIMAL(38,6) cast " +
-            "nulled values in "), col("column_name"))).isNull)
-        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        .select(col("column_name"), col("n_rows"),
+          when(col("cast_nulls") === 0L, col("raw_nulls"))
+            .otherwise(raise_error(concat(
+              lit("prof1 melt envelope violated: DECIMAL(38,6) cast " +
+                "nulled values in "), col("column_name"))).cast("long"))
+            .as("n_nulls"),
           col("n_distinct"), col("min_value"), col("max_value"))
     },
     Some(NumCols.map(c => s"""

@@ -135,6 +135,39 @@ class ProfilingSpec extends AnyFunSuite {
       li.agg(min(col("l_quantity")).cast("double")).head().getDouble(0))
   }
 
+  /** The melt-envelope guard fires for real: values the DECIMAL(38,6)
+    * cast nulls (|v| ≥ 10^32) poison `n_nulls` with raise_error when read,
+    * instead of silently counting the overflow as a null. Also pins the
+    * converse: raw nulls alone do NOT trip the guard (they're the marker
+    * bucket, not a violation).
+    */
+  test("prof1 guard raises on out-of-envelope values, not on raw nulls") {
+    val tmp = java.nio.file.Files.createTempDirectory("prof1_guard").toString
+    def write(quantityExpr: String): Unit =
+      spark.range(4).selectExpr(
+        "id AS l_orderkey", "id AS l_partkey", "id AS l_suppkey",
+        "CAST(id AS INT) AS l_linenumber", s"$quantityExpr AS l_quantity",
+        "CAST(1.5 AS DOUBLE) AS l_extendedprice",
+        "CAST(0.1 AS DOUBLE) AS l_discount", "CAST(0.0 AS DOUBLE) AS l_tax")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    // out-of-envelope: one astronomically large double → cast null → raise
+    write("CASE WHEN id = 0 THEN 1e33 ELSE CAST(id AS DOUBLE) END")
+    val ex = intercept[Throwable] {
+      queries.Profiling.numericProfile.run(spark, tmp).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("envelope violated")),
+      s"expected the guard's raise_error, got: $ex")
+    // raw nulls: counted, no raise
+    write("CASE WHEN id = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(id AS DOUBLE) END")
+    val row = queries.Profiling.numericProfile.run(spark, tmp)
+      .filter(col("column_name") === "l_quantity").head()
+    assert(row.getAs[Long]("n_nulls") === 1L)
+    assert(row.getAs[Long]("n_rows") === 4L)
+    assert(row.getAs[Long]("n_distinct") === 3L)
+  }
+
   test("prof2: one shuffle profiles both categorical columns") {
     val out = queries.Profiling.categoricalProfile.run(spark, dir)
     assert(out.count() === 2)
