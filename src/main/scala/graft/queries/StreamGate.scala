@@ -276,27 +276,32 @@ object StreamGate extends QueryPack {
     (s, dir) => {
       import s.implicits._
       val ev0 = Tables.load(s, dir, "events").select(col("event_type"), col("ts"))
-      val mm = ev0.agg(min(col("ts")), max(col("ts"))).head()
-      val midMs = (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
-      val mid = new java.sql.Timestamp(midMs)
       val stage = java.nio.file.Files.createTempDirectory("st5b_stage")
       try {
-        // Two single-file halves with forced modification-time order:
-        // FileStreamSource admits oldest-first, so file 0 IS batch 1.
+        // ONE pass stages both halves: repartitionByRange(2, ts) range-
+        // partitions on the event time (equal keys land together, so
+        // max(file 0) < min(file 1) — every file-1 row is on-time w.r.t.
+        // file 0's watermark), and each range partition writes its own
+        // file. Explicit modification times force FileStreamSource's
+        // oldest-first admission so file 0 IS batch 1. (An earlier
+        // version computed a mid timestamp and wrote two filtered
+        // coalesce(1) halves: three scans where one suffices — the split
+        // point is irrelevant to the proof, only its monotonicity is.)
         import scala.jdk.CollectionConverters._
-        Seq((col("ts") <= lit(mid), "000"), (col("ts") > lit(mid), "001"))
-          .zipWithIndex.foreach { case ((pred, nm), i) =>
-            val tmp = stage.resolve(s"_w$nm")
-            ev0.filter(pred).coalesce(1).write.parquet(tmp.toString)
-            val part = java.nio.file.Files.list(tmp).iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .next()
-            val dst = stage.resolve(s"$nm.parquet")
-            java.nio.file.Files.move(part, dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(
-                System.currentTimeMillis() - 60000L * (2 - i)))
-          }
+        val tmp = stage.resolve("_ranged")
+        ev0.repartitionByRange(2, col("ts")).write.parquet(tmp.toString)
+        val parts = java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        require(parts.size == 2,
+          s"expected 2 range files, got ${parts.size} — empty range?")
+        parts.zipWithIndex.foreach { case (part, i) =>
+          val dst = stage.resolve(f"$i%03d.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - 60000L * (2 - i)))
+        }
         val ev = s.readStream.schema(ev0.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(stage.toString)
