@@ -64,12 +64,27 @@ final class RetryingBlockClient(
     sleeper: Long => Unit = Thread.sleep)
   extends BlockClient {
 
+  /** The `shouldRetryFn` partition: an IOException that cannot heal with
+    * time fails FAST — a mistyped fixture path (NoSuchFile/FileNotFound)
+    * or an unresolvable host would otherwise sleep through the full
+    * backoff ladder (~15 s per RPC, and planning makes several) before
+    * surfacing the same error.
+    */
+  private def retryable(e: java.io.IOException): Boolean = e match {
+    case _: java.nio.file.NoSuchFileException => false
+    case _: java.io.FileNotFoundException => false
+    case _: java.net.UnknownHostException => false
+    case _: java.net.MalformedURLException => false
+    case _ => true
+  }
+
   private def retry[T](op: => T): T = {
     var attempt = 0
     while (true) {
       try return op
       catch {
-        case _: java.io.IOException if attempt < maxAttempts - 1 =>
+        case e: java.io.IOException
+            if retryable(e) && attempt < maxAttempts - 1 =>
           val base = baseWaitMillis * (1L << attempt)
           val jitter = (base * 0.25 * (2 * scala.util.Random.nextDouble() - 1)).toLong
           sleeper(math.max(0L, base + jitter))

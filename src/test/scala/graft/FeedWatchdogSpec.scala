@@ -111,9 +111,17 @@ class FeedWatchdogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(collected() === Set.empty)
 
       // y lands the watermark EXACTLY on x's deadline: inclusive compare →
-      // x fires; z, whose expiry sits 1 ms ABOVE the watermark, does not
+      // x fires; z, whose expiry sits 1 ms ABOVE the watermark, does not.
+      // The timer-firing no-data batch can commit after
+      // processAllAvailable returns (see StreamGateSpec's st5b test), so
+      // poll for the positive half; the negative half (no z) is stable
+      // once x's alert has landed, because the watermark cannot move
+      // again without data.
       feed.addData(("y", ts("10:00:30")))
       q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 60000
+      while (collected().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
       assert(collected() === Set(("x", ts("10:00:00"), 30000L)))
     } finally q.stop()
   }

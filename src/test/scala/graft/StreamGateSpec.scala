@@ -121,13 +121,14 @@ class StreamGateSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("C", 11800L), ("C", 14500L)).toDF("source", "secs")
       .select(col("source"), timestamp_seconds(col("secs")).as("ts"))
     val stage = java.nio.file.Files.createTempDirectory("sg_wd_stage")
-    def land(pred: org.apache.spark.sql.Column, nm: String): Unit = {
+    def land(pred: org.apache.spark.sql.Column, nm: String,
+             into: java.nio.file.Path = stage): Unit = {
       import scala.jdk.CollectionConverters._
-      val tmp = stage.resolve(s"_w$nm")
+      val tmp = into.resolve(s"_w$nm")
       df.filter(pred).coalesce(1).write.parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).next()
-      java.nio.file.Files.move(part, stage.resolve(s"$nm.parquet"))
+      java.nio.file.Files.move(part, into.resolve(s"$nm.parquet"))
     }
     val split = timestamp_seconds(lit(12000L))
     land(col("ts") <= split, "000")
@@ -168,7 +169,7 @@ class StreamGateSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // equality with the single-batch drain over the same corpus
     val single = java.nio.file.Files.createTempDirectory("sg_wd_single")
-    land2(single, df)
+    land(lit(true), "000", single)
     val q2 = watchdog(single.toString).toDF().writeStream.format("memory")
       .queryName("sg_wd_single").outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
@@ -181,12 +182,4 @@ class StreamGateSpec extends AnyFunSuite with BeforeAndAfterAll {
       "batch-boundary and single-batch alert sets must agree")
   }
 
-  private def land2(dirP: java.nio.file.Path, df: DataFrame): Unit = {
-    import scala.jdk.CollectionConverters._
-    val tmp = dirP.resolve("_w")
-    df.coalesce(1).write.parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).next()
-    java.nio.file.Files.move(part, dirP.resolve("000.parquet"))
-  }
 }
