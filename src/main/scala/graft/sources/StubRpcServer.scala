@@ -19,6 +19,12 @@ import java.util.concurrent.atomic.AtomicInteger
   *
   * `failNext(n)` makes the next n requests return HTTP 503 — the T4
   * transient-failure path, exercised end-to-end through the retry decorator.
+  *
+  * Ships in the MAIN artifact deliberately: `graft.Bench` (the driver's
+  * perf gate) and the st7 chaos gate query both construct it, and both
+  * run from the production classpath. A deployment that wants it gone
+  * strips `graft.StubRpcServer` at assembly; nothing in the engine's
+  * operator/source/sink paths references it.
   */
 final class StubRpcServer(dir: String,
                           histFrom: Long = 2270370L, histTo: Long = 2270469L,
