@@ -288,6 +288,30 @@ class BlockFeedSpec extends AnyFunSuite {
       new RetryingBlockClient(flaky, maxAttempts = 2, baseWaitMillis = 1L,
         sleeper = _ => ()).currentHeight()
     }
+    // IOExceptions that cannot heal with time (bad path, unknown host)
+    // fail FAST — zero sleeps, one call — instead of riding the backoff
+    // ladder; matters doubly now that driver-side planning is wrapped too
+    var permCalls = 0
+    val permanent = new BlockClient {
+      override def currentHeight(): Long = {
+        permCalls += 1
+        throw new java.nio.file.NoSuchFileException("/typo/abci_info")
+      }
+      override def availableHeights(from: Long, to: Long) = Seq.empty
+      override def block(h: Long) = {
+        permCalls += 1
+        throw new java.net.UnknownHostException("no-such-node")
+      }
+      override def blockResults(h: Long) = None
+      override def metaPages(f: Long, t: Long) = Seq.empty
+    }
+    val permSleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pc = new RetryingBlockClient(permanent, maxAttempts = 5,
+      baseWaitMillis = 100L, sleeper = permSleeps += _)
+    intercept[java.nio.file.NoSuchFileException](pc.currentHeight())
+    intercept[java.net.UnknownHostException](pc.block(1L))
+    assert(permCalls === 2 && permSleeps.isEmpty,
+      "permanent I/O errors must surface immediately with no backoff")
   }
 
   test("explicit height list scan (S2) intersects with pushed predicates") {
