@@ -505,9 +505,43 @@ object Blocks extends QueryPack {
     },
     s1Connector.oracle)
 
+  /** st8: the WEBSOCKET tip path (S7–S9) on the oracle gate — the same
+    * drain as st6 but with the `ws` option, so the offset path runs on
+    * pushed-tip arithmetic (zero availability RPCs) instead of polling.
+    * Bounded by `to` inside the historical range, the drained rows are a
+    * pure function of the data REGARDLESS of push timing: whether the cap
+    * comes from a pushed tip clamped to `to` or from the start-tip
+    * fallback, both resolve to the same 100 heights — so the gate is
+    * deterministic while the subscription machinery (RFC 6455 handshake,
+    * NewBlock decode, tip monotonicity) really runs, which the post-drain
+    * `require` pins. Push-tip ADVANCEMENT semantics (tips arriving
+    * mid-stream) stay in WsBlockFeedSpec/BlockFeedSpec — they cannot be
+    * made race-free under AvailableNow's start-time cap. Oracle: s1b's
+    * SQL verbatim.
+    */
+  val st8WsConnector = GQuery(
+    "st8_ws_connector_scan",
+    (s, _) => {
+      val rpc = new graft.StubRpcServer(T)
+      val ws = new graft.StubWsServer
+      try {
+        val out = StreamGate.drain(s,
+          s.readStream.format("blockfeed").option("path", rpc.base)
+            .option("ws", ws.url)
+            .option("from", From.toString).option("to", To.toString)
+            .option("maxHeightsPerTrigger", "40").load()
+            .select("height", "chain_id", "num_txs"),
+          "st8_blocks", mode = "append")
+        require(ws.subscriptions >= 1,
+          "st8 did not exercise the ws path: the connector never subscribed")
+        out
+      } finally { ws.stop(); rpc.stop() }
+    },
+    s1Connector.oracle)
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
       p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector,
-      st6StreamConnector, st7ChaosConnector)
+      st6StreamConnector, st7ChaosConnector, st8WsConnector)
 }

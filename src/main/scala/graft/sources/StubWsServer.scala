@@ -16,6 +16,10 @@ import java.util.concurrent.atomic.AtomicInteger
   * (text / ping / close), and unmasked server text frames, including
   * fragmented delivery for the reassembly test.
   */
+/** Ships in the MAIN artifact for the same reason as [[StubRpcServer]]:
+  * the st8 gate query constructs it from the production classpath; nothing
+  * in the engine's operator/source/sink paths references it.
+  */
 final class StubWsServer {
 
   private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
@@ -92,7 +96,7 @@ final class StubWsServer {
     while (running) {
       try {
         val sock = server.accept()
-        new Thread(() => {
+        val conn = new Thread(() => {
           try {
             val in = sock.getInputStream
             val out = sock.getOutputStream
@@ -112,7 +116,11 @@ final class StubWsServer {
             }
           } catch { case _: Throwable => }
           finally { conns.remove(sock); try sock.close() catch { case _: Throwable => } }
-        }, "ws-stub-conn").start()
+        }, "ws-stub-conn")
+        // daemon: a connection thread parked in readFrame must never hold
+        // the hosting JVM open at exit (the non-daemon-pool hang trap)
+        conn.setDaemon(true)
+        conn.start()
       } catch { case _: Throwable => }
     }
   }, "ws-stub-accept")
