@@ -366,8 +366,9 @@ object Blocks extends QueryPack {
     * HAVE results (the fixture corpus omits txs_results for 2270417 and
     * 2270420), mirrored in the generator by walking /block_results for
     * indices and /block for bytes. `total_fee` is BIGINT on both sides —
-    * fees are integer nhash and the fixture total (~1.4e12) is far inside
-    * int64, which sidesteps decimal-dtype hash ambiguity at the gate.
+    * fees are integer nhash and the 75-tx oracle-domain total
+    * (577,601,383,530 ≈ 5.8e11) is far inside int64, which sidesteps
+    * decimal-dtype hash ambiguity at the gate.
     */
   val f13Fees = GQuery(
     "f13_tx_fees_by_denom",
