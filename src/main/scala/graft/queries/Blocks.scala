@@ -540,9 +540,112 @@ object Blocks extends QueryPack {
     },
     s1Connector.oracle)
 
+  /** st9: the COMBINED history→live transition (S12–S14) through the
+    * connector, on the gate — the reference's load-bearing semantic:
+    * `combinedFlow` backfills to the tip captured at stream start, then
+    * keeps consuming the live blocks above it, flagging provenance either
+    * side of the boundary (`MultiplexFlow.kt:61`, decision table
+    * `:88-92`; reference ground truth = 106 combined blocks,
+    * `BlockDataFlowTest.kt:192-198`). The drain starts at the historical
+    * floor with NO `to`: offset planning walks the stub node's dense
+    * chain through the 100 historical slots AND the 6 live slots above
+    * the start tip (`abci_info` = the boundary the stream captures at
+    * construction; `/status` = the advanced live tip). Chain SLOT height
+    * drives the offset log; each slot serves its node payload, so the
+    * live rows surface the live blocks' own content heights (3126935+) —
+    * exactly what a subscriber tailing a real node sees arrive next. The
+    * `num_txs` projection reads the block payload rather than the
+    * meta-safe column deliberately: full mode is the only honest path for
+    * live slots, which have no `/blockchain` meta page yet. Oracle: s13's
+    * combined SQL verbatim — 106 rows with the `historical` flip at the
+    * captured tip. The post-drain `require` pins that all 6 live slots
+    * really came over the wire.
+    */
+  val st9Combined = GQuery(
+    "st9_combined_connector",
+    (s, _) => {
+      val stub = new graft.StubRpcServer(T)
+      try {
+        val out = StreamGate.drain(s,
+          s.readStream.format("blockfeed").option("path", stub.base)
+            .option("from", From.toString) // no `to`: history, then live
+            .option("maxHeightsPerTrigger", "40")
+            .option("retryBaseWaitMs", "25").load()
+            .select(col("height"),
+              size(coalesce(col("block.data.txs"), array())).as("num_txs"),
+              col("historical")),
+          "st9_blocks", mode = "append")
+        require(stub.blockServesIn(stub.liveFrom, stub.latest) >= 6,
+          "st9 never fetched the live slots above the start tip")
+        out
+      } finally stub.stop()
+    },
+    s13Combined.oracle)
+
+  /** st10: checkpointed kill/resume (T3) through the connector, on the
+    * gate — the reference's `Checkpoint` contract (`Checkpoint.kt:6`;
+    * resume consumption `EventStream.kt:257`): a restarted stream
+    * continues from the last recorded height, it does not replay. Two
+    * AvailableNow drains SHARE one checkpoint: run 1 stops at the
+    * midpoint (`to` = 2270419 — the "kill"), run 2 re-opens the SAME
+    * offset log with `to` = the full ceiling. The parquet sink's
+    * manifest makes the on-disk union exactly-once; the gate hashes the
+    * read-back against s1b's oracle — zero dupes, zero gaps across the
+    * kill point. Two requires pin the semantics: run 2 must EXTEND run
+    * 1's commit log (same batch ids plus new ones, not a restart from
+    * 0), and — the load-bearing one — the stub must serve ZERO `/block`
+    * fetches at or below the midpoint during run 2: resumption from the
+    * offset log, not silent replay.
+    */
+  val st10Resume = GQuery(
+    "st10_checkpoint_resume",
+    (s, _) => {
+      val stub = new graft.StubRpcServer(T)
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-st10-")
+        val ckpt = s"$tmp/ckpt"
+        val outDir = s"$tmp/out"
+        def drainTo(to: Long): Unit = {
+          val q = s.readStream.format("blockfeed").option("path", stub.base)
+            .option("from", From.toString).option("to", to.toString)
+            .option("maxHeightsPerTrigger", "20")
+            .option("retryBaseWaitMs", "25").load()
+            .select(col("height"), col("chain_id"),
+              size(coalesce(col("block.data.txs"), array())).as("num_txs"))
+            .writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try {
+            if (!q.awaitTermination(300000))
+              sys.error("st10 drain did not finish in 300s")
+          } finally q.stop()
+        }
+        def committedBatches: Set[Long] =
+          Option(new java.io.File(s"$ckpt/commits").list())
+            .map(_.toSet).getOrElse(Set.empty).flatMap(_.toLongOption)
+        val mid = (From + To) / 2 // 2270419: the kill point
+        drainTo(mid)
+        val run1Batches = committedBatches
+        val run1ServedBelowMid = stub.blockServesIn(From, mid)
+        require(run1ServedBelowMid > 0, "st10 run 1 fetched nothing")
+        drainTo(To)
+        require(run1Batches.subsetOf(committedBatches) &&
+            committedBatches.size > run1Batches.size,
+          "st10 run 2 did not extend run 1's commit log")
+        require(stub.blockServesIn(From, mid) == run1ServedBelowMid,
+          "st10 run 2 replayed heights below the checkpoint instead of " +
+            "resuming from the offset log")
+        s.read.parquet(outDir).select("height", "chain_id", "num_txs")
+      } finally stub.stop()
+    },
+    s1Connector.oracle)
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
       p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector,
-      st6StreamConnector, st7ChaosConnector, st8WsConnector)
+      st6StreamConnector, st7ChaosConnector, st8WsConnector,
+      st9Combined, st10Resume)
 }

@@ -51,6 +51,18 @@ final class StubRpcServer(dir: String,
 
   def requestCount: Int = requests.get()
 
+  // Per-chain-height /block serve counts: lets gate queries PROVE which
+  // heights a run actually fetched — st10's "resumed, didn't replay" and
+  // st9's "the live slots really came over the wire" both hang off this.
+  private val blockServes =
+    new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
+  /** Total `/block` requests served for chain heights in [lo, hi]. */
+  def blockServesIn(lo: Long, hi: Long): Int = {
+    var n = 0
+    blockServes.forEach { (h, c) => if (h >= lo && h <= hi) n += c.get() }
+    n
+  }
+
   // Touching the companion forces its initializer (the nodelay property,
   // see object scaladoc) to have run before THIS create call.
   require(StubRpcServer.nodelayConfigured, "nodelay init must precede create")
@@ -113,7 +125,10 @@ final class StubRpcServer(dir: String,
              |"latest_block_height":"$latest"}}}""".stripMargin)
       case "/block" | "/block_results" =>
         val sub = ex.getRequestURI.getPath.stripPrefix("/")
-        q.get("height").map(_.toLong) match {
+        val hOpt = q.get("height").map(_.toLong)
+        if (sub == "block") hOpt.foreach(h =>
+          blockServes.computeIfAbsent(h, _ => new AtomicInteger).incrementAndGet())
+        hOpt match {
           case Some(h) if heightFaults.remove(h) =>
             send(ex, 503, """{"error":"stub transient failure"}""")
           case Some(h) =>
