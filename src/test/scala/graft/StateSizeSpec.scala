@@ -29,7 +29,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * Measured via `stateOnCurrentVersionSizeBytes` (the current-version
   * content size) on the default HDFS-backed provider, which reports the
   * serialized state content exactly; RocksDB metrics describe storage
-  * internals (SST/memtable), not content, so this spec pins the provider.
+  * internals (SST/memtable), not content, so those tests pin the provider.
+  * The watchdog test is the exception by necessity: `transformWithState`
+  * REQUIRES RocksDB (the provider st5/st5b actually run on), so its
+  * bounded-state claim is pinned via exact row accounting (value rows +
+  * internal-column-family timer rows) plus an SST byte ceiling.
   */
 class StateSizeSpec extends AnyFunSuite {
 
@@ -93,6 +97,89 @@ class StateSizeSpec extends AnyFunSuite {
     assert(bytes5 === bytes,
       s"state must be constant in stream length: $bytes5 B at 20% of the " +
         s"rows vs $bytes B at 100%")
+  }
+
+  /** The watchdog's bounded-state claim, measured on the provider st5/st5b
+    * actually run on: `transformWithState` REQUIRES RocksDB, whose metrics
+    * describe storage rather than serialized content, so the pin is
+    * (a) exact row accounting — one `lastSeen` value row per source in the
+    * user-facing column family, timers in the internal ones, both bounded
+    * by the source VOCABULARY — and (b) constancy: a 5×-shorter drain
+    * covering the same sources leaves the identical row footprint.
+    */
+  test("st5 watchdog state on RocksDB: one value row per source, " +
+      "timer rows vocabulary-bounded, constant in stream length") {
+    val rocks = Session.builder("statesize-wd").getOrCreate().newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    import rocks.implicits._
+    implicit val sqlCtx = rocks.sqlContext
+    val data = Tables.load(rocks, dir, "events")
+      .select(col("event_type"), col("ts"))
+      .as[(String, java.sql.Timestamp)].collect().toSeq
+    val nSources = data.map(_._1).distinct.size.toLong
+
+    def drainWd(rows: Seq[(String, java.sql.Timestamp)], chunks: Int,
+                name: String): org.apache.spark.sql.streaming.StateOperatorProgress = {
+      val feed = MemoryStream[(String, java.sql.Timestamp)]
+      val q = feed.toDS().toDF("source", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(String, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.FeedWatchdog(silenceMillis = 1200 * 1000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[graft.streaming.FeedStall])
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val size = math.max(1, (rows.length + chunks - 1) / chunks)
+        rows.grouped(size).foreach { c => feed.addData(c); q.processAllAvailable() }
+        val withState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        assert(withState.nonEmpty, "no state-operator progress recorded")
+        withState.last.stateOperators.head
+      } finally q.stop()
+    }
+
+    val op = drainWd(data, chunks = 5, "ssz_wd")
+    // (a) exact row accounting: the user-facing column family holds ONE
+    // lastSeen value row per source; timers (plus their expiry reverse
+    // index) live in internal column families — at most one live timer
+    // per source, so ≤ 2 rows each there. Fired timers are removed, so
+    // the internal count can sit well below the bound.
+    assert(op.numRowsTotal === nSources,
+      s"watchdog must hold exactly one value row per source: " +
+        s"${op.numRowsTotal} vs $nSources")
+    val internalKeys =
+      op.customMetrics.get("rocksdbNumInternalColFamiliesKeys").longValue()
+    assert(internalKeys <= 2 * nSources,
+      s"timer rows must be vocabulary-bounded: $internalKeys internal " +
+        s"keys vs ${2 * nSources} allowed")
+    // the re-arm path (delete old timer, register new) must have run —
+    // otherwise the drain never exercised the one-live-timer invariant
+    assert(op.customMetrics.get("numDeletedTimers").longValue() >= 1,
+      "no timer was ever re-armed: the chunked drain did not exercise " +
+        "the re-arm path")
+    // (b) durable footprint: the committed SST bytes are KBs for the
+    // whole operator (measured ~15 KiB for 5 sources across 32 state
+    // partitions — dominated by per-partition framing, not per-row data)
+    val sstBytes = op.customMetrics.get("rocksdbSstFileSize").longValue()
+    assert(sstBytes <= 64 * 1024,
+      s"watchdog SST footprint $sstBytes B exceeds the 64 KiB budget")
+    // (c) constancy: a 5×-shorter stream covering the same sources leaves
+    // the identical value-row footprint — rows grow with vocabulary,
+    // never with traffic
+    val fifth = data.take(data.length / 5)
+    assert(fifth.map(_._1).distinct.size.toLong === nSources,
+      "test premise: the 20% prefix must still cover every source")
+    val op5 = drainWd(fifth, chunks = 2, "ssz_wd5")
+    assert(op5.numRowsTotal === nSources,
+      s"value rows must be constant in stream length: ${op5.numRowsTotal} " +
+        s"at 20% of the rows vs $nSources at 100%")
+    assert(op5.customMetrics.get("rocksdbNumInternalColFamiliesKeys")
+        .longValue() <= 2 * nSources)
   }
 
   test("st4 KMV state: one row per group, ≤ 32 KiB per group") {
