@@ -204,7 +204,8 @@ object StreamGate extends QueryPack {
   private def watchdogDrain(s: SparkSession,
                             ev: org.apache.spark.sql.Dataset[
                               (String, java.sql.Timestamp)],
-                            sink: String): DataFrame = {
+                            sink: String,
+                            silenceMillis: Long = WatchdogSilence): DataFrame = {
     val prev = s.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -213,7 +214,7 @@ object StreamGate extends QueryPack {
       implicit val stallEnc: org.apache.spark.sql.Encoder[graft.streaming.FeedStall] =
         org.apache.spark.sql.Encoders.product[graft.streaming.FeedStall]
       val alerts = ev.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
-        .transformWithState(new graft.streaming.FeedWatchdog(WatchdogSilence),
+        .transformWithState(new graft.streaming.FeedWatchdog(silenceMillis),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           org.apache.spark.sql.streaming.OutputMode.Append())
       drain(s, alerts.toDF(), sink, mode = "append")
@@ -317,7 +318,124 @@ object StreamGate extends QueryPack {
     },
     watchdogOracle)
 
+  /** st5c: the INTERMEDIATE-stall detector — st5/st5b alert on tail
+    * stalls (the closing batch's watermark reaches a final deadline);
+    * this gates the genuinely different mid-stream semantic: a source
+    * goes quiet, OTHER sources keep advancing the watermark past its
+    * deadline, the alert fires with `last_seen` FROZEN at the pre-gap
+    * event, and the source then RESUMES — an alert no batch audit over
+    * final state can produce (the source's closing row looks healthy).
+    *
+    * Fixed terciles can't stage this on the gate data — every source has
+    * events in every third (checked empirically at all three SFs), and a
+    * source present in a batch re-arms before that batch's timer phase.
+    * So the split is DATA-DERIVED: find the globally largest gap between
+    * consecutive events of one source (ties: source asc, start asc),
+    * place both cut points inside it (at 2/3 and 5/6 of the gap) and set
+    * the silence to gap/3 — the gapped source is then provably absent
+    * from file 2, its deadline (gap-start + gap/3) sits below file 1's
+    * watermark (≈ gap-start + 2/3·gap, other sources active), and batch
+    * 2's timer phase MUST fire it, frozen, before file 3 re-arms it.
+    * Every quantity is integer arithmetic over event times, so the
+    * DuckDB oracle derives the identical cuts, silence, and alert set
+    * from the raw table. The oracle is the general 3-slice recurrence,
+    * not just the designed alert: per (source, occupied slice j) with
+    * next occupied slice `nxt`, the armed timer L_j+S fires iff an
+    * interior empty batch sees it (nxt−j ≥ 2 and L_j+S ≤ wm(nxt−2)) or,
+    * for the final occupied slice, iff L_j+S ≤ wm(3) — so tail stalls
+    * and any OTHER coincidentally-absent source are modeled too, and the
+    * gate stays honest if a testdata regen moves the gap. Staging uses
+    * one pass (coalesce(1) + partitionBy on the slice id → one file per
+    * slice, mtime-ordered for oldest-first admission); timers compare at
+    * ms (`Timestamp.getTime` floors µs), cuts at µs, mirrored exactly —
+    * file-(i+1) rows sit strictly above cut_i ≥ wm_i, so the 0-second
+    * watermark drops nothing. Boundary margins at the gate SFs are
+    * ≥ 44 s, far above timer resolution.
+    */
+  val watchdogMidgap = GQuery(
+    "st5c_stream_watchdog_midgap",
+    (s, dir) => {
+      import s.implicits._
+      val ev0 = Tables.load(s, dir, "events").select(col("event_type"), col("ts"))
+      // the largest intra-source gap, deterministically tie-broken
+      val pick = ev0
+        .select(col("event_type").as("src"), unix_micros(col("ts")).as("tus"))
+        .withColumn("nxt", lead(col("tus"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src")).orderBy(col("tus"))))
+        .where(col("nxt").isNotNull)
+        .select(col("src"), col("tus").as("gap_start"),
+          (col("nxt") - col("tus")).as("g"))
+        .orderBy(col("g").desc, col("src").asc, col("gap_start").asc)
+        .limit(1).collect()(0)
+      val gapStart = pick.getLong(1)
+      val gapUs = pick.getLong(2)
+      val cut1 = gapStart + gapUs * 2 / 3
+      val cut2 = gapStart + gapUs * 5 / 6
+      val silenceMs = gapUs / 3000L
+      val stage = java.nio.file.Files.createTempDirectory("st5c_stage")
+      try {
+        import scala.jdk.CollectionConverters._
+        val tmp = stage.resolve("_sliced")
+        ev0.withColumn("slice",
+            when(unix_micros(col("ts")) <= cut1, 1)
+              .when(unix_micros(col("ts")) <= cut2, 2).otherwise(3))
+          .coalesce(1).write.partitionBy("slice").parquet(tmp.toString)
+        (1 to 3).foreach { i =>
+          val d = tmp.resolve(s"slice=$i")
+          require(java.nio.file.Files.isDirectory(d),
+            s"st5c slice $i is empty — the derived cuts no longer " +
+              "produce three non-empty files on this data")
+          val parts = java.nio.file.Files.list(d).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          require(parts.size == 1,
+            s"st5c slice $i staged ${parts.size} files; the one-batch-per-" +
+              "slice premise needs exactly one")
+          val dst = stage.resolve(f"${i - 1}%03d.parquet")
+          java.nio.file.Files.move(parts.head, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - 60000L * (4 - i)))
+        }
+        val ev = s.readStream.schema(ev0.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(stage.toString)
+          .withWatermark("ts", "0 seconds")
+          .as[(String, java.sql.Timestamp)]
+        watchdogDrain(s, ev, "st5c_alerts", silenceMs)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    Some("""
+      WITH ev AS (SELECT event_type AS src, epoch_us(ts) AS tus,
+                         epoch_ms(ts) AS tms FROM events),
+      gaps AS (SELECT src, tus AS gap_start,
+                      LEAD(tus) OVER (PARTITION BY src ORDER BY tus) - tus AS g
+               FROM ev),
+      pick AS (SELECT src, gap_start, g FROM gaps WHERE g IS NOT NULL
+               ORDER BY g DESC, src ASC, gap_start ASC LIMIT 1),
+      c AS (SELECT gap_start + g*2//3 AS cut1, gap_start + g*5//6 AS cut2,
+                   g//3000 AS s_ms FROM pick),
+      evs AS (SELECT src, tms,
+              CASE WHEN tus <= (SELECT cut1 FROM c) THEN 1
+                   WHEN tus <= (SELECT cut2 FROM c) THEN 2 ELSE 3 END AS slice
+              FROM ev),
+      wm AS (SELECT i, MAX(w) OVER (ORDER BY i) AS w FROM
+             (SELECT slice AS i, MAX(tms) AS w FROM evs GROUP BY 1)),
+      occ AS (SELECT src, slice, MAX(tms) AS lj,
+              LEAD(slice) OVER (PARTITION BY src ORDER BY slice) AS nxt
+              FROM evs GROUP BY src, slice)
+      SELECT src AS source, lj AS last_seen_ms,
+             CAST((SELECT s_ms FROM c) AS BIGINT) AS silence_ms
+      FROM occ
+      WHERE (nxt IS NOT NULL AND nxt - slice >= 2
+             AND lj + (SELECT s_ms FROM c) <= (SELECT w FROM wm WHERE i = nxt-2))
+         OR (nxt IS NULL AND lj + (SELECT s_ms FROM c) <= (SELECT MAX(w) FROM wm))"""))
+
   override def queries: Seq[GQuery] =
     Seq(volumeReadout, cdcSnapshot, hllSnapshots, kmvSnapshots,
-      watchdogAlerts, watchdogAlertsSplit)
+      watchdogAlerts, watchdogAlertsSplit, watchdogMidgap)
 }
