@@ -182,4 +182,88 @@ class StreamGateSpec extends AnyFunSuite with BeforeAndAfterAll {
       "batch-boundary and single-batch alert sets must agree")
   }
 
+  /** st5c's load-bearing claim, pinned deterministically: an INTERMEDIATE
+    * stall — a source that goes quiet past the silence threshold and then
+    * RESUMES — is visible ONLY to the mid-stream timer phase. The split
+    * drain must alert B with `last_seen` frozen at the pre-gap event,
+    * while a single-batch drain over the IDENTICAL corpus alerts nobody:
+    * B's closing event re-arms its timer above the final watermark, so
+    * every final-state audit sees a healthy source. Data (silence 1000 s):
+    * B stalls at 10000 s (deadline 11000 ≤ W1 = 11800 → fires in the
+    * no-data batch after file 1) and resumes at 14001 s (re-armed expiry
+    * 15001 > final watermark 15000 → never fires again); A and C keep
+    * every deadline above the watermark that could see it.
+    */
+  test("intermediate stall alerts mid-stream; invisible to a single batch (st5c)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val stallEnc: org.apache.spark.sql.Encoder[graft.streaming.FeedStall] =
+      org.apache.spark.sql.Encoders.product[graft.streaming.FeedStall]
+    val df = Seq(("A", 11500L), ("A", 15000L), ("B", 10000L), ("B", 14001L),
+      ("C", 11800L), ("C", 14500L)).toDF("source", "secs")
+      .select(col("source"), timestamp_seconds(col("secs")).as("ts"))
+    val stage = java.nio.file.Files.createTempDirectory("sg_wd_mid")
+    def land(pred: org.apache.spark.sql.Column, nm: String,
+             into: java.nio.file.Path = stage): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = into.resolve(s"_w$nm")
+      df.filter(pred).coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      java.nio.file.Files.move(part, into.resolve(s"$nm.parquet"))
+    }
+    val split = timestamp_seconds(lit(12000L))
+    land(col("ts") <= split, "000")
+
+    def watchdog(src: String) =
+      s.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .as[(String, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.FeedWatchdog(1000 * 1000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = watchdog(stage.toString).toDF().writeStream.format("memory")
+      .queryName("sg_wd_mid").outputMode("append").start()
+    try {
+      def collected(): Set[(String, Long, Long)] =
+        s.table("sg_wd_mid")
+          .select(col("source"), expr("unix_millis(last_seen)"),
+            col("silence_ms"))
+          .as[(String, Long, Long)].collect().toSet
+      q.processAllAvailable()
+      // Poll for the async timer-firing no-data batch; file 001 does not
+      // exist yet, so the alert provably fires mid-stream, pre-resume.
+      val deadline = System.currentTimeMillis() + 60000
+      while (collected().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(collected() === Set(("B", 10000000L, 1000000L)),
+        "the intermediate stall must fire against file 1's watermark " +
+          "with last_seen frozen at the pre-gap event")
+      land(col("ts") > split, "001")
+      q.processAllAvailable()
+      assert(collected() === Set(("B", 10000000L, 1000000L)),
+        "B's resume must re-arm silently — no second alert, no rewrite")
+    } finally q.stop()
+
+    // The same corpus in ONE batch: every source's closing event re-arms
+    // above the final watermark — the final-state audit is blind to B.
+    val single = java.nio.file.Files.createTempDirectory("sg_wd_mid_single")
+    land(lit(true), "000", single)
+    val q2 = watchdog(single.toString).toDF().writeStream.format("memory")
+      .queryName("sg_wd_mid_single").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000), "single-batch drain timed out")
+    q2.stop()
+    val singleSet = s.table("sg_wd_mid_single")
+      .select(col("source"), expr("unix_millis(last_seen)"), col("silence_ms"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(singleSet === Set.empty[(String, Long, Long)],
+      "a single-batch (final-state) audit must NOT see the healed stall")
+  }
+
 }
