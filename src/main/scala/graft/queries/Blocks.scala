@@ -601,8 +601,8 @@ object Blocks extends QueryPack {
     "st10_checkpoint_resume",
     (s, _) => {
       val stub = new graft.StubRpcServer(T)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-st10-")
       try {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-st10-")
         val ckpt = s"$tmp/ckpt"
         val outDir = s"$tmp/out"
         def drainTo(to: Long): Unit = {
@@ -637,8 +637,17 @@ object Blocks extends QueryPack {
         require(stub.blockServesIn(From, mid) == run1ServedBelowMid,
           "st10 run 2 replayed heights below the checkpoint instead of " +
             "resuming from the offset log")
+        // Materialize the 100-row result off the sink files (eager
+        // localCheckpoint cuts the lineage) so the staging tree can be
+        // deleted below instead of leaking a temp dir per run.
         s.read.parquet(outDir).select("height", "chain_id", "num_txs")
-      } finally stub.stop()
+          .localCheckpoint(true)
+      } finally {
+        stub.stop()
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     },
     s1Connector.oracle)
 
