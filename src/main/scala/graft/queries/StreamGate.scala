@@ -345,8 +345,9 @@ object StreamGate extends QueryPack {
     * for the final occupied slice, iff L_j+S ≤ wm(3) — so tail stalls
     * and any OTHER coincidentally-absent source are modeled too, and the
     * gate stays honest if a testdata regen moves the gap. Staging uses
-    * one pass (coalesce(1) + partitionBy on the slice id → one file per
-    * slice, mtime-ordered for oldest-first admission); timers compare at
+    * one parallel pass (slice-hash repartition + partitionBy on the slice id
+    * → one file per slice, mtime-ordered for oldest-first admission,
+    * require-guarded); timers compare at
     * ms (`Timestamp.getTime` floors µs), cuts at µs, mirrored exactly —
     * file-(i+1) rows sit strictly above cut_i ≥ wm_i, so the 0-second
     * watermark drops nothing. Boundary margins at the gate SFs are
@@ -377,10 +378,16 @@ object StreamGate extends QueryPack {
       try {
         import scala.jdk.CollectionConverters._
         val tmp = stage.resolve("_sliced")
+        // One parallel pass, one file per slice: hash-partitioning on the
+        // slice id keeps each slice's rows in one task (a coalesce(1)
+        // would serialize the whole table through one writer; range
+        // partitioning would add a sampling job), and the per-slice
+        // file-count require below guards the premise.
         ev0.withColumn("slice",
             when(unix_micros(col("ts")) <= cut1, 1)
               .when(unix_micros(col("ts")) <= cut2, 2).otherwise(3))
-          .coalesce(1).write.partitionBy("slice").parquet(tmp.toString)
+          .repartition(3, col("slice"))
+          .write.partitionBy("slice").parquet(tmp.toString)
         (1 to 3).foreach { i =>
           val d = tmp.resolve(s"slice=$i")
           require(java.nio.file.Files.isDirectory(d),
