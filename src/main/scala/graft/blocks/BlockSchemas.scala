@@ -91,6 +91,10 @@ object BlockSchemas {
 
   /** RPC `/block_results` response envelope. `txs_results` is null for empty
     * blocks (real fixture behavior, e.g. `block_results/2270370.json`).
+    * The end-of-block events key is `end_block_events` on the wire (yaml
+    * `BlockResultsResponseResult`; fixture `block_results/2270465.json`
+    * carries real entries) — an earlier schema named it `end_block` and so
+    * parsed a key that never exists, silently nulling those events.
     */
   val blockResultsResponse: StructType = StructType(Seq(
     StructField("jsonrpc", StringType),
@@ -98,7 +102,7 @@ object BlockSchemas {
       StructField("height", StringType),
       StructField("txs_results", ArrayType(txResult)),
       StructField("begin_block_events", ArrayType(abciEvent)),
-      StructField("end_block", ArrayType(abciEvent)))))))
+      StructField("end_block_events", ArrayType(abciEvent)))))))
 
   /** `BlockMeta` (yaml:1507) within RPC `/blockchain` pages. */
   val blockMeta: StructType = StructType(Seq(
@@ -143,5 +147,5 @@ object BlockSchemas {
     StructField("block_id", blockId),
     StructField("txs_results", ArrayType(txResult)),
     StructField("begin_block_events", ArrayType(abciEvent)),
-    StructField("end_block", ArrayType(abciEvent))))
+    StructField("end_block_events", ArrayType(abciEvent))))
 }

@@ -89,7 +89,7 @@ object FixtureSource {
         col("result.height").cast("long").as("r_height"),
         col("result.txs_results").as("txs_results"),
         col("result.begin_block_events").as("begin_block_events"),
-        col("result.end_block").as("end_block"))
+        col("result.end_block_events").as("end_block_events"))
       .filter(col("r_height").between(from, to))
     b.join(r, b("height") === r("r_height"), "left")
       .select(
@@ -99,7 +99,7 @@ object FixtureSource {
         size(coalesce(col("block.data.txs"), array())).as("num_txs"),
         lit(historical).as("historical"),
         col("block"), col("block_id"),
-        col("txs_results"), col("begin_block_events"), col("end_block"))
+        col("txs_results"), col("begin_block_events"), col("end_block_events"))
   }
 
   /** Header/meta-only scan from the 20-height `blockchain` pages (S3: the

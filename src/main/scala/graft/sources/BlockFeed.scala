@@ -322,7 +322,7 @@ class BlockFeedPartitionReader(client: BlockClient, p: HeightRangePartition,
           .map(_._2)
       }
     } else {
-      // results-RPC elision: when no txs_results/begin_block_events/end_block
+      // results-RPC elision: when no txs_results/begin/end_block_events
       // column (raw ordinals 7..9) is projected, the per-height fetch is ONE
       // RPC instead of the reference's fixed two (`TendermintBlockFetcher
       // .kt:36`) — column pruning reaching past the scan into the wire calls

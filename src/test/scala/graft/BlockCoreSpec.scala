@@ -64,6 +64,20 @@ class BlockCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(be.join(emptyHeights, be("block_height") === emptyHeights("height")).count() > 0L)
   }
 
+  test("end_block_events: 2270465's real entries surface in the raw row") {
+    // the wire key is `end_block_events` (BlockResultsResponseResult); the
+    // fixture corpus has exactly one non-null instance — 2 events
+    // (transfer, message) at height 2270465. A schema reading a key named
+    // `end_block` parses nothing and silently nulls these (the pre-round-9
+    // behavior this pins against).
+    val row = raw.filter(col("height") === 2270465L)
+      .select(expr("transform(end_block_events, e -> e.type)").as("types"))
+      .head()
+    assert(row.getSeq[String](0) === Seq("transfer", "message"))
+    // all other heights in the range carry a null column, as on the wire
+    assert(raw.filter(col("end_block_events").isNotNull).count() === 1L)
+  }
+
   test("tx_errors: none in fixtures; synthetic code!=0 row extracted (E3)") {
     assert(EventTables.txErrors(raw).count() === 0L)
     // synthesize a failing tx by patching code, then expect one error row
