@@ -651,10 +651,74 @@ object Blocks extends QueryPack {
     },
     s1Connector.oracle)
 
+  /** st11: the gRPC TRANSPORT (S16) on the oracle gate — the reference's
+    * `es-grpc` module (`flows/grpc/GrpcBlockFlow.kt:27`: poll the tip via
+    * `getCurrentBlockHeight`, fetch each height via `getBlockAtHeight`)
+    * re-expressed as the third `BlockClient` transport: the same micro-batch
+    * drain as st6/st7/st8, but every offset-planning and block fetch crosses
+    * a REAL loopback HTTP/2 + gRPC wire (netty codec both sides, hand-rolled
+    * proto messages — `sources/grpc/`). The `num_txs` projection reads the
+    * block payload, forcing full mode so all 100 heights take the
+    * per-height `GetBlockByHeight` path the transport implements; the
+    * post-drain `require` pins that they really were served over gRPC.
+    * Oracle: s1b's SQL verbatim — transport-independence of the ground
+    * truth is the whole point of the `BlockClient` seam.
+    */
+  val st11GrpcConnector = GQuery(
+    "st11_grpc_connector_scan",
+    (s, _) => {
+      val stub = new graft.StubGrpcServer(T)
+      try {
+        val out = StreamGate.drain(s,
+          s.readStream.format("blockfeed").option("path", stub.base)
+            .option("from", From.toString).option("to", To.toString)
+            .option("maxHeightsPerTrigger", "40")
+            .option("retryBaseWaitMs", "25").load()
+            .select(col("height"), col("chain_id"),
+              size(coalesce(col("block.data.txs"), array())).as("num_txs")),
+          "st11_blocks", mode = "append")
+        require(stub.blockServesIn(From, To) >= 100,
+          "st11 did not fetch the 100 historical blocks over gRPC")
+        out
+      } finally stub.stop()
+    },
+    s1Connector.oracle)
+
+  /** st12: the event columns over the gRPC transport — e1b's end-to-end
+    * scan→decode→explode→agg through the connector's BATCH path, with both
+    * per-height RPCs (`GetBlockByHeight` + the block-results service) on
+    * the wire. The two `require`s pin that the projection really drove the
+    * 2-RPC full mode (results-RPC elision must NOT have engaged — tx events
+    * need `txs_results`). Oracle: e1's SQL verbatim.
+    */
+  val st12GrpcTxEvents = GQuery(
+    "st12_grpc_tx_events",
+    (s, _) => {
+      val stub = new graft.StubGrpcServer(T)
+      try {
+        val out = EventTables.txEvents(
+            s.read.format("blockfeed").option("path", stub.base)
+              .option("from", From.toString).option("to", To.toString)
+              .option("heightsPerPartition", "8")
+              .option("retryBaseWaitMs", "25").load())
+          .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+          // eager materialization: the requires below read the stub's
+          // counters, and the stub stops in the finally
+          .localCheckpoint(true)
+        require(stub.blockServesIn(From, To) >= 100,
+          "st12 did not fetch the 100 historical blocks over gRPC")
+        require(stub.resultsServes >= 100,
+          "st12 never exercised the gRPC block-results service: the " +
+            "event projection should force the 2-RPC full mode")
+        out
+      } finally stub.stop()
+    },
+    e1Connector.oracle)
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
       p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector,
       st6StreamConnector, st7ChaosConnector, st8WsConnector,
-      st9Combined, st10Resume)
+      st9Combined, st10Resume, st11GrpcConnector, st12GrpcTxEvents)
 }

@@ -15,15 +15,19 @@ import scala.jdk.CollectionConverters._
   */
 object BlockClient {
   /** Transport selection by path scheme: `http://` / `https://` → the live
-    * JSON-RPC node transport; anything else is a fixture directory (the
-    * offline `file://` mode of SURVEY §7.1). One option (`path`) drives
-    * both, mirroring the reference's single `node` URI
+    * JSON-RPC node transport; `grpc://` → the gRPC transport (S16, the
+    * reference's `es-grpc` module re-expressed over netty HTTP/2 —
+    * `flows/grpc/GrpcBlockFlow.kt:27`); anything else is a fixture
+    * directory (the offline `file://` mode of SURVEY §7.1). One option
+    * (`path`) drives all three, mirroring the reference's single `node` URI
     * (`net/OkHttpAdapter.kt:76`, scheme-switched the same way).
     */
   def open(path: String): BlockClient =
     if (path != null &&
         (path.startsWith("http://") || path.startsWith("https://")))
       new HttpBlockClient(path.stripSuffix("/"))
+    else if (path != null && path.startsWith("grpc://"))
+      new graft.sources.grpc.GrpcBlockClient(path)
     else new FileBlockClient(path)
 }
 

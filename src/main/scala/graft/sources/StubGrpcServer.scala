@@ -1,0 +1,217 @@
+package graft
+
+import graft.sources.grpc.{GrpcBlockClient, GrpcWire, TendermintGrpcCodec}
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel._
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.handler.codec.http2._
+import io.netty.util.concurrent.DefaultThreadFactory
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Local gRPC stub node replaying the reference's golden templates over a
+  * REAL HTTP/2 + gRPC wire (zero egress) — the gRPC twin of
+  * [[StubRpcServer]]: the same 100/29/6/106 chain model, served as protobuf
+  * messages through netty's server-side HTTP/2 codec, so the
+  * [[graft.sources.grpc.GrpcBlockClient]] transport is exercised against an
+  * independent HTTP/2 implementation (netty's), with only the 5-byte gRPC
+  * framing and the hand-rolled proto codec shared between the two sides —
+  * and THOSE are pinned by `GrpcCodecSpec`'s known-answer byte tests plus
+  * the full-corpus JSON→proto→JSON round-trip.
+  *
+  * Services: `cosmos.base.tendermint.v1beta1.Service/GetLatestBlock` (the
+  * node tip — the block at the historical ceiling, mirroring
+  * `abci_info`'s start-tip role on the HTTP stub) and `GetBlockByHeight`,
+  * plus `cometbft.services.block_results.v1.BlockResultsService/
+  * GetBlockResults`. Unknown methods answer UNIMPLEMENTED(12); missing
+  * heights answer NOT_FOUND(5); `failNext(n)` makes the next n calls answer
+  * UNAVAILABLE(14) — the T4 transient path through the retry decorator.
+  *
+  * Ships in the main artifact for the same documented reason as
+  * [[StubRpcServer]]: the gate queries construct it from the production
+  * classpath; an assembly can strip it.
+  */
+final class StubGrpcServer(dir: String,
+                           histFrom: Long = 2270370L, histTo: Long = 2270469L,
+                           liveCount: Int = 6, liveSrcFrom: Long = 3126935L) {
+
+  val liveFrom: Long = histTo + 1
+  @volatile var latest: Long = histTo + liveCount
+  private val failures = new AtomicInteger(0)
+  private val requests = new AtomicInteger(0)
+  private val resultsRequests = new AtomicInteger(0)
+
+  def failNext(n: Int): Unit = failures.set(n)
+  def requestCount: Int = requests.get()
+  /** GetBlockResults calls served — lets a gate query prove the event
+    * columns really crossed the gRPC wire.
+    */
+  def resultsServes: Int = resultsRequests.get()
+
+  private val blockServes =
+    new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
+  /** Total `GetBlockByHeight` calls served for heights in [lo, hi]. */
+  def blockServesIn(lo: Long, hi: Long): Int = {
+    var n = 0
+    blockServes.forEach { (h, c) => if (h >= lo && h <= hi) n += c.get() }
+    n
+  }
+
+  /** Chain height → template file height (live slots serve live payloads —
+    * the [[StubRpcServer]] chain model).
+    */
+  private def srcHeight(h: Long): Long =
+    if (h >= liveFrom && h < liveFrom + liveCount) liveSrcFrom + (h - liveFrom) else h
+
+  /** Template `${var:-default}` resolution + proto encode, memoized per
+    * file (the encode walks multi-KB JSON; per-request it would bill stub
+    * CPU to the client's numbers — the [[StubRpcServer]] cache rationale).
+    */
+  private val encodedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  private def encoded(path: String, enc: String => Array[Byte]): Option[Array[Byte]] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else Some(encodedCache.computeIfAbsent(path, { pp: String =>
+      val raw = new String(Files.readAllBytes(Paths.get(pp)), "UTF-8")
+      val json = "\\$\\{([a-zA-Z0-9_]+)(?::-([^}]*))?\\}".r.replaceAllIn(raw, m =>
+        scala.util.matching.Regex.quoteReplacement(Option(m.group(2)).getOrElse("")))
+      enc(json)
+    }))
+  }
+
+  private def route(path: String, requestBody: Array[Byte]): (Int, String, Option[Array[Byte]]) = {
+    requests.incrementAndGet()
+    if (failures.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      return (GrpcWire.UNAVAILABLE, "stub transient failure", None)
+    path match {
+      case GrpcBlockClient.GetLatestBlockPath =>
+        // the node tip at "stream start" — the abci_info role: serve the
+        // historical ceiling's own block (header.height == histTo)
+        encoded(s"$dir/block/$histTo.json", TendermintGrpcCodec.encodeBlockResponse) match {
+          case Some(b) => (GrpcWire.OK, "", Some(b))
+          case None => (GrpcWire.INTERNAL, s"stub missing tip template $histTo", None)
+        }
+      case GrpcBlockClient.GetBlockByHeightPath =>
+        val h = TendermintGrpcCodec.decodeHeightRequest(GrpcWire.unframe(requestBody))
+        blockServes.computeIfAbsent(h, _ => new AtomicInteger).incrementAndGet()
+        encoded(s"$dir/block/${srcHeight(h)}.json",
+          TendermintGrpcCodec.encodeBlockResponse) match {
+          case Some(b) => (GrpcWire.OK, "", Some(b))
+          case None => (GrpcWire.NOT_FOUND, s"height $h is not available", None)
+        }
+      case GrpcBlockClient.GetBlockResultsPath =>
+        val h = TendermintGrpcCodec.decodeHeightRequest(GrpcWire.unframe(requestBody))
+        resultsRequests.incrementAndGet()
+        encoded(s"$dir/block_results/${srcHeight(h)}.json",
+          TendermintGrpcCodec.encodeBlockResultsResponse) match {
+          case Some(b) => (GrpcWire.OK, "", Some(b))
+          case None => (GrpcWire.NOT_FOUND, s"height $h is not available", None)
+        }
+      case other => (GrpcWire.UNIMPLEMENTED, s"unknown method $other", None)
+    }
+  }
+
+  /** Per-stream handler: aggregate request DATA, answer on END_STREAM. */
+  private final class StreamHandler extends ChannelInboundHandlerAdapter {
+    private var path: String = ""
+    private val body = new java.io.ByteArrayOutputStream(256)
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: Any): Unit = msg match {
+      case hf: Http2HeadersFrame =>
+        if (hf.headers().path() != null) path = hf.headers().path().toString
+        if (hf.isEndStream) respond(ctx)
+      case df: Http2DataFrame =>
+        val buf = df.content()
+        val n = buf.readableBytes()
+        val arr = new Array[Byte](n)
+        buf.readBytes(arr)
+        body.write(arr, 0, n)
+        val consumed = df.initialFlowControlledBytes()
+        df.release()
+        if (consumed > 0)
+          ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
+        if (df.isEndStream) respond(ctx)
+      case other =>
+        io.netty.util.ReferenceCountUtil.release(other)
+    }
+
+    private def respond(ctx: ChannelHandlerContext): Unit = {
+      val (status, message, payload) =
+        try route(path, body.toByteArray)
+        catch { case e: Exception =>
+          (GrpcWire.INTERNAL, s"stub error: ${e.getMessage}", None)
+        }
+      payload match {
+        case Some(msg) =>
+          val headers = new DefaultHttp2Headers()
+          headers.status("200")
+          headers.set("content-type", "application/grpc")
+          ctx.write(new DefaultHttp2HeadersFrame(headers))
+          ctx.write(new DefaultHttp2DataFrame(
+            Unpooled.wrappedBuffer(GrpcWire.frame(msg)), false))
+          val trailers = new DefaultHttp2Headers()
+          trailers.set("grpc-status", status.toString)
+          ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
+        case None =>
+          // trailers-only error response (the gRPC error shape)
+          val headers = new DefaultHttp2Headers()
+          headers.status("200")
+          headers.set("content-type", "application/grpc")
+          headers.set("grpc-status", status.toString)
+          if (message.nonEmpty) headers.set("grpc-message", message)
+          ctx.writeAndFlush(new DefaultHttp2HeadersFrame(headers, true))
+      }
+      ()
+    }
+
+    override def exceptionCaught(ctx: ChannelHandlerContext, cause: Throwable): Unit =
+      ctx.close()
+  }
+
+  private val group: EventLoopGroup = new MultiThreadIoEventLoopGroup(
+    2, new DefaultThreadFactory("graft-grpc-stub", /* daemon = */ true),
+    NioIoHandler.newFactory())
+
+  private val serverChannel: Channel = {
+    val b = new ServerBootstrap()
+      .group(group)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[Channel] {
+        override def initChannel(ch: Channel): Unit = {
+          ch.pipeline().addLast(
+            Http2FrameCodecBuilder.forServer()
+              .initialSettings(Http2Settings.defaultSettings()
+                .initialWindowSize(1 << 20)
+                .maxFrameSize(1 << 18))
+              .build(),
+            new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+              override def initChannel(stream: Channel): Unit = {
+                stream.pipeline().addLast(new StreamHandler)
+                ()
+              }
+            }))
+          ()
+        }
+      })
+    b.bind("127.0.0.1", 0).syncUninterruptibly().channel()
+  }
+
+  private val port: Int =
+    serverChannel.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
+
+  def base: String = s"grpc://127.0.0.1:$port"
+
+  /** Closes the listener; the event loop is daemon and shut down gracefully
+    * (0 s quiet period) so no non-daemon thread outlives the stub — the
+    * JDK-HttpServer exit-hang lesson from [[StubRpcServer]].
+    */
+  def stop(): Unit = {
+    serverChannel.close().awaitUninterruptibly(2000L)
+    group.shutdownGracefully(0L, 500L, java.util.concurrent.TimeUnit.MILLISECONDS)
+    ()
+  }
+}

@@ -1,0 +1,244 @@
+package graft.sources.grpc
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel._
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2._
+import io.netty.util.concurrent.DefaultThreadFactory
+import java.io.IOException
+import java.util.concurrent.{CompletableFuture, TimeUnit}
+
+/** gRPC-over-HTTP/2 wire layer, hand-rolled on the netty HTTP/2 frame codec
+  * that already ships on the Spark classpath (`netty-codec-http2`) — no gRPC
+  * library exists in this offline environment, and none is needed: the gRPC
+  * wire protocol is public and small. A unary call is
+  *
+  *   HEADERS  :method POST, :scheme http, :path /pkg.Service/Method,
+  *            content-type: application/grpc, te: trailers
+  *   DATA     1-byte compressed flag (0) + 4-byte big-endian length + proto
+  *            message, END_STREAM
+  *   ← HEADERS :status 200, content-type: application/grpc
+  *   ← DATA    same 5-byte-framed proto response (possibly split across
+  *             frames by the peer's SETTINGS_MAX_FRAME_SIZE)
+  *   ← HEADERS grpc-status / grpc-message trailers, END_STREAM
+  *
+  * plus the trailers-only error form (a single HEADERS frame carrying
+  * `grpc-status` with END_STREAM). Transport is cleartext h2c with prior
+  * knowledge (the gRPC default); netty's `Http2FrameCodec` speaks the
+  * connection preface, SETTINGS, and outbound flow control, and the HTTP/2
+  * layer on each side is netty's own independent implementation — only the
+  * 5-byte gRPC framing and the proto payloads are ours.
+  *
+  * Threading: one shared daemon event-loop group per JVM (daemon so a
+  * finished Bench/Verify run exits — the JDK-HttpServer non-daemon-pool hang
+  * documented on [[graft.StubRpcServer]] applies equally here); one TCP
+  * connection per [[GrpcConnection]], one HTTP/2 stream per call. Calls
+  * block the calling Spark task thread on a future, never the event loop.
+  */
+object GrpcWire {
+
+  /** `grpc-status` codes used by the transport (public gRPC spec). */
+  val OK = 0
+  val DEADLINE_EXCEEDED = 4
+  val NOT_FOUND = 5
+  val RESOURCE_EXHAUSTED = 8
+  val UNIMPLEMENTED = 12
+  val INTERNAL = 13
+  val UNAVAILABLE = 14
+
+  final case class GrpcResponse(status: Int, message: String, payload: Array[Byte])
+
+  /** Prefix `msg` with the gRPC frame header (flag 0 + u32 length). */
+  def frame(msg: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](5 + msg.length)
+    out(0) = 0
+    out(1) = ((msg.length >>> 24) & 0xff).toByte
+    out(2) = ((msg.length >>> 16) & 0xff).toByte
+    out(3) = ((msg.length >>> 8) & 0xff).toByte
+    out(4) = (msg.length & 0xff).toByte
+    System.arraycopy(msg, 0, out, 5, msg.length)
+    out
+  }
+
+  /** Strip the 5-byte gRPC frame header; rejects compressed frames (the
+    * transport never negotiates a compression codec) and length mismatches.
+    */
+  def unframe(framed: Array[Byte]): Array[Byte] = {
+    if (framed.length < 5)
+      throw new IOException(s"gRPC frame shorter than its header: ${framed.length}")
+    if (framed(0) != 0)
+      throw new IOException("compressed gRPC frame without a negotiated codec")
+    val len = ((framed(1) & 0xff) << 24) | ((framed(2) & 0xff) << 16) |
+      ((framed(3) & 0xff) << 8) | (framed(4) & 0xff)
+    if (len != framed.length - 5)
+      throw new IOException(s"gRPC frame length $len != payload ${framed.length - 5}")
+    java.util.Arrays.copyOfRange(framed, 5, framed.length)
+  }
+
+  /** Shared client event loop: 2 daemon threads serve every connection this
+    * JVM opens (executor tasks do blocking unary calls; the loop only
+    * shuffles frames).
+    */
+  lazy val eventLoop: EventLoopGroup = new MultiThreadIoEventLoopGroup(
+    2, new DefaultThreadFactory("graft-grpc-client", /* daemon = */ true),
+    NioIoHandler.newFactory())
+}
+
+/** One cleartext HTTP/2 connection multiplexing unary gRPC calls. Connects
+  * lazily, reconnects after a peer close/GOAWAY, and is safe to share across
+  * threads (each call opens its own HTTP/2 stream).
+  */
+final class GrpcConnection(host: String, port: Int,
+                           connectTimeoutMillis: Int = 10000,
+                           callTimeoutMillis: Int = 60000) {
+
+  @volatile private var parent: Channel = _
+
+  private def connectedChannel(): Channel = {
+    val cur = parent
+    if (cur != null && cur.isActive) cur
+    else synchronized {
+      val cur2 = parent
+      if (cur2 != null && cur2.isActive) cur2
+      else {
+        val b = new Bootstrap()
+          .group(GrpcWire.eventLoop)
+          .channel(classOf[NioSocketChannel])
+          .option[java.lang.Integer](ChannelOption.CONNECT_TIMEOUT_MILLIS, connectTimeoutMillis)
+          .remoteAddress(host, port)
+          .handler(new ChannelInitializer[Channel] {
+            override def initChannel(ch: Channel): Unit = {
+              ch.pipeline().addLast(
+                Http2FrameCodecBuilder.forClient()
+                  .initialSettings(Http2Settings.defaultSettings()
+                    .initialWindowSize(1 << 20) // 1 MiB stream windows: the
+                    // largest corpus payload (a 42-tx block's results) is
+                    // several hundred KiB; the default 64 KiB window would
+                    // stall mid-response until WINDOW_UPDATE round-trips
+                    .maxFrameSize(1 << 18))
+                  .build(),
+                // client side never accepts peer-initiated streams; the
+                // multiplex handler still requires a child handler
+                new Http2MultiplexHandler(new ChannelInboundHandlerAdapter() {
+                  override def channelActive(ctx: ChannelHandlerContext): Unit =
+                    ctx.close()
+                }))
+            }
+          })
+        val f = b.connect()
+        if (!f.awaitUninterruptibly(connectTimeoutMillis.toLong, TimeUnit.MILLISECONDS))
+          throw new IOException(s"gRPC connect timeout to $host:$port")
+        if (!f.isSuccess) f.cause() match {
+          case e: java.net.UnknownHostException => throw e
+          case e: IOException => throw e
+          case e => throw new IOException(s"gRPC connect to $host:$port failed", e)
+        }
+        parent = f.channel()
+        parent
+      }
+    }
+  }
+
+  /** Blocking unary call. Returns the peer's grpc-status + raw (unframed)
+    * response payload; transport-level failures surface as IOException so
+    * [[graft.sources.RetryingBlockClient]]'s T4 backoff applies unchanged.
+    */
+  def unary(path: String, request: Array[Byte]): GrpcWire.GrpcResponse = {
+    val ch = connectedChannel()
+    val done = new CompletableFuture[GrpcWire.GrpcResponse]()
+
+    val bootstrap = new Http2StreamChannelBootstrap(ch)
+    bootstrap.handler(new ChannelInboundHandlerAdapter {
+      private val body = new java.io.ByteArrayOutputStream(8192)
+      private var httpStatus = -1
+      private var headerGrpcStatus: Option[Int] = None
+
+      private def grpcStatusOf(h: Http2Headers): Option[Int] =
+        Option(h.get("grpc-status")).map(_.toString.toInt)
+
+      override def channelRead(ctx: ChannelHandlerContext, msg: Any): Unit = msg match {
+        case hf: Http2HeadersFrame =>
+          val h = hf.headers()
+          if (h.status() != null) httpStatus = h.status().toString.toInt
+          grpcStatusOf(h).foreach(s => headerGrpcStatus = Some(s))
+          if (hf.isEndStream) {
+            val status = headerGrpcStatus.getOrElse(
+              if (httpStatus == 200) GrpcWire.INTERNAL else GrpcWire.UNAVAILABLE)
+            val message = Option(h.get("grpc-message")).map(_.toString).getOrElse("")
+            finish(ctx, status, message)
+          }
+        case df: Http2DataFrame =>
+          val buf = df.content()
+          val n = buf.readableBytes()
+          val arr = new Array[Byte](n)
+          buf.readBytes(arr)
+          body.write(arr, 0, n)
+          val consumed = df.initialFlowControlledBytes()
+          df.release()
+          // replenish inbound flow-control for what we just consumed (the
+          // frame-codec pattern from netty's own multiplex example; the
+          // connection-level window auto-refills inside the codec)
+          if (consumed > 0)
+            ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
+          if (df.isEndStream)
+            // END_STREAM on DATA without trailers: not the gRPC shape —
+            // report what we have with an INTERNAL status
+            finish(ctx, headerGrpcStatus.getOrElse(GrpcWire.INTERNAL), "no trailers")
+        case rf: Http2ResetFrame =>
+          done.completeExceptionally(
+            new IOException(s"gRPC stream reset (error ${rf.errorCode()})"))
+          ctx.close()
+        case other =>
+          io.netty.util.ReferenceCountUtil.release(other)
+      }
+
+      private def finish(ctx: ChannelHandlerContext, status: Int, message: String): Unit = {
+        done.complete(GrpcWire.GrpcResponse(status, message, body.toByteArray))
+        ctx.close()
+      }
+
+      override def channelInactive(ctx: ChannelHandlerContext): Unit =
+        done.completeExceptionally(new IOException("gRPC stream closed before completion"))
+
+      override def exceptionCaught(ctx: ChannelHandlerContext, cause: Throwable): Unit = {
+        done.completeExceptionally(cause match {
+          case e: IOException => e
+          case e => new IOException("gRPC stream error", e)
+        })
+        ctx.close()
+      }
+    })
+
+    val streamF = bootstrap.open()
+    if (!streamF.awaitUninterruptibly(connectTimeoutMillis.toLong, TimeUnit.MILLISECONDS) ||
+        !streamF.isSuccess)
+      throw new IOException("could not open HTTP/2 stream", streamF.cause())
+    val stream = streamF.getNow
+
+    val headers = new DefaultHttp2Headers()
+    headers.method("POST").scheme("http").authority(s"$host:$port").path(path)
+    headers.set("content-type", "application/grpc")
+    headers.set("te", "trailers")
+    stream.write(new DefaultHttp2HeadersFrame(headers))
+    stream.writeAndFlush(new DefaultHttp2DataFrame(
+      Unpooled.wrappedBuffer(GrpcWire.frame(request)), true))
+
+    try done.get(callTimeoutMillis.toLong, TimeUnit.MILLISECONDS)
+    catch {
+      case e: java.util.concurrent.ExecutionException => e.getCause match {
+        case io: IOException => throw io
+        case c => throw new IOException("gRPC call failed", c)
+      }
+      case _: java.util.concurrent.TimeoutException =>
+        stream.close()
+        throw new IOException(s"gRPC call timeout after $callTimeoutMillis ms: $path")
+    }
+  }
+
+  def close(): Unit = {
+    val cur = parent
+    if (cur != null) { cur.close(); parent = null }
+  }
+}
