@@ -71,6 +71,24 @@ object Bench {
         }
         val (backfillSecs, _) = drain(40) // 100 blocks, multi-batch backfill
         val perBlock = drainLive(t)
+        // the same backfill through the gRPC transport (loopback HTTP/2
+        // stub node serving hand-encoded proto): per-height GetBlockByHeight
+        // fetches through the pooled connection, stream-per-RPC
+        val grpcBackfill = {
+          val stub = new StubGrpcServer(t)
+          try {
+            val t0 = System.nanoTime()
+            val q = spark.readStream.format("blockfeed")
+              .option("path", stub.base)
+              .option("from", "2270370").option("to", "2270469")
+              .option("maxHeightsPerTrigger", "40")
+              .option("heightsPerPartition", "5").load()
+              .writeStream.format("noop")
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination(300000)
+            100.0 / ((System.nanoTime() - t0) / 1e9)
+          } finally stub.stop()
+        }
         // the same live shape through the JSON-RPC HTTP transport (local
         // stub node replaying the golden templates), so the latency number
         // carries real per-height RPC fetches — connection setup, JSON
@@ -100,6 +118,7 @@ object Bench {
           s""""per_block_latency_sec":$perBlock,""" +
           s""""http_backfill_blocks_per_sec":$httpBackfill,""" +
           s""""http_per_block_latency_sec":$httpPerBlock,""" +
+          s""""grpc_backfill_blocks_per_sec":$grpcBackfill,""" +
           s""""baseline_backfill_blocks_per_sec":30,"baseline_block_interval_sec":6}"""
       } catch { case _: Throwable => "" }
     }

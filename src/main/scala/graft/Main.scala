@@ -10,7 +10,8 @@ import org.apache.spark.sql.streaming.Trigger
   * `BlockStreamOptions` / `Config` surface (`config/Options.kt`):
   *
   * {{{
-  *   runMain graft.Main path=<templates> from=2270370 [to=N|from=latest]
+  *   runMain graft.Main path=<templates|http://node|grpc://node:port>
+  *     from=2270370 [to=N|from=latest]
   *     out=/tmp/blocks [checkpoint=/tmp/ckpt] [skipEmpty=true]
   *     [txEvents=a,b] [blockEvents=c] [nth=10] [ordered=true]
   *     [maxHeightsPerTrigger=10000] [trigger=availableNow|<interval>]

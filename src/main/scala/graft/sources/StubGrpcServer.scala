@@ -180,6 +180,10 @@ final class StubGrpcServer(dir: String,
     val b = new ServerBootstrap()
       .group(group)
       .channel(classOf[NioServerSocketChannel])
+      // response path writes HEADERS + DATA + trailers as separate small
+      // writes — without TCP_NODELAY, Nagle bills ~40 ms to every RPC
+      // (the GrpcConnection / StubRpcServer nodelay lesson, server side)
+      .childOption[java.lang.Boolean](ChannelOption.TCP_NODELAY, true)
       .childHandler(new ChannelInitializer[Channel] {
         override def initChannel(ch: Channel): Unit = {
           ch.pipeline().addLast(

@@ -107,6 +107,12 @@ final class GrpcConnection(host: String, port: Int,
           .group(GrpcWire.eventLoop)
           .channel(classOf[NioSocketChannel])
           .option[java.lang.Integer](ChannelOption.CONNECT_TIMEOUT_MILLIS, connectTimeoutMillis)
+          // netty leaves Nagle ON by default; a unary gRPC call is exactly
+          // the two-small-writes pattern (HEADERS, then DATA) that trips
+          // Nagle × delayed-ACK into a flat ~40 ms per RPC on loopback —
+          // the same trap the JDK HttpServer stub hit (StubRpcServer's
+          // nodelay note; measured 40 ms/block → ~1 ms with this set)
+          .option[java.lang.Boolean](ChannelOption.TCP_NODELAY, true)
           .remoteAddress(host, port)
           .handler(new ChannelInitializer[Channel] {
             override def initChannel(ch: Channel): Unit = {
