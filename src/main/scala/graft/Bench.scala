@@ -46,6 +46,14 @@ object Bench {
       try {
         import org.apache.spark.sql.streaming.Trigger
         val t = graft.blocks.FixtureSource.DefaultTemplates
+        // a drain that does not finish must DROP the whole streaming
+        // envelope (the outer catch), not record 100/300s as a throughput —
+        // and must not leave a query running when a stub is stopped
+        def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
+                        what: String): Unit =
+          if (!q.awaitTermination(300000)) {
+            q.stop(); sys.error(s"$what drain did not finish in 300s")
+          }
         def drain(maxPerTrigger: Int): (Double, Int) = {
           val t0 = System.nanoTime()
           val q = spark.readStream.format("blockfeed")
@@ -54,7 +62,7 @@ object Bench {
             .option("maxHeightsPerTrigger", maxPerTrigger.toString).load()
             .writeStream.format("noop")
             .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination(300000)
+          awaitOrFail(q, "file backfill")
           ((System.nanoTime() - t0) / 1e9, q.recentProgress.length)
         }
         def drainLive(path: String): Double = {
@@ -66,7 +74,7 @@ object Bench {
             .option("maxHeightsPerTrigger", "1").load()
             .writeStream.format("noop")
             .trigger(Trigger.AvailableNow()).start()
-          live.awaitTermination(300000)
+          awaitOrFail(live, "live latency")
           (System.nanoTime() - t0) / 1e9 / 10.0
         }
         val (backfillSecs, _) = drain(40) // 100 blocks, multi-batch backfill
@@ -85,7 +93,7 @@ object Bench {
               .option("heightsPerPartition", "5").load()
               .writeStream.format("noop")
               .trigger(Trigger.AvailableNow()).start()
-            q.awaitTermination(300000)
+            awaitOrFail(q, "gRPC backfill")
             100.0 / ((System.nanoTime() - t0) / 1e9)
           } finally stub.stop()
         }
@@ -108,7 +116,7 @@ object Bench {
               .option("heightsPerPartition", "5").load()
               .writeStream.format("noop")
               .trigger(Trigger.AvailableNow()).start()
-            q.awaitTermination(300000)
+            awaitOrFail(q, "HTTP backfill")
             val secs = (System.nanoTime() - t0) / 1e9
             (100.0 / secs, drainLive(stub.base))
           } finally stub.stop()

@@ -91,10 +91,12 @@ object BlockSchemas {
 
   /** RPC `/block_results` response envelope. `txs_results` is null for empty
     * blocks (real fixture behavior, e.g. `block_results/2270370.json`).
-    * The end-of-block events key is `end_block_events` on the wire (yaml
-    * `BlockResultsResponseResult`; fixture `block_results/2270465.json`
-    * carries real entries) — an earlier schema named it `end_block` and so
-    * parsed a key that never exists, silently nulling those events.
+    * The end-of-block events key is `end_block_events` on the WIRE — every
+    * fixture uses it, and `block_results/2270465.json` carries real entries.
+    * The OpenAPI yaml (yaml:1740) misnames the field `end_block`, which is
+    * where an earlier schema copied its name from and so parsed a key that
+    * never exists, silently nulling those events; the fixtures (produced by
+    * a real node) are the authority, not the yaml.
     */
   val blockResultsResponse: StructType = StructType(Seq(
     StructField("jsonrpc", StringType),

@@ -26,8 +26,11 @@ object FixtureSource {
 
   /** `${var:-default}` template substitution (the reference's
     * StringSubstitutor defaults, `testFixtures/.../utils/Templates.kt:27`).
+    * THE one implementation — the HTTP/gRPC stub nodes and the codec specs
+    * resolve the same corpus through this, so a template-syntax change
+    * cannot silently diverge between the fixture, wire, and oracle paths.
     */
-  private def substitute(text: String, vars: Map[String, String]): String =
+  private[graft] def substitute(text: String, vars: Map[String, String]): String =
     "\\$\\{([a-zA-Z0-9_]+)(?::-([^}]*))?\\}".r.replaceAllIn(text, m => {
       val v = vars.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))
       scala.util.matching.Regex.quoteReplacement(v)

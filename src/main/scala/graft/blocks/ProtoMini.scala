@@ -22,40 +22,9 @@ object ProtoMini {
   /** fee amount (decimal string), fee denom, memo — all empty when absent. */
   final case class TxMeta(feeAmount: String, feeDenom: String, memo: String)
 
-  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
-    def hasNext: Boolean = pos < end
-    def varint(): Long = {
-      var v = 0L; var s = 0
-      while (true) {
-        if (pos >= end) throw new IllegalArgumentException("varint past end")
-        val b = buf(pos); pos += 1
-        v |= (b & 0x7fL) << s
-        if ((b & 0x80) == 0) return v
-        s += 7
-        if (s > 63) throw new IllegalArgumentException("varint overflow")
-      }
-      v
-    }
-    /** returns (fieldNumber, wireType); positions at the value. */
-    def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
-    def lenDelimited(): (Int, Int) = { // (start, end) of the nested bytes
-      val l = varint()
-      // reject before moving pos: a 32-bit-overflowing length would go
-      // negative and walk pos BACKWARDS past the end check (infinite loop)
-      if (l < 0 || l > end - pos)
-        throw new IllegalArgumentException("bad length-delimited size")
-      val s = pos; pos += l.toInt
-      (s, pos)
-    }
-    def skip(wireType: Int): Unit = wireType match {
-      case 0 => varint()
-      case 1 => pos += 8
-      case 2 => lenDelimited()
-      case 5 => pos += 4
-      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
-    }
-    def utf8(s: Int, e: Int): String = new String(buf, s, e - s, "UTF-8")
-  }
+  // the wire walker lives in ProtoWire (shared with the gRPC transport's
+  // message codec since round 9 — one varint/length-guard implementation)
+  private type Reader = ProtoWire.Reader
 
   /** Extract fee/memo from a raw protobuf-encoded Tx. Returns None on any
     * malformed input (parity with the reference, which nulls out on decode

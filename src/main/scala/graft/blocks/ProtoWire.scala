@@ -1,13 +1,16 @@
-package graft.sources.grpc
+package graft.blocks
 
 /** Minimal protobuf wire-format writer + reader, built only from the public
   * protobuf encoding spec (varint / 64-bit / length-delimited / 32-bit wire
-  * types) — the encode-side twin of [[graft.blocks.ProtoMini]]'s walker.
+  * types). THE one wire walker in the artifact: [[ProtoMini]]'s tx decode
+  * and the gRPC transport's message codec
+  * ([[graft.sources.grpc.TendermintGrpcCodec]]) both read through
+  * [[ProtoWire.Reader]], so a wire-level fix (e.g. the varint overflow
+  * guard) cannot drift between the two decode paths.
   *
-  * Used by the gRPC transport ([[TendermintGrpcCodec]]) to hand-encode the
-  * handful of Tendermint/Cosmos message shapes the engine exchanges, the same
-  * way ProtoMini hand-decodes `cosmos.tx.v1beta1.Tx` — no generated classes,
-  * no proto toolchain, just field numbers from the public .proto definitions.
+  * No generated classes, no proto toolchain — just field numbers from the
+  * public .proto definitions, the way ProtoMini hand-decodes
+  * `cosmos.tx.v1beta1.Tx`.
   *
   * Encoding conventions follow proto3 scalar semantics: zero-valued scalars
   * and empty byte strings are omitted; embedded messages are omitted when
@@ -66,9 +69,9 @@ object ProtoWire {
     }
   }
 
-  /** Wire walker — the public twin of `ProtoMini.Reader` (same spec, same
-    * overflow guards), shared by the gRPC client (response decode) and the
-    * stub server (request decode).
+  /** Wire walker (with the length/overflow guards ProtoMini's original
+    * private reader carried), shared by the tx decoder, the gRPC client
+    * (response decode), and the stub server (request decode).
     */
   final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def this(buf: Array[Byte]) = this(buf, 0, buf.length)

@@ -37,8 +37,19 @@ final class StubGrpcServer(dir: String,
                            histFrom: Long = 2270370L, histTo: Long = 2270469L,
                            liveCount: Int = 6, liveSrcFrom: Long = 3126935L) {
 
+  /** First chain slot above the historical window. Slots
+    * [liveFrom, lastServableSlot] serve the live payloads via DIRECT
+    * `GetBlockByHeight` fetches (srcHeight mapping below); they are NOT
+    * reachable through offset planning, because the cosmos tip RPC returns
+    * a BLOCK — whose `header.height` is the payload's own content height
+    * (3126935+), not a chain-slot number — so this stub cannot advertise a
+    * slot-valued advanced tip the way [[StubRpcServer]]'s `/status` does.
+    * `GetLatestBlock` therefore serves the historical ceiling's block
+    * (header.height == histTo, the tip captured at stream start), and the
+    * history→live transition stays gated on the HTTP stub (st9).
+    */
   val liveFrom: Long = histTo + 1
-  @volatile var latest: Long = histTo + liveCount
+  val lastServableSlot: Long = histTo + liveCount
   private val failures = new AtomicInteger(0)
   private val requests = new AtomicInteger(0)
   private val resultsRequests = new AtomicInteger(0)
@@ -77,9 +88,7 @@ final class StubGrpcServer(dir: String,
     if (!Files.exists(p)) None
     else Some(encodedCache.computeIfAbsent(path, { pp: String =>
       val raw = new String(Files.readAllBytes(Paths.get(pp)), "UTF-8")
-      val json = "\\$\\{([a-zA-Z0-9_]+)(?::-([^}]*))?\\}".r.replaceAllIn(raw, m =>
-        scala.util.matching.Regex.quoteReplacement(Option(m.group(2)).getOrElse("")))
-      enc(json)
+      enc(graft.blocks.FixtureSource.substitute(raw, Map.empty))
     }))
   }
 

@@ -97,10 +97,7 @@ final class StubRpcServer(dir: String,
   private def resolved(path: String, vars: Map[String, String]): String =
     resolvedCache.computeIfAbsent((path, vars), { case (p, vs) =>
       val raw = new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
-      "\\$\\{([a-zA-Z0-9_]+)(?::-([^}]*))?\\}".r.replaceAllIn(raw, m => {
-        val v = vs.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))
-        scala.util.matching.Regex.quoteReplacement(v)
-      })
+      graft.blocks.FixtureSource.substitute(raw, vs)
     })
 
   /** Chain height → template file height (live slots serve live payloads). */

@@ -189,9 +189,15 @@ final class GrpcConnection(host: String, port: Int,
           if (consumed > 0)
             ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
           if (df.isEndStream)
-            // END_STREAM on DATA without trailers: not the gRPC shape —
-            // report what we have with an INTERNAL status
-            finish(ctx, headerGrpcStatus.getOrElse(GrpcWire.INTERNAL), "no trailers")
+            // END_STREAM on DATA without trailers: not the gRPC shape. A
+            // non-200 HTTP status here is an intermediary's error page
+            // (proxy/LB restart serving a 503 WITH a body) — the same
+            // transient the headers-only branch maps to UNAVAILABLE, so it
+            // must stay retryable; only a 200 body without trailers is a
+            // protocol violation worth failing fast on (INTERNAL)
+            finish(ctx, headerGrpcStatus.getOrElse(
+              if (httpStatus == 200) GrpcWire.INTERNAL else GrpcWire.UNAVAILABLE),
+              "no trailers")
         case rf: Http2ResetFrame =>
           done.completeExceptionally(
             new IOException(s"gRPC stream reset (error ${rf.errorCode()})"))

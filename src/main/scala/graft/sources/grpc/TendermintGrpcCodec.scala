@@ -2,7 +2,7 @@ package graft.sources.grpc
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
-import graft.sources.grpc.ProtoWire.{Reader, Writer}
+import graft.blocks.ProtoWire.{Reader, Writer}
 
 /** Hand-rolled codec between the Tendermint JSON-RPC payload shapes the
   * engine consumes ([[graft.blocks.BlockSchemas]]) and the protobuf messages
@@ -327,11 +327,19 @@ object TendermintGrpcCodec {
     n
   }
 
+  /** Header hex-bytes field number → JSON key (fields 6..14), hoisted off
+    * the per-block decode path (this runs once per gRPC block fetch).
+    */
+  private val HeaderHexNames: Array[String] = Array(
+    "last_commit_hash", "data_hash", "validators_hash",
+    "next_validators_hash", "consensus_hash", "app_hash",
+    "last_results_hash", "evidence_hash", "proposer_address")
+
   private def decHeader(r: Reader): ObjectNode = {
     val n = mapper.createObjectNode()
     val version = n.putObject("version")
     var verBlock = 0L; var verApp = 0L
-    val hexFields = scala.collection.mutable.Map.empty[Int, String]
+    val hexFields = new Array[String](9) // fields 6..14, indexed f-6
     var chainId = ""; var height = 0L; var time: String = null
     var lastBlockId: ObjectNode = null
     while (r.hasNext) {
@@ -350,7 +358,7 @@ object TendermintGrpcCodec {
         case (4, 2) => val (s, e) = r.lenDelimited(); time = decTimestamp(r.subReader(s, e))
         case (5, 2) => val (s, e) = r.lenDelimited(); lastBlockId = decBlockId(r.subReader(s, e))
         case (hf, 2) if hf >= 6 && hf <= 14 =>
-          val (s, e) = r.lenDelimited(); hexFields(hf) = bytesToHexUpper(r.slice(s, e))
+          val (s, e) = r.lenDelimited(); hexFields(hf - 6) = bytesToHexUpper(r.slice(s, e))
         case _ => r.skip(w)
       }
     }
@@ -360,11 +368,11 @@ object TendermintGrpcCodec {
     n.put("height", height.toString)
     if (time != null) n.put("time", time)
     if (lastBlockId != null) n.set[JsonNode]("last_block_id", lastBlockId)
-    val hexNames = Map(6 -> "last_commit_hash", 7 -> "data_hash",
-      8 -> "validators_hash", 9 -> "next_validators_hash",
-      10 -> "consensus_hash", 11 -> "app_hash", 12 -> "last_results_hash",
-      13 -> "evidence_hash", 14 -> "proposer_address")
-    (6 to 14).foreach(f => n.put(hexNames(f), hexFields.getOrElse(f, "")))
+    var i = 0
+    while (i < 9) {
+      n.put(HeaderHexNames(i), if (hexFields(i) != null) hexFields(i) else "")
+      i += 1
+    }
     n
   }
 

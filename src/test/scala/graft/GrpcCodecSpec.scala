@@ -1,7 +1,8 @@
 package graft
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import graft.sources.grpc.{GrpcWire, ProtoWire, TendermintGrpcCodec => C}
+import graft.blocks.ProtoWire
+import graft.sources.grpc.{GrpcWire, TendermintGrpcCodec => C}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The gRPC codec's correctness story has two independent legs:
@@ -23,12 +24,10 @@ class GrpcCodecSpec extends AnyFunSuite {
   private val T = graft.blocks.FixtureSource.DefaultTemplates
   private val mapper = new ObjectMapper()
 
-  private def resolved(path: String): String = {
-    val raw = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8")
-    "\\$\\{([a-zA-Z0-9_]+)(?::-([^}]*))?\\}".r.replaceAllIn(raw, m =>
-      scala.util.matching.Regex.quoteReplacement(Option(m.group(2)).getOrElse("")))
-  }
+  private def resolved(path: String): String =
+    graft.blocks.FixtureSource.substitute(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"), Map.empty)
 
   /** Structural JSON equality with numeric-node tolerance (Jackson's
     * IntNode(0) != LongNode(0) even though the serialized JSON is identical;

@@ -29,12 +29,10 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = stub.stop()
 
-  private def resolved(path: String): String = {
-    val raw = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8")
-    "\\$\\{([a-zA-Z0-9_]+)(?::-([^}]*))?\\}".r.replaceAllIn(raw, m =>
-      scala.util.matching.Regex.quoteReplacement(Option(m.group(2)).getOrElse("")))
-  }
+  private def resolved(path: String): String =
+    graft.blocks.FixtureSource.substitute(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"), Map.empty)
 
   test("currentHeight = GetLatestBlock().header.height (the start tip)") {
     assert(client.currentHeight() === 2270469L)
