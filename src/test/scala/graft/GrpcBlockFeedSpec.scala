@@ -1,0 +1,88 @@
+package graft
+
+import graft.blocks.{EventTables, FixtureSource}
+import graft.sources.BlockClient
+import graft.sources.grpc.GrpcBlockClient
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The gRPC transport THROUGH the connector (the HttpBlockFeedSpec
+  * scenarios on the fourth transport): batch scans, pushdown-driven mode
+  * selection, and the meta-page degrade must all produce the same
+  * 100/29 ground truth as the file transport when the only thing that
+  * changed is `path = grpc://…`. The wire itself (framing, status taxonomy,
+  * codec round-trip) is covered by GrpcWireSpec/GrpcCodecSpec; the gate
+  * queries st11/st12 hash-match the streaming drain and the batch event
+  * aggregation against DuckDB.
+  */
+class GrpcBlockFeedSpec extends AnyFunSuite {
+
+  private val T = FixtureSource.DefaultTemplates
+  private lazy val spark: SparkSession = Session.builder("graft-grpc-test").getOrCreate()
+
+  private def withStub[A](f: StubGrpcServer => A): A = {
+    val stub = new StubGrpcServer(T)
+    try f(stub) finally stub.stop()
+  }
+
+  test("scheme selection: grpc:// opens the gRPC transport") {
+    assert(BlockClient.open("grpc://127.0.0.1:1").isInstanceOf[GrpcBlockClient])
+  }
+
+  test("S1 batch scan over grpc: 100 rows, same event totals as file transport") {
+    withStub { stub =>
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base)
+        .option("from", "2270370").option("to", "2270469").load()
+      assert(df.count() === 100L)
+      assert(EventTables.txEvents(df).count() === 9838L)
+      assert(EventTables.blockEvents(df).count() === 2211L)
+      assert(df.filter(col("num_txs") > 0).count() === 29L)
+    }
+  }
+
+  test("S3 over grpc: header-only projection takes the (degraded) meta path") {
+    withStub { stub =>
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base)
+        .option("from", "2270370").option("to", "2270409").load()
+        .select("height", "time", "chain_id", "num_txs", "historical")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("mode=meta"), s"expected meta mode:\n$plan")
+      assert(df.count() === 40L)
+      // same header facts as the file transport's meta pages
+      val viaFile = FixtureSource.blockMetas(spark, T, 2270370L, 2270409L)
+        .select("height", "chain_id", "num_txs")
+      assert(df.select("height", "chain_id", "num_txs")
+        .exceptAll(viaFile).count() === 0L)
+    }
+  }
+
+  test("results-RPC elision over grpc: no event column, no results calls") {
+    withStub { stub =>
+      // projecting the block payload (ordinal 5) forces full mode but needs
+      // no txs_results — the reader must make exactly one RPC per height
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base)
+        .option("from", "2270370").option("to", "2270379").load()
+        .select(col("height"), size(col("block.data.txs")).as("n"))
+      assert(df.count() === 10L)
+      assert(stub.resultsServes === 0,
+        "results service called despite no event column in the projection")
+      assert(stub.blockServesIn(2270370L, 2270379L) >= 10)
+    }
+  }
+
+  test("height-list scan (S2) over grpc plans only the listed heights") {
+    withStub { stub =>
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base)
+        .option("heights", "2270370,2270400,2270469").load()
+        .select(col("height"), size(col("block.data.txs")).as("n"))
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(2270370L, 2270400L, 2270469L))
+      assert(stub.blockServesIn(2270370L, 2270469L) === 3)
+    }
+  }
+}
