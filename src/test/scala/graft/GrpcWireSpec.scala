@@ -96,6 +96,17 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[java.io.IOException](client.currentHeight())
   }
 
+  test("a dropped connection reconnects transparently on the next call") {
+    val port = stub.base.stripPrefix("grpc://").split(":")(1).toInt
+    val conn = new GrpcConnection("127.0.0.1", port)
+    val req = graft.sources.grpc.TendermintGrpcCodec.encodeHeightRequest(2270371L)
+    assert(conn.unary(GrpcBlockClient.GetBlockByHeightPath, req).status === GrpcWire.OK)
+    conn.close() // an executor's TCP connection dies (idle reap, node bounce)
+    // the next unary must dial a fresh connection, not fail on the dead one
+    assert(conn.unary(GrpcBlockClient.GetBlockByHeightPath, req).status === GrpcWire.OK)
+    conn.close()
+  }
+
   test("unknown method → UNIMPLEMENTED fails fast (not retried)") {
     val conn = new GrpcConnection("127.0.0.1",
       stub.base.stripPrefix("grpc://").split(":")(1).toInt)
