@@ -114,16 +114,11 @@ final class FileBlockClient(dir: String) extends BlockClient {
   private def readFile(p: java.nio.file.Path): String =
     new String(Files.readAllBytes(p), "UTF-8")
 
-  override def currentHeight(): Long = {
-    val p = Paths.get(s"$dir/abci_info/success.json")
-    val raw = readFile(p)
-    // resolve `${var:-default}` template defaults
-    val json = "\\$\\{[a-zA-Z0-9_]+(?::-([^}]*))?\\}".r
-      .replaceAllIn(raw, m => Option(m.group(1)).getOrElse(""))
-    """"last_block_height"\s*:\s*"?(\d+)"?""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(s"no last_block_height in $p"))
-  }
+  // template resolution + height extraction live in FixtureSource (the one
+  // `${var:-default}` implementation — an inline regex variant here once
+  // silently diverged from it)
+  override def currentHeight(): Long =
+    graft.blocks.FixtureSource.currentHeight(dir)
 
   override def availableHeights(from: Long, to: Long): Seq[Long] = {
     val d = Paths.get(s"$dir/block")

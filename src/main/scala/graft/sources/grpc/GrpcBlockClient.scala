@@ -27,6 +27,11 @@ object GrpcBlockClient {
 
   private[grpc] def connection(host: String, port: Int): GrpcConnection =
     pool.computeIfAbsent((host, port), { case (h, p) => new GrpcConnection(h, p) })
+
+  /** Shared, thread-safe (read/write-only use) mapper for meta-page
+    * assembly — not one instance per metaPages call.
+    */
+  private[grpc] val mapper = new ObjectMapper()
 }
 
 /** S16 — the gRPC transport under the blockfeed connector: the reference's
@@ -46,8 +51,13 @@ object GrpcBlockClient {
   *     `[max(from,1), min(to, tip)]` (the HTTP transport's same assumption
   *     when `/status` is absent); the tendermint gRPC service exposes no
   *     earliest-height RPC, so a pruning node's floor is not visible here.
-  *   - `blockResults` uses the CometBFT block-results service (no 0.34-era
-  *     gRPC analog existed; see [[TendermintGrpcCodec]]).
+  *   - `blockResults` uses the CometBFT block-results service NAME with the
+  *     0.34-era response layout this engine's fixtures speak (no 0.34 gRPC
+  *     analog existed; see [[TendermintGrpcCodec]]). NB a real CometBFT
+  *     ≥0.38 node lays the response out differently (one
+  *     `finalize_block_events` list at field 3, `validator_updates` at 4):
+  *     pointing this client at one requires adapting the codec's field map
+  *     — the other two services are the standard cosmos-sdk ones.
   *   - `metaPages`: gRPC has no paged `/blockchain` RPC, so meta-only scans
   *     DEGRADE to per-height `GetBlockByHeight` fetches re-assembled into
   *     20-height pages; `block_size` is the serialized response size (the
@@ -114,14 +124,16 @@ final class GrpcBlockClient(base: String) extends BlockClient {
       .map(TendermintGrpcCodec.decodeBlockResultsResponse)
 
   override def metaPages(from: Long, to: Long): Seq[String] = {
-    val mapper = new ObjectMapper()
+    val mapper = GrpcBlockClient.mapper
     (from to to by 20L).iterator.map { lo =>
       val hi = math.min(lo + 19L, to)
       val metas = mapper.createArrayNode()
       (lo to hi).foreach { h =>
         call(GrpcBlockClient.GetBlockByHeightPath,
           TendermintGrpcCodec.encodeHeightRequest(h)).foreach { payload =>
-          val parsed = mapper.readTree(TendermintGrpcCodec.decodeBlockResponse(payload))
+          // decode straight to the tree — stringify-then-reparse would
+          // double the JSON work per height on this already-degraded path
+          val parsed = TendermintGrpcCodec.decodeBlockResponseNode(payload)
           val result = parsed.path("result")
           val meta = metas.addObject()
           meta.set[com.fasterxml.jackson.databind.JsonNode](

@@ -134,8 +134,13 @@ final class GrpcConnection(host: String, port: Int,
             }
           })
         val f = b.connect()
-        if (!f.awaitUninterruptibly(connectTimeoutMillis.toLong, TimeUnit.MILLISECONDS))
+        if (!f.awaitUninterruptibly(connectTimeoutMillis.toLong, TimeUnit.MILLISECONDS)) {
+          // a late-completing connect must not leak its channel onto the
+          // daemon loop for the JVM lifetime (one orphan per retry attempt)
+          f.cancel(true)
+          f.channel().close()
           throw new IOException(s"gRPC connect timeout to $host:$port")
+        }
         if (!f.isSuccess) f.cause() match {
           case e: java.net.UnknownHostException => throw e
           case e: IOException => throw e
@@ -145,6 +150,17 @@ final class GrpcConnection(host: String, port: Int,
         parent
       }
     }
+  }
+
+  /** Evict `ch` from the slot if it is still the pooled parent: called when
+    * a stream could not be opened on an `isActive` connection — the
+    * GOAWAY-drain / half-open shape, where the TCP socket looks healthy but
+    * the HTTP/2 layer refuses new streams. Without eviction every T4 retry
+    * re-uses the doomed connection and the (host, port) slot is dead until
+    * JVM restart.
+    */
+  private def evict(ch: Channel): Unit = synchronized {
+    if (parent eq ch) { parent = null; ch.close(); () }
   }
 
   /** Blocking unary call. Returns the peer's grpc-status + raw (unframed)
@@ -225,17 +241,33 @@ final class GrpcConnection(host: String, port: Int,
 
     val streamF = bootstrap.open()
     if (!streamF.awaitUninterruptibly(connectTimeoutMillis.toLong, TimeUnit.MILLISECONDS) ||
-        !streamF.isSuccess)
+        !streamF.isSuccess) {
+      // an isActive connection that refuses new streams is GOAWAY-draining
+      // or half-open — evict it so the next attempt dials fresh instead of
+      // burning the whole retry ladder against the same doomed parent
+      evict(ch)
       throw new IOException("could not open HTTP/2 stream", streamF.cause())
+    }
     val stream = streamF.getNow
 
     val headers = new DefaultHttp2Headers()
     headers.method("POST").scheme("http").authority(s"$host:$port").path(path)
     headers.set("content-type", "application/grpc")
     headers.set("te", "trailers")
-    stream.write(new DefaultHttp2HeadersFrame(headers))
+    // a failed write (stream error between open and write) must fail the
+    // call NOW, not leave the task blocked for the full call timeout
+    val failOnWriteError = new ChannelFutureListener {
+      override def operationComplete(wf: ChannelFuture): Unit =
+        if (!wf.isSuccess)
+          done.completeExceptionally(wf.cause() match {
+            case io: IOException => io
+            case c => new IOException("gRPC request write failed", c)
+          })
+    }
+    stream.write(new DefaultHttp2HeadersFrame(headers)).addListener(failOnWriteError)
     stream.writeAndFlush(new DefaultHttp2DataFrame(
       Unpooled.wrappedBuffer(GrpcWire.frame(request)), true))
+      .addListener(failOnWriteError)
 
     try done.get(callTimeoutMillis.toLong, TimeUnit.MILLISECONDS)
     catch {

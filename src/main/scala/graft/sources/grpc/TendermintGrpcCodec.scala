@@ -439,15 +439,21 @@ object TendermintGrpcCodec {
     }
     if (header != null) n.set[JsonNode]("header", header)
     n.putObject("data").set[JsonNode]("txs", txs) // corpus: always a list
+    // evidence (field 3) is NOT decoded: Evidence is a deep oneof the
+    // engine never reads, and the corpus carries none — a block with real
+    // evidence renders the constant empty shape here (documented transport
+    // deviation; the HTTP transport carries it verbatim)
     n.putObject("evidence").set[JsonNode]("evidence", mapper.createArrayNode())
     if (commit != null) n.set[JsonNode]("last_commit", commit)
     n
   }
 
   /** `GetBlockByHeightResponse`/`GetLatestBlockResponse` bytes → the
-    * engine's `/block` JSON-RPC envelope.
+    * engine's `/block` JSON-RPC envelope, as a Jackson tree (the meta-page
+    * path reads fields off the tree directly — stringify-then-reparse would
+    * double the JSON work per height on the degraded meta scan).
     */
-  def decodeBlockResponse(bytes: Array[Byte]): String = {
+  def decodeBlockResponseNode(bytes: Array[Byte]): ObjectNode = {
     val r = new Reader(bytes)
     var blockId: ObjectNode = null; var block: ObjectNode = null
     while (r.hasNext) {
@@ -462,8 +468,11 @@ object TendermintGrpcCodec {
     val result = root.putObject("result")
     if (blockId != null) result.set[JsonNode]("block_id", blockId)
     if (block != null) result.set[JsonNode]("block", block)
-    mapper.writeValueAsString(root)
+    root
   }
+
+  def decodeBlockResponse(bytes: Array[Byte]): String =
+    mapper.writeValueAsString(decodeBlockResponseNode(bytes))
 
   /** header.height of a block response, without building the JSON. */
   def latestHeightOf(bytes: Array[Byte]): Long = {
@@ -520,7 +529,10 @@ object TendermintGrpcCodec {
 
   private def decTxResult(r: Reader): ObjectNode = {
     val n = mapper.createObjectNode()
-    var code = 0L; var data = ""; var log = ""; var info = ""
+    // data: absent on the wire → JSON null (what a real node's JSON-RPC
+    // carries for an empty tx result), so the gRPC and HTTP transports
+    // yield identical raw rows; the corpus itself has no absent case
+    var code = 0L; var data: String = null; var log = ""; var info = ""
     var gasWanted = 0L; var gasUsed = 0L; var codespace = ""
     val events = mapper.createArrayNode()
     while (r.hasNext) {
@@ -538,7 +550,7 @@ object TendermintGrpcCodec {
       }
     }
     n.put("code", code)
-    n.put("data", data)
+    if (data != null) n.put("data", data) else n.putNull("data")
     n.put("log", log)
     n.put("info", info)
     n.put("gas_wanted", gasWanted.toString)
