@@ -96,6 +96,40 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[java.io.IOException](client.currentHeight())
   }
 
+  test("flow control: a response larger than the 1 MiB stream window reassembles") {
+    // the corpus tops out at a few hundred KiB; synthesize a block_results
+    // payload whose proto encoding exceeds the initial window so the
+    // transfer MUST ride WINDOW_UPDATE replenishment (and the peer's
+    // max-frame splitting) to complete — a stall here would hit the 60 s
+    // call timeout, not a wrong answer
+    val tmp = java.nio.file.Files.createTempDirectory("grpc-big-")
+    try {
+      val dir = tmp.resolve("block_results")
+      java.nio.file.Files.createDirectories(dir)
+      val bigLog = "x" * (3 * 1024 * 1024) // 3 MiB >> the 1 MiB window
+      val json =
+        s"""{"jsonrpc":"2.0","id":-1,"result":{"height":"42",
+           |"txs_results":[{"code":0,"data":"","log":"$bigLog","info":"",
+           |"gas_wanted":"1","gas_used":"1","codespace":"",
+           |"events":[]}],
+           |"begin_block_events":null,"end_block_events":null}}""".stripMargin
+      java.nio.file.Files.write(dir.resolve("42.json"), json.getBytes("UTF-8"))
+      val big = new StubGrpcServer(tmp.toString, histFrom = 42L, histTo = 42L)
+      try {
+        val c = new GrpcBlockClient(big.base)
+        val res = c.blockResults(42L).get
+        val tree = mapper.readTree(res)
+        val log = tree.path("result").path("txs_results").get(0).path("log").asText()
+        assert(log.length === 3 * 1024 * 1024)
+        assert(log.forall(_ == 'x'))
+      } finally big.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("a dropped connection reconnects transparently on the next call") {
     val port = stub.base.stripPrefix("grpc://").split(":")(1).toInt
     val conn = new GrpcConnection("127.0.0.1", port)
