@@ -35,6 +35,13 @@ object Graph extends QueryPack {
     * one shuffled-hash join (only the node-sized rank relation moves; the
     * cached edges never re-shuffle and the rank side never broadcasts,
     * which would not survive 100× nodes) plus one map-side-combinable sum.
+    * The receiver-degree DENORMALIZATION onto the cached edges is
+    * load-bearing, not an accident: a measured round-9 variant that kept
+    * edges narrow and re-joined the degree table per iteration (the
+    * oracle's own SQL shape) ran ~25% slower in two paired same-JVM
+    * runs — carrying `v_outdeg` through the aggregate is free (one extra
+    * max() fused into the existing shuffle), while the per-iteration deg
+    * join adds a serial stage barrier to the critical path each round.
     * Rank mass is integer micro-units: contribution = rank div degree,
     * next = 150000 + 85·inflow div 100 — no floats, so no
     * order-of-addition divergence at any parallelism. Top-30 is
