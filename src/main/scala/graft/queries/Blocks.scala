@@ -715,10 +715,69 @@ object Blocks extends QueryPack {
     },
     e1Connector.oracle)
 
+  /** st13: the CometBFT ≥0.38 block-results layout over the gRPC wire —
+    * the layout a REAL node's BlockResultsService serves (the service only
+    * exists from 0.38 on; the v034 layout of st11/st12 is the fixtures'
+    * own split shape). The stub folds the corpus' begin/end lists into one
+    * `finalize_block_events` list with the cosmos-sdk's `mode` markers and
+    * adds the `validator_updates`/`app_hash` fields the engine never reads;
+    * the client must reconstruct the 0.34 split from the markers, STRIP
+    * them, and skip the unknown fields
+    * ([[graft.sources.grpc.TendermintGrpcCodec]]'s v038 scaladoc carries
+    * the routing rules). The gate is a per-(origin, type) census over BOTH
+    * event lists with an attribute-count checksum: a misrouted event flips
+    * an origin count, a leaked marker inflates `n_attrs` — either breaks
+    * the hash against DuckDB reading the original split templates.
+    */
+  val st13GrpcV038Events = GQuery(
+    "st13_grpc_v038_block_events",
+    (s, _) => {
+      val stub = new graft.StubGrpcServer(T, resultsLayout = "v038")
+      try {
+        // materialize ONE connector pass (localCheckpoint), then census the
+        // two event lists off it — two lazy branches would re-fetch every
+        // height over the wire per branch
+        val raw = s.read.format("blockfeed").option("path", stub.base)
+          .option("from", From.toString).option("to", To.toString)
+          .option("heightsPerPartition", "8")
+          .option("retryBaseWaitMs", "25").load()
+          .select("height", "begin_block_events", "end_block_events")
+          .localCheckpoint(true)
+        require(stub.resultsServes >= 100,
+          "st13 never exercised the v038 block-results service")
+        def census(listCol: String, origin: String) = raw
+          .select(explode(coalesce(col(listCol), array())).as("e"))
+          .select(lit(origin).as("origin"),
+            coalesce(col("e.type"), lit("")).as("event_type"),
+            size(coalesce(col("e.attributes"), array())).cast("long").as("na"))
+        census("begin_block_events", "begin")
+          .unionAll(census("end_block_events", "end"))
+          .groupBy("origin", "event_type")
+          .agg(count(lit(1)).as("n_events"), sum(col("na")).as("n_attrs"))
+      } finally stub.stop()
+    },
+    Some(s"""
+      WITH br AS (
+        SELECT CAST(result.height AS BIGINT) AS height,
+               result.begin_block_events AS bev,
+               result.end_block_events AS eev
+        FROM read_json_auto('$T/block_results/*.json', $MaxObj)
+        WHERE CAST(result.height AS BIGINT) BETWEEN $From AND $To
+      ), ev AS (
+        SELECT 'begin' AS origin, unnest(bev) AS e FROM br WHERE bev IS NOT NULL
+        UNION ALL
+        SELECT 'end' AS origin, unnest(eev) AS e FROM br WHERE eev IS NOT NULL
+      )
+      SELECT origin, COALESCE(e.type, '') AS event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(len(COALESCE(e.attributes, []))) AS BIGINT) AS n_attrs
+      FROM ev GROUP BY 1, 2"""))
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
       p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector,
       st6StreamConnector, st7ChaosConnector, st8WsConnector,
-      st9Combined, st10Resume, st11GrpcConnector, st12GrpcTxEvents)
+      st9Combined, st10Resume, st11GrpcConnector, st12GrpcTxEvents,
+      st13GrpcV038Events)
 }

@@ -35,7 +35,21 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 final class StubGrpcServer(dir: String,
                            histFrom: Long = 2270370L, histTo: Long = 2270469L,
-                           liveCount: Int = 6, liveSrcFrom: Long = 3126935L) {
+                           liveCount: Int = 6, liveSrcFrom: Long = 3126935L,
+                           resultsLayout: String = "v034") {
+
+  require(resultsLayout == "v034" || resultsLayout == "v038",
+    s"unknown results layout $resultsLayout")
+
+  /** Block-results encoder for the node generation this stub models:
+    * `v034` = the fixtures' split layout; `v038` = the real ≥0.38 layout
+    * (begin/end folded into `finalize_block_events` with the sdk's `mode`
+    * markers, plus the `validator_updates`/`app_hash` fields a real node
+    * always carries — [[TendermintGrpcCodec.encodeBlockResultsResponseV038]]).
+    */
+  private val encodeResults: String => Array[Byte] =
+    if (resultsLayout == "v038") TendermintGrpcCodec.encodeBlockResultsResponseV038
+    else TendermintGrpcCodec.encodeBlockResultsResponse
 
   /** First chain slot above the historical window. Slots
     * [liveFrom, lastServableSlot] serve the live payloads via DIRECT
@@ -115,8 +129,7 @@ final class StubGrpcServer(dir: String,
       case GrpcBlockClient.GetBlockResultsPath =>
         val h = TendermintGrpcCodec.decodeHeightRequest(GrpcWire.unframe(requestBody))
         resultsRequests.incrementAndGet()
-        encoded(s"$dir/block_results/${srcHeight(h)}.json",
-          TendermintGrpcCodec.encodeBlockResultsResponse) match {
+        encoded(s"$dir/block_results/${srcHeight(h)}.json", encodeResults) match {
           case Some(b) => (GrpcWire.OK, "", Some(b))
           case None => (GrpcWire.NOT_FOUND, s"height $h is not available", None)
         }
@@ -216,7 +229,12 @@ final class StubGrpcServer(dir: String,
   private val port: Int =
     serverChannel.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
 
-  def base: String = s"grpc://127.0.0.1:$port"
+  /** Client-ready URI: carries the `results` layout option when this stub
+    * models a ≥0.38 node, so callers need no layout bookkeeping of their own.
+    */
+  def base: String =
+    if (resultsLayout == "v038") s"grpc://127.0.0.1:$port?results=v038"
+    else s"grpc://127.0.0.1:$port"
 
   /** Closes the listener; the event loop is daemon and shut down gracefully
     * (0 s quiet period) so no non-daemon thread outlives the stub — the

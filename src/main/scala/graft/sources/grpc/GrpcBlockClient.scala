@@ -51,13 +51,19 @@ object GrpcBlockClient {
   *     `[max(from,1), min(to, tip)]` (the HTTP transport's same assumption
   *     when `/status` is absent); the tendermint gRPC service exposes no
   *     earliest-height RPC, so a pruning node's floor is not visible here.
-  *   - `blockResults` uses the CometBFT block-results service NAME with the
-  *     0.34-era response layout this engine's fixtures speak (no 0.34 gRPC
-  *     analog existed; see [[TendermintGrpcCodec]]). NB a real CometBFT
-  *     ≥0.38 node lays the response out differently (one
-  *     `finalize_block_events` list at field 3, `validator_updates` at 4):
-  *     pointing this client at one requires adapting the codec's field map
-  *     — the other two services are the standard cosmos-sdk ones.
+  *   - `blockResults` speaks BOTH response layouts of the CometBFT
+  *     block-results service, selected by the URI
+  *     (`grpc://host:port?results=v034|v038`, default v034): `v034` is the
+  *     0.34-era split layout this engine's fixtures speak (no 0.34 gRPC
+  *     analog existed; see [[TendermintGrpcCodec]]); `v038` is the layout a
+  *     REAL CometBFT ≥0.38 node serves — one `finalize_block_events` list,
+  *     reconstructed into the engine's begin/end split via the cosmos-sdk's
+  *     `mode` attribute marker ([[TendermintGrpcCodec
+  *     .decodeBlockResultsResponseV038]]'s scaladoc carries the routing
+  *     rules). The layout cannot be sniffed from the wire (both field 3s
+  *     are repeated Events), so it is an explicit connection option —
+  *     the other two services are the standard cosmos-sdk ones, identical
+  *     across versions.
   *   - `metaPages`: gRPC has no paged `/blockchain` RPC, so meta-only scans
   *     DEGRADE to per-height `GetBlockByHeight` fetches re-assembled into
   *     20-height pages; `block_size` is the serialized response size (the
@@ -76,12 +82,22 @@ object GrpcBlockClient {
   */
 final class GrpcBlockClient(base: String) extends BlockClient {
 
-  private val (host, port) = {
-    val hp = base.stripPrefix("grpc://").stripSuffix("/")
-    hp.split(":", 2) match {
-      case Array(h, p) => (h, p.toInt)
+  private val (host, port, resultsV038) = {
+    val (hpPart, query) = base.stripPrefix("grpc://").split("\\?", 2) match {
+      case Array(hp, q) => (hp, q)
+      case Array(hp) => (hp, "")
+    }
+    val params = query.split("&").filter(_.nonEmpty).map(_.split("=", 2))
+    val v038 = params.collectFirst { case Array("results", v) => v } match {
+      case Some("v038") => true
+      case Some("v034") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown results layout '$other' in $base (v034 | v038)")
+    }
+    hpPart.stripSuffix("/").split(":", 2) match {
+      case Array(h, p) => (h, p.toInt, v038)
       case _ => throw new IllegalArgumentException(
-        s"grpc:// URI must be grpc://host:port, got $base")
+        s"grpc:// URI must be grpc://host:port[?results=v034|v038], got $base")
     }
   }
 
@@ -121,7 +137,8 @@ final class GrpcBlockClient(base: String) extends BlockClient {
   override def blockResults(height: Long): Option[String] =
     call(GrpcBlockClient.GetBlockResultsPath,
       TendermintGrpcCodec.encodeHeightRequest(height))
-      .map(TendermintGrpcCodec.decodeBlockResultsResponse)
+      .map(if (resultsV038) TendermintGrpcCodec.decodeBlockResultsResponseV038
+           else TendermintGrpcCodec.decodeBlockResultsResponse)
 
   override def metaPages(from: Long, to: Long): Seq[String] = {
     val mapper = GrpcBlockClient.mapper

@@ -580,6 +580,11 @@ object TendermintGrpcCodec {
         case _ => r.skip(w)
       }
     }
+    resultsEnvelope(height, txs, begin, end)
+  }
+
+  private def resultsEnvelope(height: Long, txs: ArrayNode,
+                              begin: ArrayNode, end: ArrayNode): String = {
     val root = mapper.createObjectNode()
     root.put("jsonrpc", "2.0")
     root.put("id", -1)
@@ -591,5 +596,133 @@ object TendermintGrpcCodec {
     setOrNull("begin_block_events", begin)
     setOrNull("end_block_events", end)
     mapper.writeValueAsString(root)
+  }
+
+  // ======================================================================
+  // CometBFT ≥0.38 block-results layout — the layout a REAL node's
+  // BlockResultsService serves (the service only EXISTS from 0.38 on)
+  // ======================================================================
+
+  /** ABCI 2.0 (CometBFT 0.38, public spec) folded begin/end block events
+    * into one FinalizeBlock list, and the response message changed shape:
+    *
+    *   GetBlockResultsResponse { height = 1, tx_results = 2,
+    *                             finalize_block_events = 3,
+    *                             validator_updates = 4,
+    *                             consensus_param_updates = 5, app_hash = 6 }
+    *
+    * The old split is still wire-visible: the cosmos-sdk's baseapp tags
+    * every finalize event it migrates with an appended attribute
+    * `mode = BeginBlock | EndBlock` (public cosmos-sdk behavior since the
+    * ABCI 2.0 migration). This codec uses that marker to reconstruct the
+    * engine's (and the reference's, `BlockResultsResponseResult`) split
+    * model: `mode=BeginBlock` → `begin_block_events`, `mode=EndBlock` →
+    * `end_block_events`, and an event with NO marker (a chain emitting raw
+    * finalize events outside the sdk's begin/end blockers) → `end_block_
+    * events`, since untagged finalize events fire after tx delivery — the
+    * end-block position in the 0.34 model. The marker attribute itself is
+    * STRIPPED from the reconstructed event (it is transport framing, not
+    * app data; keeping it would make the same chain's events differ by
+    * transport). An attribute that merely LOOKS like the marker (`mode`
+    * key with any other value) is app data and is kept, routed to end.
+    *
+    * On the wire the 0.37+ `EventAttribute.key/value` are `string` where
+    * 0.34 had `bytes` — identical length-delimited encoding, so the decode
+    * path is shared and the engine keeps its corpus-era base64 rendering.
+    */
+  private val ModeKeyB64 = bytesToB64("mode".getBytes("UTF-8"))
+  private val BeginModeB64 = bytesToB64("BeginBlock".getBytes("UTF-8"))
+  private val EndModeB64 = bytesToB64("EndBlock".getBytes("UTF-8"))
+
+  /** Template `/block_results` JSON → the ≥0.38 wire shape (the stub node's
+    * v038 serving side): begin/end lists folded into `finalize_block_events`
+    * with the sdk's `mode` marker appended to each, plus the response fields
+    * the engine never reads — a `ValidatorUpdate{power}` at 4 and an
+    * `app_hash` at 6 — so a client must genuinely SKIP unknown fields to
+    * decode this (they are always present on a real node's wire).
+    */
+  def encodeBlockResultsResponseV038(json: String): Array[Byte] = {
+    val result = mapper.readTree(json).path("result")
+    val w = new Writer(8192)
+    w.int64(1, result.path("height").asText("0").toLong)
+    val txs = result.path("txs_results")
+    if (txs.isArray) {
+      val it = txs.elements()
+      while (it.hasNext) w.messageAlways(2, encTxResult(it.next()))
+    }
+    def fold(listName: String, mode: String): Unit = {
+      val evs = result.path(listName)
+      if (evs.isArray) {
+        val it = evs.elements()
+        while (it.hasNext) {
+          val ew = encEvent(it.next())
+          ew.messageAlways(2, new Writer(32)
+            .bytesField(1, "mode".getBytes("UTF-8"))
+            .bytesField(2, mode.getBytes("UTF-8")))
+          w.messageAlways(3, ew)
+        }
+      }
+    }
+    fold("begin_block_events", "BeginBlock")
+    fold("end_block_events", "EndBlock")
+    w.messageAlways(4, new Writer(8).int64(2, 1L)) // ValidatorUpdate{power=1}
+    w.bytesField(6, Array[Byte](0x0a, 0x0b))       // app_hash
+    w.bytes
+  }
+
+  /** ≥0.38 `GetBlockResultsResponse` bytes → the engine's 0.34-era
+    * `/block_results` JSON-RPC envelope (split reconstructed per the mode
+    * marker — scaladoc above). `tx_results` decode is shared with v034;
+    * `validator_updates`/`consensus_param_updates`/`app_hash` are skipped
+    * (not part of the engine's schema, same as the v034 round-trip note in
+    * `GrpcCodecSpec`).
+    */
+  def decodeBlockResultsResponseV038(bytes: Array[Byte]): String = {
+    val r = new Reader(bytes)
+    var height = 0L
+    val txs = mapper.createArrayNode()
+    val begin = mapper.createArrayNode()
+    val end = mapper.createArrayNode()
+    while (r.hasNext) {
+      val (f, w) = r.tag()
+      (f, w) match {
+        case (1, 0) => height = r.varint()
+        case (2, 2) => val (s, e) = r.lenDelimited(); txs.add(decTxResult(r.subReader(s, e)))
+        case (3, 2) =>
+          val (s, e) = r.lenDelimited()
+          val ev = decEvent(r.subReader(s, e))
+          routeFinalizeEvent(ev) match {
+            case 'b' => begin.add(ev)
+            case _ => end.add(ev)
+          }
+        case _ => r.skip(w)
+      }
+    }
+    resultsEnvelope(height, txs, begin, end)
+  }
+
+  /** Finds the sdk's `mode` marker on a decoded finalize event, strips it,
+    * and returns the routing ('b' = begin, 'e' = end). The LAST matching
+    * attribute wins (the sdk appends the marker; an app attribute earlier
+    * in the list that happens to collide stays untouched).
+    */
+  private def routeFinalizeEvent(ev: ObjectNode): Char = {
+    val attrs = ev.path("attributes") match {
+      case a: ArrayNode => a
+      case _ => return 'e'
+    }
+    var i = attrs.size() - 1
+    while (i >= 0) {
+      val a = attrs.get(i)
+      if (a.path("key").asText("") == ModeKeyB64) {
+        val v = a.path("value").asText("")
+        if (v == BeginModeB64 || v == EndModeB64) {
+          attrs.remove(i)
+          return if (v == BeginModeB64) 'b' else 'e'
+        }
+      }
+      i -= 1
+    }
+    'e'
   }
 }

@@ -144,6 +144,75 @@ class GrpcCodecSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // 3. the ≥0.38 block-results layout (finalize_block_events + mode markers)
+  // ------------------------------------------------------------------
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  test("v038 decode: mode markers route and strip; unmarked events land in end") {
+    import graft.blocks.ProtoWire.Writer
+    def attr(key: String, value: String): Writer =
+      new Writer(32).bytesField(1, key.getBytes("UTF-8"))
+        .bytesField(2, value.getBytes("UTF-8"))
+    def event(typ: String, attrs: Writer*): Writer = {
+      val w = new Writer(64).stringField(1, typ)
+      attrs.foreach(a => w.messageAlways(2, a))
+      w
+    }
+    val wire = new Writer(512)
+      .int64(1, 7L)
+      // begin-marked event with one app attribute — marker must strip
+      .messageAlways(3, event("mint", attr("amount", "5"), attr("mode", "BeginBlock")))
+      // end-marked event
+      .messageAlways(3, event("commission", attr("mode", "EndBlock")))
+      // UNMARKED finalize event → end (the non-sdk chain case)
+      .messageAlways(3, event("raw_finalize"))
+      // an app attribute that merely LOOKS like the marker (mode with a
+      // foreign value) is data: kept, event routed to end
+      .messageAlways(3, event("app_event", attr("mode", "turbo")))
+      // fields the engine never reads: ValidatorUpdate(4) + app_hash(6)
+      .messageAlways(4, new Writer(8).int64(2, 9L))
+      .bytesField(6, Array[Byte](1, 2, 3))
+      .bytes
+    val rt = mapper.readTree(C.decodeBlockResultsResponseV038(wire)).path("result")
+    assert(rt.path("height").asText() === "7")
+    assert(rt.path("txs_results").isNull)
+    val begin = rt.path("begin_block_events")
+    assert(begin.size() === 1)
+    assert(begin.get(0).path("type").asText() === "mint")
+    // marker stripped, app attribute intact
+    assert(begin.get(0).path("attributes").size() === 1)
+    assert(begin.get(0).path("attributes").get(0).path("key").asText() === b64("amount"))
+    val end = rt.path("end_block_events")
+    assert(end.size() === 3)
+    assert((0 until 3).map(end.get(_).path("type").asText()) ===
+      Seq("commission", "raw_finalize", "app_event"))
+    assert(end.get(0).path("attributes").size() === 0) // marker stripped
+    assert(end.get(2).path("attributes").size() === 1) // foreign 'mode' kept
+    assert(end.get(2).path("attributes").get(0).path("value").asText() === b64("turbo"))
+  }
+
+  test("round-trip: all /block_results templates survive the v038 wire too") {
+    // encode folds begin/end into finalize_block_events with mode markers
+    // (plus validator_updates/app_hash noise); decode must reconstruct the
+    // original split EXACTLY — a misroute, a leaked marker, or an unskipped
+    // unknown field all surface as a diff against the template
+    val files = templateFiles("block_results")
+    files.foreach { p =>
+      val orig = mapper.readTree(resolved(p.toString)).path("result")
+      val rt = mapper.readTree(C.decodeBlockResultsResponseV038(
+        C.encodeBlockResultsResponseV038(resolved(p.toString)))).path("result")
+      val expected = mapper.createObjectNode()
+      Seq("height", "txs_results", "begin_block_events", "end_block_events")
+        .foreach(k => expected.set[JsonNode](k,
+          orig.path(k) match { case m if m.isMissingNode => mapper.nullNode(); case m => m }))
+      val diff = same(expected, rt)
+      assert(diff.isEmpty, s"${p.getFileName}: ${diff.getOrElse("")}")
+    }
+  }
+
   test("round-trip: all /block_results templates survive on every engine-visible field") {
     val files = templateFiles("block_results")
     assert(files.size >= 100)
