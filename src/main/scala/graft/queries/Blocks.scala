@@ -773,11 +773,48 @@ object Blocks extends QueryPack {
              CAST(SUM(len(COALESCE(e.attributes, []))) AS BIGINT) AS n_attrs
       FROM ev GROUP BY 1, 2"""))
 
+  /** st14: st7's chaos drill on the gRPC wire — the T4 retry contract is
+    * transport-independent, so it must hold on the transport where
+    * "transient" is a grpc-status, not an HTTP code: `failNext(1)` makes
+    * the very first RPC (the driver-side `GetLatestBlock` bounds call)
+    * answer UNAVAILABLE(14), and three mid-range heights answer
+    * UNAVAILABLE on their first `GetBlockByHeight` before healing — the
+    * status taxonomy maps all four to IOException, the planning and
+    * executor retry decorators absorb them, and the drained rows must
+    * still hash-match s1b's oracle: no dropped height, no double fetch
+    * surfacing twice, no partial row. The payload-derived `num_txs`
+    * projection forces full mode so every height takes the faulted RPC
+    * path (the st7 rationale); the post-drain `require` proves the chaos
+    * engaged.
+    */
+  val st14GrpcChaos = GQuery(
+    "st14_grpc_connector_chaos",
+    (s, _) => {
+      val stub = new graft.StubGrpcServer(T)
+      try {
+        stub.failNext(1)
+        stub.failOnceAtHeights(Seq(2270390L, 2270425L, 2270455L))
+        val out = StreamGate.drain(s,
+          s.readStream.format("blockfeed").option("path", stub.base)
+            .option("from", From.toString).option("to", To.toString)
+            .option("maxHeightsPerTrigger", "40")
+            .option("retryBaseWaitMs", "25").load()
+            .select(col("height"), col("chain_id"),
+              size(coalesce(col("block.data.txs"), array())).as("num_txs")),
+          "st14_blocks", mode = "append")
+        require(stub.pendingHeightFaults == 0,
+          s"st14 chaos did not engage: ${stub.pendingHeightFaults} height " +
+            "faults were never requested")
+        out
+      } finally stub.stop()
+    },
+    s1Connector.oracle)
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
       p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector,
       st6StreamConnector, st7ChaosConnector, st8WsConnector,
       st9Combined, st10Resume, st11GrpcConnector, st12GrpcTxEvents,
-      st13GrpcV038Events)
+      st13GrpcV038Events, st14GrpcChaos)
 }

@@ -70,6 +70,16 @@ final class StubGrpcServer(dir: String,
 
   def failNext(n: Int): Unit = failures.set(n)
   def requestCount: Int = requests.get()
+
+  /** One-shot per-height faults: the FIRST `GetBlockByHeight` for each
+    * listed height answers UNAVAILABLE(14), then heals — the
+    * [[StubRpcServer.failOnceAtHeights]] chaos contract on the gRPC wire,
+    * aimed at the executor readers' T4 retry ladder.
+    */
+  private val heightFaults = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+  def failOnceAtHeights(hs: Seq[Long]): Unit = { hs.foreach(heightFaults.add(_)); () }
+  /** Faults not yet consumed — a gate query's proof that chaos engaged. */
+  def pendingHeightFaults: Int = heightFaults.size()
   /** GetBlockResults calls served — lets a gate query prove the event
     * columns really crossed the gRPC wire.
     */
@@ -121,6 +131,8 @@ final class StubGrpcServer(dir: String,
       case GrpcBlockClient.GetBlockByHeightPath =>
         val h = TendermintGrpcCodec.decodeHeightRequest(GrpcWire.unframe(requestBody))
         blockServes.computeIfAbsent(h, _ => new AtomicInteger).incrementAndGet()
+        if (heightFaults.remove(h))
+          return (GrpcWire.UNAVAILABLE, s"stub transient failure at $h", None)
         encoded(s"$dir/block/${srcHeight(h)}.json",
           TendermintGrpcCodec.encodeBlockResponse) match {
           case Some(b) => (GrpcWire.OK, "", Some(b))
