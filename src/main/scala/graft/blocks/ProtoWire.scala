@@ -108,10 +108,22 @@ object ProtoWire {
 
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 => fixedSkip(8)
       case 2 => lenDelimited()
-      case 5 => pos += 4
+      case 5 => fixedSkip(4)
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+
+    /** A message truncated inside an unknown fixed-width field must throw
+      * like the varint/length-delimited paths do — a bare `pos += n` past
+      * `end` would flip `hasNext` and decode the truncation as a silent
+      * success, dropping whatever fields should have followed.
+      */
+    private def fixedSkip(n: Int): Unit = {
+      if (n > end - pos)
+        throw new IllegalArgumentException(
+          s"truncated fixed$n field: $n bytes needed, ${end - pos} remain")
+      pos += n
     }
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The chain model + chaos/counter surface SHARED by the transport stubs
+  * ([[StubRpcServer]] HTTP, [[StubGrpcServer]] gRPC): one definition of the
+  * 100/29/6/106 chain (historical heights serve their own golden templates,
+  * the live slots directly above the tip serve the live payloads), one
+  * definition of the chaos contract (`failNext` = next n requests answer
+  * transient; `failOnceAtHeights` = the FIRST block fetch per listed height
+  * answers transient, then heals), and one definition of the proof-hook
+  * counters the gate queries assert on (`blockServesIn`,
+  * `pendingHeightFaults`, `requestCount`). The `require`s in st9/st10/st11/
+  * st14 assume IDENTICAL counting and fault semantics across transports —
+  * hoisting them here keeps the stubs in provable lockstep; only the wire
+  * layer (JDK HttpServer vs netty HTTP/2 + proto codec) is per-stub.
+  *
+  * Counting order is part of the contract: a block fetch is COUNTED before
+  * the fault check, so a faulted-then-retried height shows ≥2 serves — st10
+  * relies on "zero NEW serves below the midpoint", st14 on faults draining
+  * to zero, and both stay comparable across transports only if the order
+  * matches everywhere.
+  */
+trait StubChainNode {
+  def histFrom: Long
+  def histTo: Long
+  def liveCount: Int
+  def liveSrcFrom: Long
+
+  /** First chain slot above the historical window. */
+  final lazy val liveFrom: Long = histTo + 1
+
+  /** The node's advanced live tip, slot-valued (mutable so a test can move
+    * it; starts with every live slot already available).
+    */
+  @volatile var latest: Long = histTo + liveCount
+
+  /** Chain height → template file height: live slots serve the live
+    * payloads (content heights `liveSrcFrom`+), everything else serves its
+    * own file — a real node is DENSE, unlike a fixture dir listing.
+    */
+  protected final def srcHeight(h: Long): Long =
+    if (h >= liveFrom && h < liveFrom + liveCount) liveSrcFrom + (h - liveFrom)
+    else h
+
+  // ---- failNext: the next n requests (any RPC) answer transient ---------
+
+  private val failures = new AtomicInteger(0)
+  def failNext(n: Int): Unit = failures.set(n)
+  /** Decrement-and-test the failNext budget; true = answer transient. */
+  protected final def transientDue(): Boolean =
+    failures.getAndUpdate(n => math.max(0, n - 1)) > 0
+
+  // ---- failOnceAtHeights: one-shot per-height block-fetch faults --------
+
+  private val heightFaults =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+  def failOnceAtHeights(hs: Seq[Long]): Unit = {
+    heightFaults.clear(); hs.foreach(h => heightFaults.add(h)); ()
+  }
+  /** Injected height faults not yet served — 0 proves the chaos engaged. */
+  def pendingHeightFaults: Int = heightFaults.size()
+  /** Consume the one-shot fault for `h`; true exactly once per injection. */
+  protected final def takeHeightFault(h: Long): Boolean = heightFaults.remove(h)
+
+  // ---- proof-hook counters ----------------------------------------------
+
+  private val requests = new AtomicInteger(0)
+  def requestCount: Int = requests.get()
+  protected final def countRequest(): Unit = { requests.incrementAndGet(); () }
+
+  // Per-chain-height block serve counts: lets gate queries PROVE which
+  // heights a run actually fetched — st10's "resumed, didn't replay" and
+  // st9's "the live slots really came over the wire" both hang off this.
+  private val blockServes =
+    new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
+  protected final def countBlockServe(h: Long): Unit = {
+    blockServes.computeIfAbsent(h, _ => new AtomicInteger).incrementAndGet(); ()
+  }
+  /** Total block fetches served for chain heights in [lo, hi]. */
+  def blockServesIn(lo: Long, hi: Long): Int = {
+    var n = 0
+    blockServes.forEach { (h, c) => if (h >= lo && h <= hi) n += c.get() }
+    n
+  }
+}

@@ -34,9 +34,12 @@ import java.util.concurrent.atomic.AtomicInteger
   * classpath; an assembly can strip it.
   */
 final class StubGrpcServer(dir: String,
-                           histFrom: Long = 2270370L, histTo: Long = 2270469L,
-                           liveCount: Int = 6, liveSrcFrom: Long = 3126935L,
-                           resultsLayout: String = "v034") {
+                           val histFrom: Long = 2270370L,
+                           val histTo: Long = 2270469L,
+                           val liveCount: Int = 6,
+                           val liveSrcFrom: Long = 3126935L,
+                           resultsLayout: String = "v034")
+  extends StubChainNode {
 
   require(resultsLayout == "v034" || resultsLayout == "v038",
     s"unknown results layout $resultsLayout")
@@ -51,54 +54,24 @@ final class StubGrpcServer(dir: String,
     if (resultsLayout == "v038") TendermintGrpcCodec.encodeBlockResultsResponseV038
     else TendermintGrpcCodec.encodeBlockResultsResponse
 
-  /** First chain slot above the historical window. Slots
-    * [liveFrom, lastServableSlot] serve the live payloads via DIRECT
-    * `GetBlockByHeight` fetches (srcHeight mapping below); they are NOT
-    * reachable through offset planning, because the cosmos tip RPC returns
-    * a BLOCK — whose `header.height` is the payload's own content height
-    * (3126935+), not a chain-slot number — so this stub cannot advertise a
-    * slot-valued advanced tip the way [[StubRpcServer]]'s `/status` does.
-    * `GetLatestBlock` therefore serves the historical ceiling's block
-    * (header.height == histTo, the tip captured at stream start), and the
-    * history→live transition stays gated on the HTTP stub (st9).
-    */
-  val liveFrom: Long = histTo + 1
-  val lastServableSlot: Long = histTo + liveCount
-  private val failures = new AtomicInteger(0)
-  private val requests = new AtomicInteger(0)
+  // Chain model, chaos contract, and proof-hook counters: StubChainNode,
+  // shared verbatim with the HTTP stub. One gRPC-specific note: the live
+  // slots [liveFrom, latest] serve the live payloads via DIRECT
+  // `GetBlockByHeight` fetches (the trait's srcHeight mapping); they are
+  // NOT reachable through offset planning, because the cosmos tip RPC
+  // returns a BLOCK — whose `header.height` is the payload's own content
+  // height (3126935+), not a chain-slot number — so this stub cannot
+  // advertise a slot-valued advanced tip the way [[StubRpcServer]]'s
+  // `/status` does. `GetLatestBlock` therefore serves the historical
+  // ceiling's block (header.height == histTo, the tip captured at stream
+  // start), and the history→live transition stays gated on the HTTP stub
+  // (st9).
+
   private val resultsRequests = new AtomicInteger(0)
-
-  def failNext(n: Int): Unit = failures.set(n)
-  def requestCount: Int = requests.get()
-
-  /** One-shot per-height faults: the FIRST `GetBlockByHeight` for each
-    * listed height answers UNAVAILABLE(14), then heals — the
-    * [[StubRpcServer.failOnceAtHeights]] chaos contract on the gRPC wire,
-    * aimed at the executor readers' T4 retry ladder.
-    */
-  private val heightFaults = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-  def failOnceAtHeights(hs: Seq[Long]): Unit = { hs.foreach(heightFaults.add(_)); () }
-  /** Faults not yet consumed — a gate query's proof that chaos engaged. */
-  def pendingHeightFaults: Int = heightFaults.size()
   /** GetBlockResults calls served — lets a gate query prove the event
     * columns really crossed the gRPC wire.
     */
   def resultsServes: Int = resultsRequests.get()
-
-  private val blockServes =
-    new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
-  /** Total `GetBlockByHeight` calls served for heights in [lo, hi]. */
-  def blockServesIn(lo: Long, hi: Long): Int = {
-    var n = 0
-    blockServes.forEach { (h, c) => if (h >= lo && h <= hi) n += c.get() }
-    n
-  }
-
-  /** Chain height → template file height (live slots serve live payloads —
-    * the [[StubRpcServer]] chain model).
-    */
-  private def srcHeight(h: Long): Long =
-    if (h >= liveFrom && h < liveFrom + liveCount) liveSrcFrom + (h - liveFrom) else h
 
   /** Template `${var:-default}` resolution + proto encode, memoized per
     * file (the encode walks multi-KB JSON; per-request it would bill stub
@@ -117,8 +90,8 @@ final class StubGrpcServer(dir: String,
   }
 
   private def route(path: String, requestBody: Array[Byte]): (Int, String, Option[Array[Byte]]) = {
-    requests.incrementAndGet()
-    if (failures.getAndUpdate(n => math.max(0, n - 1)) > 0)
+    countRequest()
+    if (transientDue())
       return (GrpcWire.UNAVAILABLE, "stub transient failure", None)
     path match {
       case GrpcBlockClient.GetLatestBlockPath =>
@@ -130,8 +103,8 @@ final class StubGrpcServer(dir: String,
         }
       case GrpcBlockClient.GetBlockByHeightPath =>
         val h = TendermintGrpcCodec.decodeHeightRequest(GrpcWire.unframe(requestBody))
-        blockServes.computeIfAbsent(h, _ => new AtomicInteger).incrementAndGet()
-        if (heightFaults.remove(h))
+        countBlockServe(h)
+        if (takeHeightFault(h))
           return (GrpcWire.UNAVAILABLE, s"stub transient failure at $h", None)
         encoded(s"$dir/block/${srcHeight(h)}.json",
           TendermintGrpcCodec.encodeBlockResponse) match {
@@ -238,15 +211,14 @@ final class StubGrpcServer(dir: String,
     b.bind("127.0.0.1", 0).syncUninterruptibly().channel()
   }
 
-  private val port: Int =
+  val port: Int =
     serverChannel.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
 
-  /** Client-ready URI: carries the `results` layout option when this stub
-    * models a ≥0.38 node, so callers need no layout bookkeeping of their own.
+  /** Client-ready URI, ALWAYS layout-explicit: the client defaults to the
+    * real-node v038 layout, so a v034 stub that omitted the option would be
+    * silently misdecoded — callers get the right layout with no bookkeeping.
     */
-  def base: String =
-    if (resultsLayout == "v038") s"grpc://127.0.0.1:$port?results=v038"
-    else s"grpc://127.0.0.1:$port"
+  def base: String = s"grpc://127.0.0.1:$port?results=$resultsLayout"
 
   /** Closes the listener; the event loop is daemon and shut down gracefully
     * (0 s quiet period) so no non-daemon thread outlives the stub — the

@@ -3,7 +3,6 @@ package graft
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.atomic.AtomicInteger
 
 /** Local Tendermint-RPC stub replaying the reference's golden templates over
   * real HTTP (zero egress): the transport-level twin of the fixture dir, so
@@ -27,41 +26,16 @@ import java.util.concurrent.atomic.AtomicInteger
   * operator/source/sink paths references it.
   */
 final class StubRpcServer(dir: String,
-                          histFrom: Long = 2270370L, histTo: Long = 2270469L,
-                          liveCount: Int = 6, liveSrcFrom: Long = 3126935L) {
+                          val histFrom: Long = 2270370L,
+                          val histTo: Long = 2270469L,
+                          val liveCount: Int = 6,
+                          val liveSrcFrom: Long = 3126935L)
+  extends StubChainNode {
 
-  val liveFrom: Long = histTo + 1
-  @volatile var latest: Long = histTo + liveCount
-  private val failures = new AtomicInteger(0)
-  private val requests = new AtomicInteger(0)
-
-  def failNext(n: Int): Unit = failures.set(n)
-
-  // One-shot per-height faults: the FIRST /block or /block_results request
-  // for each listed height gets a 503, the retry succeeds — a transient
-  // failure pinned to a known point mid-range (failNext hits whatever
-  // request comes next, which may be driver-side planning).
-  private val heightFaults =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-  def failOnceAtHeights(hs: Seq[Long]): Unit = {
-    heightFaults.clear(); hs.foreach(h => heightFaults.add(h))
-  }
-  /** Injected height faults not yet served — 0 proves the chaos engaged. */
-  def pendingHeightFaults: Int = heightFaults.size()
-
-  def requestCount: Int = requests.get()
-
-  // Per-chain-height /block serve counts: lets gate queries PROVE which
-  // heights a run actually fetched — st10's "resumed, didn't replay" and
-  // st9's "the live slots really came over the wire" both hang off this.
-  private val blockServes =
-    new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
-  /** Total `/block` requests served for chain heights in [lo, hi]. */
-  def blockServesIn(lo: Long, hi: Long): Int = {
-    var n = 0
-    blockServes.forEach { (h, c) => if (h >= lo && h <= hi) n += c.get() }
-    n
-  }
+  // chain model, chaos contract (failNext / failOnceAtHeights), and the
+  // proof-hook counters all live in StubChainNode — shared verbatim with
+  // the gRPC stub so the gate queries' requires mean the same thing on
+  // both wires
 
   // Touching the companion forces its initializer (the nodelay property,
   // see object scaladoc) to have run before THIS create call.
@@ -100,13 +74,9 @@ final class StubRpcServer(dir: String,
       graft.blocks.FixtureSource.substitute(raw, vs)
     })
 
-  /** Chain height → template file height (live slots serve live payloads). */
-  private def srcHeight(h: Long): Long =
-    if (h >= liveFrom && h < liveFrom + liveCount) liveSrcFrom + (h - liveFrom) else h
-
   private def handle(ex: HttpExchange): Unit = {
-    requests.incrementAndGet()
-    if (failures.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+    countRequest()
+    if (transientDue()) {
       send(ex, 503, """{"error":"stub transient failure"}""")
       return
     }
@@ -123,10 +93,9 @@ final class StubRpcServer(dir: String,
       case "/block" | "/block_results" =>
         val sub = ex.getRequestURI.getPath.stripPrefix("/")
         val hOpt = q.get("height").map(_.toLong)
-        if (sub == "block") hOpt.foreach(h =>
-          blockServes.computeIfAbsent(h, _ => new AtomicInteger).incrementAndGet())
+        if (sub == "block") hOpt.foreach(countBlockServe)
         hOpt match {
-          case Some(h) if heightFaults.remove(h) =>
+          case Some(h) if takeHeightFault(h) =>
             send(ex, 503, """{"error":"stub transient failure"}""")
           case Some(h) =>
             val p = Paths.get(s"$dir/$sub/${srcHeight(h)}.json")

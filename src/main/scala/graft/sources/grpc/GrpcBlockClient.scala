@@ -53,17 +53,18 @@ object GrpcBlockClient {
   *     earliest-height RPC, so a pruning node's floor is not visible here.
   *   - `blockResults` speaks BOTH response layouts of the CometBFT
   *     block-results service, selected by the URI
-  *     (`grpc://host:port?results=v034|v038`, default v034): `v034` is the
-  *     0.34-era split layout this engine's fixtures speak (no 0.34 gRPC
-  *     analog existed; see [[TendermintGrpcCodec]]); `v038` is the layout a
-  *     REAL CometBFT ≥0.38 node serves — one `finalize_block_events` list,
-  *     reconstructed into the engine's begin/end split via the cosmos-sdk's
-  *     `mode` attribute marker ([[TendermintGrpcCodec
-  *     .decodeBlockResultsResponseV038]]'s scaladoc carries the routing
-  *     rules). The layout cannot be sniffed from the wire (both field 3s
-  *     are repeated Events), so it is an explicit connection option —
-  *     the other two services are the standard cosmos-sdk ones, identical
-  *     across versions.
+  *     (`grpc://host:port?results=v034|v038`): `v038` — the DEFAULT,
+  *     because every real node serving this RPC is ≥0.38 — is one
+  *     `finalize_block_events` list, reconstructed into the engine's
+  *     begin/end split via the cosmos-sdk's `mode` attribute marker
+  *     ([[TendermintGrpcCodec.decodeBlockResultsResponseV038]]'s scaladoc
+  *     carries the routing rules); `v034` is the 0.34-era split layout
+  *     this engine's fixtures speak (no 0.34 gRPC analog existed; see
+  *     [[TendermintGrpcCodec]]), spoken only by the test stub, which
+  *     states it explicitly in the URI it hands out. The layout cannot be
+  *     sniffed from the wire (both field 3s are repeated Events), so it is
+  *     a connection option — the other two services are the standard
+  *     cosmos-sdk ones, identical across versions.
   *   - `metaPages`: gRPC has no paged `/blockchain` RPC, so meta-only scans
   *     DEGRADE to per-height `GetBlockByHeight` fetches re-assembled into
   *     20-height pages; `block_size` is the serialized response size (the
@@ -88,9 +89,15 @@ final class GrpcBlockClient(base: String) extends BlockClient {
       case Array(hp) => (hp, "")
     }
     val params = query.split("&").filter(_.nonEmpty).map(_.split("=", 2))
+    // default v038: every real node that serves the BlockResultsService is
+    // ≥0.38 (the service did not exist before), and the layouts cannot be
+    // sniffed apart on the wire — defaulting to the fixtures' v034 shape
+    // would silently misdecode 100% of real endpoints (all events routed to
+    // begin, markers leaked as data). The v034 speaker is the test stub,
+    // which states its layout explicitly in the URI it hands out.
     val v038 = params.collectFirst { case Array("results", v) => v } match {
-      case Some("v038") => true
-      case Some("v034") | None => false
+      case Some("v038") | None => true
+      case Some("v034") => false
       case Some(other) => throw new IllegalArgumentException(
         s"unknown results layout '$other' in $base (v034 | v038)")
     }

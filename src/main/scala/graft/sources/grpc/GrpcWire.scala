@@ -255,14 +255,23 @@ final class GrpcConnection(host: String, port: Int,
     headers.set("content-type", "application/grpc")
     headers.set("te", "trailers")
     // a failed write (stream error between open and write) must fail the
-    // call NOW, not leave the task blocked for the full call timeout
+    // call NOW, not leave the task blocked for the full call timeout — and
+    // it must clean up like the reset/exception/timeout paths do: close the
+    // stream channel (else it stays registered on the event loop until the
+    // parent dies) and evict the parent (a write that fails right after a
+    // successful open is the same GOAWAY-drain shape the open-failure
+    // branch below evicts for; without this the NEXT retry burns an
+    // attempt re-discovering the doomed connection)
     val failOnWriteError = new ChannelFutureListener {
       override def operationComplete(wf: ChannelFuture): Unit =
-        if (!wf.isSuccess)
+        if (!wf.isSuccess) {
           done.completeExceptionally(wf.cause() match {
             case io: IOException => io
             case c => new IOException("gRPC request write failed", c)
           })
+          wf.channel().close()
+          evict(ch)
+        }
     }
     stream.write(new DefaultHttp2HeadersFrame(headers)).addListener(failOnWriteError)
     stream.writeAndFlush(new DefaultHttp2DataFrame(

@@ -74,6 +74,28 @@ class GrpcBlockFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("a bare grpc:// URI defaults to the v038 layout (the only real-node shape)") {
+    // every real node serving the BlockResultsService is ≥0.38, so a user
+    // pointing the connector at one WITHOUT a ?results option must get the
+    // correct split — this pins the default; the v034 stub states its own
+    // layout in stub.base, so only an explicit bare URI exercises it
+    val stub = new StubGrpcServer(T, resultsLayout = "v038")
+    try {
+      val df = spark.read.format("blockfeed")
+        .option("path", s"grpc://127.0.0.1:${stub.port}") // NO ?results
+        .option("from", "2270370").option("to", "2270469").load()
+      // the begin/end split reconstructed from the mode markers must match
+      // the file transport's ground truth — a wrong default would route all
+      // finalize events to begin and leak marker attributes
+      assert(EventTables.blockEvents(df).count() === 2211L)
+      val viaFile = FixtureSource.blocksRaw(spark, T, 2270370L, 2270469L)
+      assert(df.select(explode(col("end_block_events")).as("e"))
+        .select(col("e.type")).exceptAll(
+          viaFile.select(explode(col("end_block_events")).as("e"))
+            .select(col("e.type"))).count() === 0L)
+    } finally stub.stop()
+  }
+
   test("height-list scan (S2) over grpc plans only the listed heights") {
     withStub { stub =>
       val df = spark.read.format("blockfeed")

@@ -131,8 +131,7 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("a dropped connection reconnects transparently on the next call") {
-    val port = stub.base.stripPrefix("grpc://").split(":")(1).toInt
-    val conn = new GrpcConnection("127.0.0.1", port)
+    val conn = new GrpcConnection("127.0.0.1", stub.port)
     val req = graft.sources.grpc.TendermintGrpcCodec.encodeHeightRequest(2270371L)
     assert(conn.unary(GrpcBlockClient.GetBlockByHeightPath, req).status === GrpcWire.OK)
     conn.close() // an executor's TCP connection dies (idle reap, node bounce)
@@ -142,8 +141,7 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("unknown method → UNIMPLEMENTED fails fast (not retried)") {
-    val conn = new GrpcConnection("127.0.0.1",
-      stub.base.stripPrefix("grpc://").split(":")(1).toInt)
+    val conn = new GrpcConnection("127.0.0.1", stub.port)
     val res = conn.unary("/no.such.Service/Method", Array.emptyByteArray)
     assert(res.status === GrpcWire.UNIMPLEMENTED)
     conn.close()

@@ -96,6 +96,29 @@ class ProtoWirePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("truncation inside an unknown fixed-width field throws, not silent-succeeds") {
+    // wire type 1 (fixed64) / 5 (fixed32) tags followed by FEWER bytes than
+    // the type needs: a bare `pos += n` would walk past `end`, flip hasNext,
+    // and decode the truncation as a clean end-of-message — dropping any
+    // fields that should have followed. Must throw like the varint and
+    // length-delimited truncation paths do.
+    for ((wt, need) <- Seq((1, 8), (5, 4)); have <- 0 until need) {
+      val tag = Array(((3 << 3) | wt).toByte) // unknown field 3
+      val bytes = tag ++ Array.fill(have)(0x55.toByte)
+      val r = new ProtoWire.Reader(bytes)
+      val (_, wtype) = r.tag()
+      intercept[IllegalArgumentException](r.skip(wtype))
+    }
+    // and exactly-enough bytes still skips cleanly
+    for ((wt, need) <- Seq((1, 8), (5, 4))) {
+      val bytes = Array(((3 << 3) | wt).toByte) ++ Array.fill(need)(0x55.toByte)
+      val r = new ProtoWire.Reader(bytes)
+      val (_, wtype) = r.tag()
+      r.skip(wtype)
+      assert(!r.hasNext)
+    }
+  }
+
   test("gRPC framing: frame/unframe round-trips arbitrary payloads") {
     val payloadGen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
     sample(payloadGen, 200).foreach { msg =>
