@@ -7,13 +7,16 @@ import java.util.concurrent.atomic.AtomicInteger
   * 100/29/6/106 chain (historical heights serve their own golden templates,
   * the live slots directly above the tip serve the live payloads), one
   * definition of the chaos contract (`failNext` = next n requests answer
-  * transient; `failOnceAtHeights` = the FIRST block fetch per listed height
-  * answers transient, then heals), and one definition of the proof-hook
-  * counters the gate queries assert on (`blockServesIn`,
-  * `pendingHeightFaults`, `requestCount`). The `require`s in st9/st10/st11/
-  * st14 assume IDENTICAL counting and fault semantics across transports —
-  * hoisting them here keeps the stubs in provable lockstep; only the wire
-  * layer (JDK HttpServer vs netty HTTP/2 + proto codec) is per-stub.
+  * transient; `failOnceAtHeights` = the first BLOCK fetch per listed height
+  * answers transient, then heals — results fetches are never
+  * height-faulted), and one definition of the proof-hook counters the gate
+  * queries assert on (`blockServesIn`, `pendingHeightFaults`,
+  * `requestCount`). The `require`s in st7/st9/st10/st11/st14 assume
+  * IDENTICAL counting and fault semantics across transports — hoisting
+  * them here (and funnelling both stubs' block RPCs through ONE
+  * [[blockFetchFaulted]] call) keeps the stubs in provable lockstep; only
+  * the wire layer (JDK HttpServer vs netty HTTP/2 + proto codec) is
+  * per-stub.
   *
   * Counting order is part of the contract: a block fetch is COUNTED before
   * the fault check, so a faulted-then-retried height shows ≥2 serves — st10
@@ -60,8 +63,6 @@ trait StubChainNode {
   }
   /** Injected height faults not yet served — 0 proves the chaos engaged. */
   def pendingHeightFaults: Int = heightFaults.size()
-  /** Consume the one-shot fault for `h`; true exactly once per injection. */
-  protected final def takeHeightFault(h: Long): Boolean = heightFaults.remove(h)
 
   // ---- proof-hook counters ----------------------------------------------
 
@@ -74,8 +75,19 @@ trait StubChainNode {
   // st9's "the live slots really came over the wire" both hang off this.
   private val blockServes =
     new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
-  protected final def countBlockServe(h: Long): Unit = {
-    blockServes.computeIfAbsent(h, _ => new AtomicInteger).incrementAndGet(); ()
+
+  /** THE block-fetch chaos point, shared verbatim: count the serve for `h`,
+    * then consume its one-shot fault if any (true = answer transient). Both
+    * stubs call this from their block RPC and ONLY there — so "the first
+    * BLOCK fetch per listed height answers transient, then heals" and "a
+    * faulted height shows ≥2 block serves" hold identically on every wire.
+    * Results fetches are never height-faulted (use `failNext` for
+    * RPC-kind-agnostic chaos); letting them consume a fault would break the
+    * count invariant on whichever transport's results request lands first.
+    */
+  protected final def blockFetchFaulted(h: Long): Boolean = {
+    blockServes.computeIfAbsent(h, _ => new AtomicInteger).incrementAndGet()
+    heightFaults.remove(h)
   }
   /** Total block fetches served for chain heights in [lo, hi]. */
   def blockServesIn(lo: Long, hi: Long): Int = {

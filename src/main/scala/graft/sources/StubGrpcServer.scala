@@ -103,8 +103,7 @@ final class StubGrpcServer(dir: String,
         }
       case GrpcBlockClient.GetBlockByHeightPath =>
         val h = TendermintGrpcCodec.decodeHeightRequest(GrpcWire.unframe(requestBody))
-        countBlockServe(h)
-        if (takeHeightFault(h))
+        if (blockFetchFaulted(h))
           return (GrpcWire.UNAVAILABLE, s"stub transient failure at $h", None)
         encoded(s"$dir/block/${srcHeight(h)}.json",
           TendermintGrpcCodec.encodeBlockResponse) match {

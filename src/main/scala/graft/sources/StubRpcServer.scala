@@ -93,15 +93,19 @@ final class StubRpcServer(dir: String,
       case "/block" | "/block_results" =>
         val sub = ex.getRequestURI.getPath.stripPrefix("/")
         val hOpt = q.get("height").map(_.toLong)
-        if (sub == "block") hOpt.foreach(countBlockServe)
         hOpt match {
-          case Some(h) if takeHeightFault(h) =>
-            send(ex, 503, """{"error":"stub transient failure"}""")
           case Some(h) =>
-            val p = Paths.get(s"$dir/$sub/${srcHeight(h)}.json")
-            if (Files.exists(p)) send(ex, 200, resolved(p.toString, Map.empty))
-            else send(ex, 404,
-              s"""{"jsonrpc":"2.0","id":-1,"error":{"code":-32603,"message":"height $h is not available"}}""")
+            // blockFetchFaulted also counts the serve, so it must run for
+            // EVERY /block request (not as a pattern guard, whose
+            // short-circuiting would make counting order a pattern detail)
+            if (sub == "block" && blockFetchFaulted(h))
+              send(ex, 503, """{"error":"stub transient failure"}""")
+            else {
+              val p = Paths.get(s"$dir/$sub/${srcHeight(h)}.json")
+              if (Files.exists(p)) send(ex, 200, resolved(p.toString, Map.empty))
+              else send(ex, 404,
+                s"""{"jsonrpc":"2.0","id":-1,"error":{"code":-32603,"message":"height $h is not available"}}""")
+            }
           case None => send(ex, 400, """{"error":"height required"}""")
         }
       case "/blockchain" =>

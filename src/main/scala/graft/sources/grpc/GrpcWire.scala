@@ -94,13 +94,18 @@ final class GrpcConnection(host: String, port: Int,
                            connectTimeoutMillis: Int = 10000,
                            callTimeoutMillis: Int = 60000) {
 
-  @volatile private var parent: Channel = _
+  // CAS slot, not a synchronized field: evict() may be called from a netty
+  // event-loop thread (stream-open failure callbacks), and a monitor shared
+  // with connectedChannel() — which holds it across a blocking dial — would
+  // park that loop thread for up to the connect timeout, freezing every
+  // other connection pinned to it
+  private val parent = new java.util.concurrent.atomic.AtomicReference[Channel]()
 
   private def connectedChannel(): Channel = {
-    val cur = parent
+    val cur = parent.get()
     if (cur != null && cur.isActive) cur
     else synchronized {
-      val cur2 = parent
+      val cur2 = parent.get()
       if (cur2 != null && cur2.isActive) cur2
       else {
         val b = new Bootstrap()
@@ -146,8 +151,8 @@ final class GrpcConnection(host: String, port: Int,
           case e: IOException => throw e
           case e => throw new IOException(s"gRPC connect to $host:$port failed", e)
         }
-        parent = f.channel()
-        parent
+        parent.set(f.channel())
+        f.channel()
       }
     }
   }
@@ -157,11 +162,11 @@ final class GrpcConnection(host: String, port: Int,
     * GOAWAY-drain / half-open shape, where the TCP socket looks healthy but
     * the HTTP/2 layer refuses new streams. Without eviction every T4 retry
     * re-uses the doomed connection and the (host, port) slot is dead until
-    * JVM restart.
+    * JVM restart. Lock-free (CAS) and non-blocking (`close()` is async), so
+    * it is safe from any thread, including the event loop.
     */
-  private def evict(ch: Channel): Unit = synchronized {
-    if (parent eq ch) { parent = null; ch.close(); () }
-  }
+  private def evict(ch: Channel): Unit =
+    if (parent.compareAndSet(ch, null)) { ch.close(); () }
 
   /** Blocking unary call. Returns the peer's grpc-status + raw (unframed)
     * response payload; transport-level failures surface as IOException so
@@ -256,12 +261,14 @@ final class GrpcConnection(host: String, port: Int,
     headers.set("te", "trailers")
     // a failed write (stream error between open and write) must fail the
     // call NOW, not leave the task blocked for the full call timeout — and
-    // it must clean up like the reset/exception/timeout paths do: close the
-    // stream channel (else it stays registered on the event loop until the
-    // parent dies) and evict the parent (a write that fails right after a
-    // successful open is the same GOAWAY-drain shape the open-failure
-    // branch below evicts for; without this the NEXT retry burns an
-    // attempt re-discovering the doomed connection)
+    // it must close the stream channel like the reset/exception/timeout
+    // paths do (else it stays registered on the event loop until the parent
+    // dies). It does NOT evict the parent: a write failure is usually
+    // stream-local (RST/REFUSED_STREAM on this one stream), and closing the
+    // shared connection here would amplify one per-stream transient into a
+    // failure of every concurrent call multiplexed on it — the reset-frame
+    // branch makes the same call. A genuinely draining connection surfaces
+    // as a stream-OPEN failure on the next attempt, which does evict.
     val failOnWriteError = new ChannelFutureListener {
       override def operationComplete(wf: ChannelFuture): Unit =
         if (!wf.isSuccess) {
@@ -270,7 +277,7 @@ final class GrpcConnection(host: String, port: Int,
             case c => new IOException("gRPC request write failed", c)
           })
           wf.channel().close()
-          evict(ch)
+          ()
         }
     }
     stream.write(new DefaultHttp2HeadersFrame(headers)).addListener(failOnWriteError)
@@ -291,7 +298,7 @@ final class GrpcConnection(host: String, port: Int,
   }
 
   def close(): Unit = {
-    val cur = parent
-    if (cur != null) { cur.close(); parent = null }
+    val cur = parent.getAndSet(null)
+    if (cur != null) { cur.close(); () }
   }
 }

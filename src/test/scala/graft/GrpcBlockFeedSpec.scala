@@ -86,13 +86,18 @@ class GrpcBlockFeedSpec extends AnyFunSuite {
         .option("from", "2270370").option("to", "2270469").load()
       // the begin/end split reconstructed from the mode markers must match
       // the file transport's ground truth — a wrong default would route all
-      // finalize events to begin and leak marker attributes
+      // finalize events to begin (emptying end) and leak marker attributes
       assert(EventTables.blockEvents(df).count() === 2211L)
       val viaFile = FixtureSource.blocksRaw(spark, T, 2270370L, 2270469L)
-      assert(df.select(explode(col("end_block_events")).as("e"))
-        .select(col("e.type")).exceptAll(
-          viaFile.select(explode(col("end_block_events")).as("e"))
-            .select(col("e.type"))).count() === 0L)
+      def endTypes(d: org.apache.spark.sql.DataFrame) =
+        d.select(explode(col("end_block_events")).as("e")).select(col("e.type"))
+      // count equality + one-direction multiset containment ⇒ equality;
+      // the count check is what makes this non-vacuous (a misrouting
+      // default empties df's end list, and empty.exceptAll(x) is 0 rows)
+      val expectedEnd = endTypes(viaFile).count()
+      assert(expectedEnd > 0L)
+      assert(endTypes(df).count() === expectedEnd)
+      assert(endTypes(df).exceptAll(endTypes(viaFile)).count() === 0L)
     } finally stub.stop()
   }
 
