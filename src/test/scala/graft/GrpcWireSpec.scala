@@ -147,6 +147,38 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     conn.close()
   }
 
+  test("concurrent calls multiplex one connection without cross-stream mixups") {
+    // 16 task threads × the full 100-height range on ONE GrpcConnection —
+    // the executor sharing shape the pool is built for. Each response must
+    // carry ITS request's height: a frame routed to the wrong stream, a
+    // body interleaved across streams, or a slot race in the CAS parent
+    // would surface as a wrong height, a codec error, or a hang here.
+    val conn = new GrpcConnection("127.0.0.1", stub.port)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val heights = (2270370L to 2270469L).toSeq
+      val futures = heights.map { h =>
+        Future {
+          val req = graft.sources.grpc.TendermintGrpcCodec.encodeHeightRequest(h)
+          val res = conn.unary(GrpcBlockClient.GetBlockByHeightPath, req)
+          assert(res.status === GrpcWire.OK)
+          val json = graft.sources.grpc.TendermintGrpcCodec
+            .decodeBlockResponse(GrpcWire.unframe(res.payload))
+          mapper.readTree(json).path("result").path("block")
+            .path("header").path("height").asText().toLong
+        }
+      }
+      val got = Await.result(Future.sequence(futures),
+        scala.concurrent.duration.Duration(120, "s"))
+      assert(got === heights)
+    } finally {
+      pool.shutdownNow()
+      conn.close()
+    }
+  }
+
   test("metaPages: 20-height pages synthesized from per-height fetches") {
     val pages = client.metaPages(2270370L, 2270410L)
     assert(pages.size === 3) // 370-389, 390-409, 410
