@@ -28,6 +28,12 @@ class GrpcBlockFeedSpec extends AnyFunSuite {
 
   test("scheme selection: grpc:// opens the gRPC transport") {
     assert(BlockClient.open("grpc://127.0.0.1:1").isInstanceOf[GrpcBlockClient])
+    // layout option: both generations accepted, anything else rejected
+    // LOUDLY at construction (a typo must not silently become the default)
+    assert(BlockClient.open("grpc://127.0.0.1:1?results=v034").isInstanceOf[GrpcBlockClient])
+    assert(BlockClient.open("grpc://127.0.0.1:1?results=v038").isInstanceOf[GrpcBlockClient])
+    intercept[IllegalArgumentException](BlockClient.open("grpc://127.0.0.1:1?results=v2"))
+    intercept[IllegalArgumentException](BlockClient.open("grpc://no-port"))
   }
 
   test("S1 batch scan over grpc: 100 rows, same event totals as file transport") {
