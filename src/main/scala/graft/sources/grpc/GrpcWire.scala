@@ -163,10 +163,18 @@ final class GrpcConnection(host: String, port: Int,
     * the HTTP/2 layer refuses new streams. Without eviction every T4 retry
     * re-uses the doomed connection and the (host, port) slot is dead until
     * JVM restart. Lock-free (CAS) and non-blocking (`close()` is async), so
-    * it is safe from any thread, including the event loop.
+    * it is safe from any thread, including the event loop. The doomed
+    * channel is closed regardless of who wins the CAS: if another thread
+    * already reconnected (slot holds a newer channel), `ch` is the
+    * GOAWAY-draining orphan and would otherwise stay registered on the
+    * event loop until JVM exit; closing an already-replaced channel is
+    * harmless.
     */
-  private def evict(ch: Channel): Unit =
-    if (parent.compareAndSet(ch, null)) { ch.close(); () }
+  private def evict(ch: Channel): Unit = {
+    parent.compareAndSet(ch, null)
+    ch.close()
+    ()
+  }
 
   /** Blocking unary call. Returns the peer's grpc-status + raw (unframed)
     * response payload; transport-level failures surface as IOException so
@@ -297,7 +305,16 @@ final class GrpcConnection(host: String, port: Int,
     }
   }
 
-  def close(): Unit = {
+  /** Drops the current channel; NOT terminal — the next `unary` dials fresh
+    * (GrpcWireSpec pins reconnect-after-close, the idle-reap/node-bounce
+    * shape). Takes the dial monitor (close is lifecycle code, never called
+    * from the event loop — unlike [[evict]]) so it cannot interleave with an
+    * in-flight dial: a close racing a dial waits for the dial to publish its
+    * channel and then closes THAT, instead of getAndSet(null) landing first
+    * and the dial's parent.set resurrecting the slot with a channel nobody
+    * will ever close.
+    */
+  def close(): Unit = synchronized {
     val cur = parent.getAndSet(null)
     if (cur != null) { cur.close(); () }
   }

@@ -702,9 +702,14 @@ object TendermintGrpcCodec {
   }
 
   /** Finds the sdk's `mode` marker on a decoded finalize event, strips it,
-    * and returns the routing ('b' = begin, 'e' = end). The LAST matching
-    * attribute wins (the sdk appends the marker; an app attribute earlier
-    * in the list that happens to collide stays untouched).
+    * and returns the routing ('b' = begin, 'e' = end). Only the LAST
+    * `mode`-keyed attribute is a marker candidate: the sdk appends its
+    * marker strictly last, so a `mode` attribute anywhere earlier — even
+    * one whose value happens to read `BeginBlock` — is app data and must
+    * survive untouched. (Scanning past a trailing foreign-valued `mode`
+    * to an earlier valid-looking one would silently strip app data.) A
+    * last `mode` attribute with a foreign value is likewise app data:
+    * kept, event routed to end like any unmarked finalize event.
     */
   private def routeFinalizeEvent(ev: ObjectNode): Char = {
     val attrs = ev.path("attributes") match {
@@ -720,6 +725,7 @@ object TendermintGrpcCodec {
           attrs.remove(i)
           return if (v == BeginModeB64) 'b' else 'e'
         }
+        return 'e' // last mode-keyed attribute is app data: keep, route end
       }
       i -= 1
     }

@@ -194,6 +194,31 @@ class GrpcCodecSpec extends AnyFunSuite {
     assert(end.get(2).path("attributes").get(0).path("value").asText() === b64("turbo"))
   }
 
+  test("v038 decode: a trailing foreign-valued mode shields earlier mode app data") {
+    // The sdk appends its marker strictly LAST, so only the last mode-keyed
+    // attribute is a marker candidate: when that one carries a foreign value
+    // it is app data, and an EARLIER attribute that happens to read
+    // mode=BeginBlock is app data too — the decoder must keep BOTH and route
+    // the event to end, not scan past the trailing one and strip the earlier
+    // one (which would silently mutate app data).
+    import graft.blocks.ProtoWire.Writer
+    def attr(key: String, value: String): Writer =
+      new Writer(32).bytesField(1, key.getBytes("UTF-8"))
+        .bytesField(2, value.getBytes("UTF-8"))
+    val ev = new Writer(64).stringField(1, "tricky")
+    ev.messageAlways(2, attr("mode", "BeginBlock")) // app data, NOT the marker
+    ev.messageAlways(2, attr("mode", "turbo"))      // last mode-keyed: app data
+    val wire = new Writer(128).int64(1, 8L).messageAlways(3, ev).bytes
+    val rt = mapper.readTree(C.decodeBlockResultsResponseV038(wire)).path("result")
+    assert(rt.path("begin_block_events").isNull) // NOT routed to begin
+    val end = rt.path("end_block_events")
+    assert(end.size() === 1)
+    val attrs = end.get(0).path("attributes")
+    assert(attrs.size() === 2) // both kept, nothing stripped
+    assert(attrs.get(0).path("value").asText() === b64("BeginBlock"))
+    assert(attrs.get(1).path("value").asText() === b64("turbo"))
+  }
+
   test("round-trip: all /block_results templates survive the v038 wire too") {
     // encode folds begin/end into finalize_block_events with mode markers
     // (plus validator_updates/app_hash noise); decode must reconstruct the
