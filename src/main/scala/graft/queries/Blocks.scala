@@ -810,11 +810,54 @@ object Blocks extends QueryPack {
     },
     s1Connector.oracle)
 
+  /** st15: the COMBINED history→live transition OVER THE gRPC WIRE —
+    * st9's load-bearing semantic (backfill to the tip captured at stream
+    * start, keep consuming the live blocks above it, provenance flipped at
+    * the boundary) on the transport where the tip is a single RPC that
+    * returns a BLOCK, not a status document: the reference's
+    * `GrpcBlockFlow.kt:27` (poll `getCurrentBlockHeight` → gap-fill →
+    * fetch) composed with `MultiplexFlow.kt:61`. The stub models the
+    * advancing chain IN TIME (`advanceTipAfterFirstPoll`): the connector's
+    * stream-construction `GetLatestBlock` sees the historical ceiling —
+    * that call IS the provenance boundary — and every per-trigger tip poll
+    * after it sees the slot-mapped advanced tip, whose `header.height`
+    * carries the chain slot the way a real chain's latest block does.
+    * Offset planning then walks the 100 historical slots AND the 6 live
+    * slots; each live slot serves its live payload, so rows surface the
+    * live blocks' content heights (3126935+) with `historical = false`.
+    * Oracle: s13's combined SQL verbatim — the same 106-row ground truth
+    * as the HTTP-wire st9, which is the point: the transition semantic is
+    * transport-independent. The requires pin that the tip really was
+    * re-polled over gRPC (≥2 serves) and all 6 live slots crossed the wire.
+    */
+  val st15GrpcCombined = GQuery(
+    "st15_grpc_combined",
+    (s, _) => {
+      val stub = new graft.StubGrpcServer(T, advanceTipAfterFirstPoll = true)
+      try {
+        val out = StreamGate.drain(s,
+          s.readStream.format("blockfeed").option("path", stub.base)
+            .option("from", From.toString) // no `to`: history, then live
+            .option("maxHeightsPerTrigger", "40")
+            .option("retryBaseWaitMs", "25").load()
+            .select(col("height"),
+              size(coalesce(col("block.data.txs"), array())).as("num_txs"),
+              col("historical")),
+          "st15_blocks", mode = "append")
+        require(stub.tipServes >= 2,
+          "st15 never re-polled the gRPC tip past the stream-construction call")
+        require(stub.blockServesIn(stub.liveFrom, stub.latest) >= 6,
+          "st15 never fetched the live slots above the start tip over gRPC")
+        out
+      } finally stub.stop()
+    },
+    s13Combined.oracle)
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
       p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector,
       st6StreamConnector, st7ChaosConnector, st8WsConnector,
       st9Combined, st10Resume, st11GrpcConnector, st12GrpcTxEvents,
-      st13GrpcV038Events, st14GrpcChaos)
+      st13GrpcV038Events, st14GrpcChaos, st15GrpcCombined)
 }

@@ -38,7 +38,8 @@ final class StubGrpcServer(dir: String,
                            val histTo: Long = 2270469L,
                            val liveCount: Int = 6,
                            val liveSrcFrom: Long = 3126935L,
-                           resultsLayout: String = "v034")
+                           resultsLayout: String = "v034",
+                           advanceTipAfterFirstPoll: Boolean = false)
   extends StubChainNode {
 
   require(resultsLayout == "v034" || resultsLayout == "v038",
@@ -55,17 +56,28 @@ final class StubGrpcServer(dir: String,
     else TendermintGrpcCodec.encodeBlockResultsResponse
 
   // Chain model, chaos contract, and proof-hook counters: StubChainNode,
-  // shared verbatim with the HTTP stub. One gRPC-specific note: the live
-  // slots [liveFrom, latest] serve the live payloads via DIRECT
-  // `GetBlockByHeight` fetches (the trait's srcHeight mapping); they are
-  // NOT reachable through offset planning, because the cosmos tip RPC
-  // returns a BLOCK — whose `header.height` is the payload's own content
-  // height (3126935+), not a chain-slot number — so this stub cannot
-  // advertise a slot-valued advanced tip the way [[StubRpcServer]]'s
-  // `/status` does. `GetLatestBlock` therefore serves the historical
-  // ceiling's block (header.height == histTo, the tip captured at stream
-  // start), and the history→live transition stays gated on the HTTP stub
-  // (st9).
+  // shared verbatim with the HTTP stub. One gRPC-specific note on the tip:
+  // unlike the HTTP wire's two tip endpoints (`abci_info` = the tip at
+  // stream start, `/status` = the advanced live tip), the gRPC services
+  // expose ONE tip RPC — `GetLatestBlock` — and it returns a BLOCK, whose
+  // `header.height` a real chain always stamps with the block's chain slot.
+  // So the start-tip/advanced-tip split must be modeled IN TIME, the way a
+  // real node's tip advances between polls: with `advanceTipAfterFirstPoll`
+  // the FIRST GetLatestBlock (the connector's stream-construction call,
+  // playing abci_info's provenance-boundary role) serves the historical
+  // ceiling's own block (header.height == histTo), and every LATER call —
+  // the per-trigger tip polls — serves the slot-mapped latest: the live
+  // payload template for chain slot `latest` with `header.height` rewritten
+  // to that slot (the serving-side twin of the trait's srcHeight mapping,
+  // which already serves live PAYLOADS at slot-addressed GetBlockByHeight).
+  // With the flag off (default), every call serves the histTo block — the
+  // frozen-tip model st11–st14 were gated on.
+
+  private val tipPolls = new AtomicInteger(0)
+  /** GetLatestBlock calls served (those that reached the RPC, i.e. not
+    * absorbed by `failNext`) — lets st15 prove the tip really was re-polled.
+    */
+  def tipServes: Int = tipPolls.get()
 
   private val resultsRequests = new AtomicInteger(0)
   /** GetBlockResults calls served — lets a gate query prove the event
@@ -89,17 +101,42 @@ final class StubGrpcServer(dir: String,
     }))
   }
 
+  /** The GetLatestBlock payload for chain slot `slot`: historical slots
+    * serve their own template verbatim; a live slot serves its live payload
+    * with `result.block.header.height` REWRITTEN to the slot — a real
+    * chain's latest block carries its chain-slot height in its own header,
+    * which is exactly what makes the single tip RPC usable as a slot-valued
+    * tip. Cached per slot (the tip is re-polled every trigger).
+    */
+  private def tipBlock(slot: Long): Option[Array[Byte]] = {
+    val path = s"$dir/block/${srcHeight(slot)}.json"
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else Some(encodedCache.computeIfAbsent(s"$path#tip=$slot", { _: String =>
+      val raw = new String(Files.readAllBytes(p), "UTF-8")
+      val json = graft.blocks.FixtureSource.substitute(raw, Map.empty)
+      val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      tree.path("result").path("block").path("header")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("height", slot.toString)
+      TendermintGrpcCodec.encodeBlockResponse(tree.toString)
+    }))
+  }
+
   private def route(path: String, requestBody: Array[Byte]): (Int, String, Option[Array[Byte]]) = {
     countRequest()
     if (transientDue())
       return (GrpcWire.UNAVAILABLE, "stub transient failure", None)
     path match {
       case GrpcBlockClient.GetLatestBlockPath =>
-        // the node tip at "stream start" — the abci_info role: serve the
-        // historical ceiling's own block (header.height == histTo)
-        encoded(s"$dir/block/$histTo.json", TendermintGrpcCodec.encodeBlockResponse) match {
+        // first call = the tip at "stream start" (the abci_info role);
+        // later calls = the advanced tip when advanceTipAfterFirstPoll
+        // (the /status role) — a real chain's tip moving between polls
+        val firstPoll = tipPolls.getAndIncrement() == 0
+        val slot = if (advanceTipAfterFirstPoll && !firstPoll) latest else histTo
+        tipBlock(slot) match {
           case Some(b) => (GrpcWire.OK, "", Some(b))
-          case None => (GrpcWire.INTERNAL, s"stub missing tip template $histTo", None)
+          case None => (GrpcWire.INTERNAL, s"stub missing tip template for slot $slot", None)
         }
       case GrpcBlockClient.GetBlockByHeightPath =>
         val h = TendermintGrpcCodec.decodeHeightRequest(GrpcWire.unframe(requestBody))

@@ -77,12 +77,15 @@ object GrpcWire {
     java.util.Arrays.copyOfRange(framed, 5, framed.length)
   }
 
-  /** Shared client event loop: 2 daemon threads serve every connection this
+  /** Shared client event loop: 4 daemon threads serve every connection this
     * JVM opens (executor tasks do blocking unary calls; the loop only
-    * shuffles frames).
+    * shuffles frames). Sized to the connection pool
+    * ([[GrpcBlockClient.connection]]): a netty channel is pinned to ONE
+    * loop thread, so fewer threads than pooled connections would re-
+    * serialize the frame work the pool exists to spread.
     */
   lazy val eventLoop: EventLoopGroup = new MultiThreadIoEventLoopGroup(
-    2, new DefaultThreadFactory("graft-grpc-client", /* daemon = */ true),
+    4, new DefaultThreadFactory("graft-grpc-client", /* daemon = */ true),
     NioIoHandler.newFactory())
 }
 
@@ -176,11 +179,41 @@ final class GrpcConnection(host: String, port: Int,
     ()
   }
 
+  /** A dispatched unary call awaiting its response: the pipelining handle
+    * behind [[unary]]. `await()` blocks the calling task thread; on timeout
+    * the stream channel is closed so it does not linger on the event loop.
+    */
+  final class PendingCall private[GrpcConnection] (
+      done: CompletableFuture[GrpcWire.GrpcResponse],
+      stream: Channel, path: String) {
+    def await(): GrpcWire.GrpcResponse =
+      try done.get(callTimeoutMillis.toLong, TimeUnit.MILLISECONDS)
+      catch {
+        case e: java.util.concurrent.ExecutionException => e.getCause match {
+          case io: IOException => throw io
+          case c => throw new IOException("gRPC call failed", c)
+        }
+        case _: java.util.concurrent.TimeoutException =>
+          stream.close()
+          throw new IOException(s"gRPC call timeout after $callTimeoutMillis ms: $path")
+      }
+  }
+
   /** Blocking unary call. Returns the peer's grpc-status + raw (unframed)
     * response payload; transport-level failures surface as IOException so
     * [[graft.sources.RetryingBlockClient]]'s T4 backoff applies unchanged.
     */
-  def unary(path: String, request: Array[Byte]): GrpcWire.GrpcResponse = {
+  def unary(path: String, request: Array[Byte]): GrpcWire.GrpcResponse =
+    start(path, request).await()
+
+  /** Dispatch a unary call WITHOUT waiting for its response — the HTTP/2
+    * stream is opened and the request written before this returns, so N
+    * `start`s followed by N `await`s pipeline N calls on the one multiplexed
+    * connection (one round-trip total instead of N): the degraded gRPC
+    * meta-page path lives on this. Stream-open failure still evicts the
+    * parent and throws synchronously, exactly as a blocking call would.
+    */
+  def start(path: String, request: Array[Byte]): PendingCall = {
     val ch = connectedChannel()
     val done = new CompletableFuture[GrpcWire.GrpcResponse]()
 
@@ -293,16 +326,7 @@ final class GrpcConnection(host: String, port: Int,
       Unpooled.wrappedBuffer(GrpcWire.frame(request)), true))
       .addListener(failOnWriteError)
 
-    try done.get(callTimeoutMillis.toLong, TimeUnit.MILLISECONDS)
-    catch {
-      case e: java.util.concurrent.ExecutionException => e.getCause match {
-        case io: IOException => throw io
-        case c => throw new IOException("gRPC call failed", c)
-      }
-      case _: java.util.concurrent.TimeoutException =>
-        stream.close()
-        throw new IOException(s"gRPC call timeout after $callTimeoutMillis ms: $path")
-    }
+    new PendingCall(done, stream, path)
   }
 
   /** Drops the current channel; NOT terminal — the next `unary` dials fresh

@@ -87,6 +87,36 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       .path("height").asText() === "3126935")
   }
 
+  test("advanceTipAfterFirstPoll: the tip moves between polls, slot-valued") {
+    // the st15 contract: call 1 (stream construction — the provenance
+    // boundary) sees the historical ceiling; every later poll sees the
+    // advanced tip, whose header.height carries the CHAIN SLOT (a real
+    // chain's latest block does) while the rest of the payload is the live
+    // block's own content. The default stub (the shared `stub`) has already
+    // answered many tip calls above and stays frozen at histTo — also pinned.
+    val adv = new StubGrpcServer(T, advanceTipAfterFirstPoll = true)
+    try {
+      val c = new GrpcBlockClient(adv.base)
+      assert(c.currentHeight() === 2270469L)        // poll 1: start tip
+      assert(c.currentHeight() === 2270475L)        // poll 2+: advanced, slot-valued
+      assert(c.currentHeight() === 2270475L)
+      assert(adv.tipServes === 3)
+      // the advanced tip's payload is the live block's own content with only
+      // header.height slot-mapped
+      val raw = graft.sources.grpc.GrpcWire.unframe(
+        new graft.sources.grpc.GrpcConnection("127.0.0.1", adv.port)
+          .unary(GrpcBlockClient.GetLatestBlockPath, Array.emptyByteArray).payload)
+      val tip = mapper.readTree(
+        graft.sources.grpc.TendermintGrpcCodec.decodeBlockResponse(raw))
+      val hdr = tip.path("result").path("block").path("header")
+      assert(hdr.path("height").asText() === "2270475")
+      val live = mapper.readTree(resolved(s"$T/block/3126940.json"))
+      assert(hdr.path("data_hash").asText() ===
+        live.path("result").path("block").path("header").path("data_hash").asText())
+    } finally adv.stop()
+    assert(client.currentHeight() === 2270469L) // default: frozen tip
+  }
+
   test("T4: transient UNAVAILABLE is absorbed by the retry decorator") {
     stub.failNext(2)
     val retrying = new RetryingBlockClient(client, baseWaitMillis = 1L)
