@@ -853,11 +853,70 @@ object Blocks extends QueryPack {
     },
     s13Combined.oracle)
 
+  /** st16: CHAOS ON THE WEBSOCKET WIRE — T4's third transport. st7 proves
+    * retry under HTTP 503s and st14 under grpc-status UNAVAILABLE; this
+    * drill severs the ws SUBSCRIPTION mid-drain (a hard TCP drop of every
+    * client connection, the node-bounce shape) and the drain must come out
+    * identical: [[graft.sources.WsSubscription]]'s supervisor observes the
+    * drop, re-dials, and re-sends the subscribe request (the reference's
+    * `WebSocketFlow.kt:65` lifecycle with `Defaults.kt:50` backoff), while
+    * the pushed-tip offset arithmetic keeps planning from the retained tip
+    * state. The drained rows are a pure function of the bounded range (the
+    * st8 determinism argument: with `to` inside history the cap resolves to
+    * `to` whether tips arrive or not), so ANY kill timing must hash-match
+    * s1b's oracle — which is exactly what makes a mid-drain kill gateable.
+    * The killer thread waits for the first subscription, drops every
+    * connection, then awaits the RE-subscription while the drain is still
+    * running; the requires pin that the drop engaged (≥2 subscriptions =
+    * the resubscribe really happened, engaged flag = it happened against a
+    * live connection mid-stream, not before construction).
+    */
+  val st16WsChaos = GQuery(
+    "st16_ws_connector_chaos",
+    (s, _) => {
+      val rpc = new graft.StubRpcServer(T)
+      val ws = new graft.StubWsServer
+      val chaosEngaged = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val killer = new Thread(() => {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        // wait for the subscription to be LIVE (subscribe seen on an open
+        // connection), then sever every client socket
+        while ((ws.subscriptions < 1 || ws.connectionCount < 1) &&
+               System.nanoTime() < deadline) Thread.sleep(5)
+        if (ws.subscriptions >= 1 && ws.connectionCount >= 1) {
+          ws.dropAll()
+          // hold the gate's chaos claim until the RESUBSCRIBE lands, while
+          // the drain is still running
+          while (ws.subscriptions < 2 && System.nanoTime() < deadline)
+            Thread.sleep(5)
+          if (ws.subscriptions >= 2) chaosEngaged.set(true)
+        }
+      }, "st16-ws-killer")
+      killer.setDaemon(true)
+      try {
+        killer.start()
+        val out = StreamGate.drain(s,
+          s.readStream.format("blockfeed").option("path", rpc.base)
+            .option("ws", ws.url)
+            .option("from", From.toString).option("to", To.toString)
+            .option("maxHeightsPerTrigger", "40")
+            .option("retryBaseWaitMs", "25").load()
+            .select("height", "chain_id", "num_txs"),
+          "st16_blocks", mode = "append")
+        killer.join(60000)
+        require(chaosEngaged.get(),
+          s"st16 chaos did not engage: ${ws.subscriptions} subscriptions " +
+            s"(need a live drop + a resubscribe)")
+        out
+      } finally { ws.stop(); rpc.stop() }
+    },
+    s1Connector.oracle)
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
       p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector,
       st6StreamConnector, st7ChaosConnector, st8WsConnector,
       st9Combined, st10Resume, st11GrpcConnector, st12GrpcTxEvents,
-      st13GrpcV038Events, st14GrpcChaos, st15GrpcCombined)
+      st13GrpcV038Events, st14GrpcChaos, st15GrpcCombined, st16WsChaos)
 }

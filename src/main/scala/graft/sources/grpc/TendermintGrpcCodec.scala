@@ -213,8 +213,10 @@ object TendermintGrpcCodec {
       while (it.hasNext) dw.bytesField(1, b64ToBytes(it.next().asText("")))
       w.message(2, dw)
     }
-    // evidence (field 3): the corpus has none ({"evidence": []} throughout);
-    // the decode side re-emits that constant shape
+    // evidence (field 3): not encoded — the corpus has none ({"evidence":
+    // []} throughout), so the stub's serving side never needs to synthesize
+    // Evidence protos; the decode side handles the field generically for
+    // real nodes that do carry it (see decBlock)
     if (b.path("last_commit").isObject) w.message(4, encCommit(b.path("last_commit")))
     w
   }
@@ -422,6 +424,7 @@ object TendermintGrpcCodec {
     val n = mapper.createObjectNode()
     var header: ObjectNode = null; var commit: ObjectNode = null
     val txs = mapper.createArrayNode()
+    val evidence = mapper.createArrayNode()
     while (r.hasNext) {
       val (f, w) = r.tag()
       (f, w) match {
@@ -433,17 +436,41 @@ object TendermintGrpcCodec {
             if (df == 1 && dw == 2) { val (ds, de) = dr.lenDelimited(); txs.add(bytesToB64(dr.slice(ds, de))) }
             else dr.skip(dw)
           }
+        case (3, 2) =>
+          // EvidenceList { repeated Evidence evidence = 1 }; Evidence is a
+          // oneof { duplicate_vote_evidence = 1, light_client_attack_
+          // evidence = 2 } (public tendermint/types/evidence.proto). Decoded
+          // GENERICALLY: presence + per-entry kind discriminator, value not
+          // reconstructed — the engine never reads evidence and the corpus
+          // carries none, so there is no ground truth to pin the deep JSON
+          // rendering against; what matters is that a block WITH evidence no
+          // longer silently renders as evidence-free on this transport
+          // (count and kind survive; `evidence_hash` in the header always
+          // crossed both wires anyway)
+          val (s, e) = r.lenDelimited(); val er = r.subReader(s, e)
+          while (er.hasNext) {
+            val (ef, ew) = er.tag()
+            if (ef == 1 && ew == 2) {
+              val (es, ee) = er.lenDelimited(); val ir = er.subReader(es, ee)
+              var kind = "unknown"
+              while (ir.hasNext) {
+                val (kf, kw) = ir.tag()
+                if (kf == 1 && kw == 2) kind = "tendermint/DuplicateVoteEvidence"
+                else if (kf == 2 && kw == 2) kind = "tendermint/LightClientAttackEvidence"
+                ir.skip(kw)
+              }
+              val ev = evidence.addObject()
+              ev.put("type", kind)
+              ev.putNull("value")
+            } else er.skip(ew)
+          }
         case (4, 2) => val (s, e) = r.lenDelimited(); commit = decCommit(r.subReader(s, e))
         case _ => r.skip(w)
       }
     }
     if (header != null) n.set[JsonNode]("header", header)
     n.putObject("data").set[JsonNode]("txs", txs) // corpus: always a list
-    // evidence (field 3) is NOT decoded: Evidence is a deep oneof the
-    // engine never reads, and the corpus carries none — a block with real
-    // evidence renders the constant empty shape here (documented transport
-    // deviation; the HTTP transport carries it verbatim)
-    n.putObject("evidence").set[JsonNode]("evidence", mapper.createArrayNode())
+    n.putObject("evidence").set[JsonNode]("evidence", evidence)
     if (commit != null) n.set[JsonNode]("last_commit", commit)
     n
   }

@@ -144,6 +144,32 @@ class GrpcCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("evidence on the wire surfaces as typed non-empty entries, not silence") {
+    // a real node's block can carry Evidence (a deep oneof the engine never
+    // reads); the decode must preserve PRESENCE and KIND so the two
+    // transports do not disagree on whether a block has evidence. Craft a
+    // block whose EvidenceList carries a DuplicateVoteEvidence, a
+    // LightClientAttackEvidence, and an unknown-kind entry.
+    import graft.blocks.ProtoWire.Writer
+    def evEntry(kindField: Int): Writer =
+      new Writer(16).messageAlways(kindField, new Writer(8).int64(3, 1L))
+    val evList = new Writer(64)
+      .messageAlways(1, evEntry(1))  // DuplicateVoteEvidence
+      .messageAlways(1, evEntry(2))  // LightClientAttackEvidence
+      .messageAlways(1, evEntry(9))  // future/unknown oneof arm
+    val block = new Writer(128)
+      .message(1, new Writer(32).stringField(2, "chain-x").int64(3, 5L))
+      .messageAlways(3, evList)
+    val resp = new Writer(256).messageAlways(2, block).bytes
+    val tree = mapper.readTree(C.decodeBlockResponse(resp))
+    val ev = tree.path("result").path("block").path("evidence").path("evidence")
+    assert(ev.size() === 3)
+    assert(ev.get(0).path("type").asText() === "tendermint/DuplicateVoteEvidence")
+    assert(ev.get(1).path("type").asText() === "tendermint/LightClientAttackEvidence")
+    assert(ev.get(2).path("type").asText() === "unknown")
+    assert(ev.get(0).path("value").isNull) // content not reconstructed, by design
+  }
+
   test("meta-only decode agrees with the full decode for the whole corpus") {
     // decodeBlockMeta is the degraded gRPC meta path's CPU shortcut (skips
     // tx payloads and the commit) — its three outputs must equal what a
