@@ -877,19 +877,28 @@ object Blocks extends QueryPack {
       val rpc = new graft.StubRpcServer(T)
       val ws = new graft.StubWsServer
       val chaosEngaged = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val drainDone = new java.util.concurrent.atomic.AtomicBoolean(false)
       val killer = new Thread(() => {
-        val deadline = System.nanoTime() + 60L * 1000000000L
+        // each wait gets its OWN generous deadline, measured from its start:
+        // a single shared deadline clocked from before Spark query startup
+        // would let a slow gate host burn the whole budget on construction
+        // and spuriously fail the engage require. Both waits also exit as
+        // soon as the drain is over — a closed subscription can never
+        // (re)subscribe, so spinning out the deadline would only stall the
+        // gate's own loud failure.
+        def await(what: => Boolean, maxMillis: Long): Boolean = {
+          val deadline = System.nanoTime() + maxMillis * 1000000L
+          while (!what && !drainDone.get() && System.nanoTime() < deadline)
+            Thread.sleep(5)
+          what
+        }
         // wait for the subscription to be LIVE (subscribe seen on an open
         // connection), then sever every client socket
-        while ((ws.subscriptions < 1 || ws.connectionCount < 1) &&
-               System.nanoTime() < deadline) Thread.sleep(5)
-        if (ws.subscriptions >= 1 && ws.connectionCount >= 1) {
+        if (await(ws.subscriptions >= 1 && ws.connectionCount >= 1, 120000L)) {
           ws.dropAll()
           // hold the gate's chaos claim until the RESUBSCRIBE lands, while
           // the drain is still running
-          while (ws.subscriptions < 2 && System.nanoTime() < deadline)
-            Thread.sleep(5)
-          if (ws.subscriptions >= 2) chaosEngaged.set(true)
+          if (await(ws.subscriptions >= 2, 120000L)) chaosEngaged.set(true)
         }
       }, "st16-ws-killer")
       killer.setDaemon(true)
@@ -903,7 +912,8 @@ object Blocks extends QueryPack {
             .option("retryBaseWaitMs", "25").load()
             .select("height", "chain_id", "num_txs"),
           "st16_blocks", mode = "append")
-        killer.join(60000)
+        drainDone.set(true)
+        killer.join(240000)
         require(chaosEngaged.get(),
           s"st16 chaos did not engage: ${ws.subscriptions} subscriptions " +
             s"(need a live drop + a resubscribe)")

@@ -108,20 +108,26 @@ final class StubGrpcServer(dir: String,
     * which is exactly what makes the single tip RPC usable as a slot-valued
     * tip. Cached per slot (the tip is re-polled every trigger).
     */
-  private def tipBlock(slot: Long): Option[Array[Byte]] = {
-    val path = s"$dir/block/${srcHeight(slot)}.json"
-    val p = Paths.get(path)
-    if (!Files.exists(p)) None
-    else Some(encodedCache.computeIfAbsent(s"$path#tip=$slot", { _: String =>
-      val raw = new String(Files.readAllBytes(p), "UTF-8")
-      val json = graft.blocks.FixtureSource.substitute(raw, Map.empty)
-      val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      tree.path("result").path("block").path("header")
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        .put("height", slot.toString)
-      TendermintGrpcCodec.encodeBlockResponse(tree.toString)
-    }))
-  }
+  private def tipBlock(slot: Long): Option[Array[Byte]] =
+    if (slot == srcHeight(slot))
+      // historical slot: the template's own header.height IS the slot —
+      // serve through the shared encode cache, no rewrite (the frozen-tip
+      // default takes only this branch)
+      encoded(s"$dir/block/$slot.json", TendermintGrpcCodec.encodeBlockResponse)
+    else {
+      val path = s"$dir/block/${srcHeight(slot)}.json"
+      val p = Paths.get(path)
+      if (!Files.exists(p)) None
+      else Some(encodedCache.computeIfAbsent(s"$path#tip=$slot", { _: String =>
+        val raw = new String(Files.readAllBytes(p), "UTF-8")
+        val json = graft.blocks.FixtureSource.substitute(raw, Map.empty)
+        val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        tree.path("result").path("block").path("header")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("height", slot.toString)
+        TendermintGrpcCodec.encodeBlockResponse(tree.toString)
+      }))
+    }
 
   private def route(path: String, requestBody: Array[Byte]): (Int, String, Option[Array[Byte]]) = {
     countRequest()

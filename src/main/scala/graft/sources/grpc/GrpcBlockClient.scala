@@ -29,14 +29,13 @@ object GrpcBlockClient {
     * and stream ids stay well-distributed. Never closed explicitly; the
     * event loop is daemon so JVM exit is not held up.
     */
-  private val PoolSize = 4
   private val pool =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[GrpcConnection]]()
 
   private[grpc] def connection(host: String, port: Int): GrpcConnection = {
     val conns = pool.computeIfAbsent((host, port),
-      { case (h, p) => Array.fill(PoolSize)(new GrpcConnection(h, p)) })
-    conns((Thread.currentThread().getId % PoolSize).toInt)
+      { case (h, p) => Array.fill(GrpcWire.PoolSize)(new GrpcConnection(h, p)) })
+    conns((Thread.currentThread().getId % GrpcWire.PoolSize).toInt)
   }
 
   /** Shared, thread-safe (read/write-only use) mapper for meta-page
@@ -148,7 +147,18 @@ final class GrpcBlockClient(base: String) extends BlockClient {
     */
   private def callMany(path: String, requests: Seq[Array[Byte]]): Seq[Option[Array[Byte]]] = {
     val pending = requests.map(conn.start(path, _))
-    pending.map(p => taxonomy(path, p.await()))
+    // on the first failure, ABORT the not-yet-awaited siblings instead of
+    // abandoning them: their streams would otherwise stay registered on the
+    // immortal pooled connection (and hold the peer's concurrent-stream
+    // budget) until the connection dies — one leak per retry round
+    var failure: Throwable = null
+    val results = pending.map { p =>
+      if (failure != null) { p.abort(); None }
+      else try taxonomy(path, p.await())
+      catch { case t: Throwable => failure = t; None }
+    }
+    if (failure != null) throw failure
+    results
   }
 
   override def currentHeight(): Long =

@@ -77,15 +77,20 @@ object GrpcWire {
     java.util.Arrays.copyOfRange(framed, 5, framed.length)
   }
 
-  /** Shared client event loop: 4 daemon threads serve every connection this
-    * JVM opens (executor tasks do blocking unary calls; the loop only
-    * shuffles frames). Sized to the connection pool
-    * ([[GrpcBlockClient.connection]]): a netty channel is pinned to ONE
-    * loop thread, so fewer threads than pooled connections would re-
-    * serialize the frame work the pool exists to spread.
+  /** Connections pooled per (host, port) by [[GrpcBlockClient.connection]],
+    * and the loop-thread count below: ONE constant, because their equality
+    * is load-bearing — a netty channel is pinned to one loop thread, so
+    * fewer threads than pooled connections would re-serialize the frame
+    * work the pool exists to spread.
+    */
+  val PoolSize = 4
+
+  /** Shared client event loop: [[PoolSize]] daemon threads serve every
+    * connection this JVM opens (executor tasks do blocking unary calls; the
+    * loop only shuffles frames).
     */
   lazy val eventLoop: EventLoopGroup = new MultiThreadIoEventLoopGroup(
-    4, new DefaultThreadFactory("graft-grpc-client", /* daemon = */ true),
+    PoolSize, new DefaultThreadFactory("graft-grpc-client", /* daemon = */ true),
     NioIoHandler.newFactory())
 }
 
@@ -132,6 +137,14 @@ final class GrpcConnection(host: String, port: Int,
                     // several hundred KiB; the default 64 KiB window would
                     // stall mid-response until WINDOW_UPDATE round-trips
                     .maxFrameSize(1 << 18))
+                  // the pipelined meta path dispatches up to 20 streams
+                  // before awaiting any; a peer legally advertising a lower
+                  // SETTINGS_MAX_CONCURRENT_STREAMS must make the excess
+                  // opens QUEUE (netty buffers them until capacity frees),
+                  // not fail their HEADERS write — without this, every T4
+                  // retry would re-issue the same over-limit burst and
+                  // re-fail against that peer forever
+                  .encoderEnforceMaxConcurrentStreams(true)
                   .build(),
                 // client side never accepts peer-initiated streams; the
                 // multiplex handler still requires a child handler
@@ -197,6 +210,14 @@ final class GrpcConnection(host: String, port: Int,
           stream.close()
           throw new IOException(s"gRPC call timeout after $callTimeoutMillis ms: $path")
       }
+
+    /** Abandon the call: close its stream channel without waiting. Used by
+      * a batch issuer when a SIBLING call failed — the un-awaited streams
+      * would otherwise stay registered on the immortal pooled parent (and
+      * hold the peer's concurrent-stream budget) until the parent dies.
+      * Closing a stream whose handler already completed is harmless.
+      */
+    def abort(): Unit = { stream.close(); () }
   }
 
   /** Blocking unary call. Returns the peer's grpc-status + raw (unframed)
