@@ -39,7 +39,8 @@ final class StubGrpcServer(dir: String,
                            val liveCount: Int = 6,
                            val liveSrcFrom: Long = 3126935L,
                            resultsLayout: String = "v034",
-                           advanceTipAfterFirstPoll: Boolean = false)
+                           advanceTipAfterFirstPoll: Boolean = false,
+                           maxConcurrentStreams: Int = 0)
   extends StubChainNode {
 
   require(resultsLayout == "v034" || resultsLayout == "v038",
@@ -235,11 +236,18 @@ final class StubGrpcServer(dir: String,
       .childOption[java.lang.Boolean](ChannelOption.TCP_NODELAY, true)
       .childHandler(new ChannelInitializer[Channel] {
         override def initChannel(ch: Channel): Unit = {
+          // maxConcurrentStreams > 0 models a conservative node/LB that
+          // advertises a low SETTINGS_MAX_CONCURRENT_STREAMS: the client's
+          // pipelined batch path must QUEUE its excess stream opens against
+          // such a peer, not fail them (GrpcWireSpec pins this)
+          val settings = Http2Settings.defaultSettings()
+            .initialWindowSize(1 << 20)
+            .maxFrameSize(1 << 18)
+          if (maxConcurrentStreams > 0)
+            settings.maxConcurrentStreams(maxConcurrentStreams.toLong)
           ch.pipeline().addLast(
             Http2FrameCodecBuilder.forServer()
-              .initialSettings(Http2Settings.defaultSettings()
-                .initialWindowSize(1 << 20)
-                .maxFrameSize(1 << 18))
+              .initialSettings(settings)
               .build(),
             new Http2MultiplexHandler(new ChannelInitializer[Channel] {
               override def initChannel(stream: Channel): Unit = {

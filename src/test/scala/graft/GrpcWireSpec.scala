@@ -218,6 +218,29 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metas.get(0).path("num_txs").isTextual) // JSON-string like the RPC
   }
 
+  test("pipelined batch against a low max-concurrent-streams peer queues, not fails") {
+    // a conservative node/LB may legally advertise MAX_CONCURRENT_STREAMS
+    // below the meta path's 20-deep dispatch; the client codec enforces the
+    // advertised limit by QUEUEING excess stream opens (not failing their
+    // HEADERS writes), so the batch completes correctly — just with bounded
+    // in-flight depth. Pre-fix behavior: 'Maximum active streams violated'
+    // → IOException → every T4 retry re-fails identically.
+    val low = new StubGrpcServer(T, maxConcurrentStreams = 4)
+    try {
+      val c = new GrpcBlockClient(low.base)
+      // settle the SETTINGS exchange first so the 20-deep dispatch below
+      // deterministically runs AGAINST the known limit (dispatching during
+      // the preface race would test nothing)
+      assert(c.currentHeight() === 2270469L)
+      val pages = c.metaPages(2270370L, 2270410L)
+      assert(pages.size === 3)
+      val metas = mapper.readTree(pages.head).path("result").path("block_metas")
+      assert(metas.size() === 20)
+      assert(metas.get(19).path("header").path("height").asText() === "2270389")
+      assert(low.blockServesIn(2270370L, 2270410L) === 41)
+    } finally low.stop()
+  }
+
   test("request counters observe the wire (the gate queries' proof hooks)") {
     val before = stub.blockServesIn(2270380L, 2270380L)
     client.block(2270380L)
