@@ -912,13 +912,20 @@ object Blocks extends QueryPack {
             .option("retryBaseWaitMs", "25").load()
             .select("height", "chain_id", "num_txs"),
           "st16_blocks", mode = "append")
-        drainDone.set(true)
+        drainDone.set(true) // release the killer's waits before joining it
         killer.join(240000)
         require(chaosEngaged.get(),
           s"st16 chaos did not engage: ${ws.subscriptions} subscriptions " +
             s"(need a live drop + a resubscribe)")
         out
-      } finally { ws.stop(); rpc.stop() }
+      } finally {
+        // ALSO set on the failure path (idempotent): a drain that throws
+        // must still release the killer, or its daemon thread busy-polls
+        // the dead stubs for up to 4 minutes of load noise alongside
+        // whatever query runs next in this JVM
+        drainDone.set(true)
+        ws.stop(); rpc.stop()
+      }
     },
     s1Connector.oracle)
 

@@ -154,8 +154,10 @@ final class GrpcBlockClient(base: String) extends BlockClient {
     var failure: Throwable = null
     val results = pending.map { p =>
       if (failure != null) { p.abort(); None }
+      // NonFatal only: an OutOfMemoryError mid-batch must propagate NOW,
+      // not be parked while the loop keeps allocating through 19 aborts
       else try taxonomy(path, p.await())
-      catch { case t: Throwable => failure = t; None }
+      catch { case scala.util.control.NonFatal(t) => failure = t; None }
     }
     if (failure != null) throw failure
     results
