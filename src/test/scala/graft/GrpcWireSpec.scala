@@ -241,6 +241,27 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally low.stop()
   }
 
+  test("a transient mid-batch fails the pipelined call fast and leaves the connection usable") {
+    // one UNAVAILABLE inside a 20-deep pipelined page: the batch must
+    // surface IOException (the T4 contract — the retry wrapper above
+    // re-issues the page), the not-yet-awaited siblings are aborted rather
+    // than left registered on the pooled connection, and the SAME
+    // connection must serve the retried batch correctly — a leaked stream
+    // budget or a poisoned parent would fail the second call
+    val iso = new StubGrpcServer(T)
+    try {
+      val c = new GrpcBlockClient(iso.base)
+      assert(c.currentHeight() === 2270469L) // dial + settle SETTINGS
+      iso.failNext(1)
+      intercept[java.io.IOException](c.metaPages(2270370L, 2270389L))
+      // the same un-retried client, same pooled connection: full page, clean
+      val pages = c.metaPages(2270370L, 2270389L)
+      assert(pages.size === 1)
+      assert(mapper.readTree(pages.head).path("result")
+        .path("block_metas").size() === 20)
+    } finally iso.stop()
+  }
+
   test("request counters observe the wire (the gate queries' proof hooks)") {
     val before = stub.blockServesIn(2270380L, 2270380L)
     client.block(2270380L)
