@@ -88,6 +88,25 @@ class WsBlockFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("unreachable node: backoff exhausts and the recorded failure surfaces") {
+    // the give-up arm of the reconnect ladder (reference Backoff.kt caps
+    // attempts): a node that is GONE — not flapping — must eventually turn
+    // every pushedTip read into a thrown IOException so the streaming query
+    // fails with restart semantics instead of tailing silence forever
+    val dead = new StubWsServer
+    val url = dead.url
+    dead.stop() // port now refuses connections
+    val sub = new WsSubscription(url,
+      reconnectBaseMillis = 5L, maxReconnectAttempts = 2)
+    try {
+      eventually(30000)(
+        try { sub.pushedTip; false }
+        catch {
+          case e: java.io.IOException => e.getMessage.contains("unreachable")
+        })
+    } finally sub.close()
+  }
+
   test("S9 live tail over ws: pushed events drive the stream, zero polling") {
     val rpc = new StubRpcServer(T)
     try withWs { ws =>
