@@ -146,17 +146,33 @@ final class GrpcBlockClient(base: String) extends BlockClient {
     * serial loop.
     */
   private def callMany(path: String, requests: Seq[Array[Byte]]): Seq[Option[Array[Byte]]] = {
-    val pending = requests.map(conn.start(path, _))
+    val c = conn
+    // dispatch under try/catch: a start() that throws mid-loop (stream-open
+    // failure on a draining connection) must abort the already-dispatched
+    // siblings HERE, not rely on evict()'s parent-close to sweep them up —
+    // if a future start-failure path stops evicting, those streams would
+    // leak on the immortal pooled connection
+    val dispatched = scala.collection.mutable.ArrayBuffer.empty[c.PendingCall]
+    try requests.foreach(r => dispatched += c.start(path, r))
+    catch {
+      case scala.util.control.NonFatal(t) =>
+        dispatched.foreach(_.abort())
+        throw t
+    }
+    // the batch shares ONE call-timeout budget (the calls travel
+    // concurrently; sequential fresh-budget awaits against a stalled peer
+    // would block the task thread for up to n× the intended timeout)
+    val deadline = c.deadlineFromNow()
     // on the first failure, ABORT the not-yet-awaited siblings instead of
     // abandoning them: their streams would otherwise stay registered on the
     // immortal pooled connection (and hold the peer's concurrent-stream
     // budget) until the connection dies — one leak per retry round
     var failure: Throwable = null
-    val results = pending.map { p =>
+    val results = dispatched.toSeq.map { p =>
       if (failure != null) { p.abort(); None }
       // NonFatal only: an OutOfMemoryError mid-batch must propagate NOW,
       // not be parked while the loop keeps allocating through 19 aborts
-      else try taxonomy(path, p.await())
+      else try taxonomy(path, p.await(deadline))
       catch { case scala.util.control.NonFatal(t) => failure = t; None }
     }
     if (failure != null) throw failure

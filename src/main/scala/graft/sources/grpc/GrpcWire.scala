@@ -186,11 +186,16 @@ final class GrpcConnection(host: String, port: Int,
     * event loop until JVM exit; closing an already-replaced channel is
     * harmless.
     */
-  private def evict(ch: Channel): Unit = {
+  private[graft] def evict(ch: Channel): Unit = {
     parent.compareAndSet(ch, null)
     ch.close()
     ()
   }
+
+  /** Test-only view of the pooled parent slot (GrpcWireSpec's lifecycle
+    * regression tests assert on it; nothing in the engine reads it).
+    */
+  private[graft] def pooledChannel: Channel = parent.get()
 
   /** A dispatched unary call awaiting its response: the pipelining handle
     * behind [[unary]]. `await()` blocks the calling task thread; on timeout
@@ -200,7 +205,20 @@ final class GrpcConnection(host: String, port: Int,
       done: CompletableFuture[GrpcWire.GrpcResponse],
       stream: Channel, path: String) {
     def await(): GrpcWire.GrpcResponse =
-      try done.get(callTimeoutMillis.toLong, TimeUnit.MILLISECONDS)
+      await(System.nanoTime() + callTimeoutMillis * 1000000L)
+
+    /** Await against an absolute deadline — the batch form. A pipelined
+      * batch's calls all travel concurrently on the one connection, so the
+      * batch as a whole deserves ONE `callTimeoutMillis` budget, not one per
+      * call: sequential fresh-budget awaits against a stalled-but-open peer
+      * would block the task thread for up to n× the intended timeout before
+      * the T4 retry ever saw an error. An already-expired deadline times out
+      * immediately (`done.get(0, …)` still returns a completed future's
+      * value, so responses that already arrived are never discarded).
+      */
+    def await(deadlineNanos: Long): GrpcWire.GrpcResponse =
+      try done.get(math.max(0L, deadlineNanos - System.nanoTime()),
+        TimeUnit.NANOSECONDS)
       catch {
         case e: java.util.concurrent.ExecutionException => e.getCause match {
           case io: IOException => throw io
@@ -219,6 +237,12 @@ final class GrpcConnection(host: String, port: Int,
       */
     def abort(): Unit = { stream.close(); () }
   }
+
+  /** Absolute deadline `callTimeoutMillis` from now — what a batch issuer
+    * passes to each [[PendingCall.await(deadlineNanos*)]] so the whole
+    * pipelined batch shares one call-timeout budget.
+    */
+  def deadlineFromNow(): Long = System.nanoTime() + callTimeoutMillis * 1000000L
 
   /** Blocking unary call. Returns the peer's grpc-status + raw (unframed)
     * response payload; transport-level failures surface as IOException so

@@ -262,6 +262,111 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally iso.stop()
   }
 
+  /** Reflective handle on the private CAS parent slot — used ONLY to stage
+    * the orphan scenario below (null the slot without closing its channel,
+    * the "another thread already reconnected" shape evict's scaladoc
+    * describes); assertions read the private[graft] `pooledChannel` view.
+    */
+  private def slotOf(conn: GrpcConnection) = {
+    val f = classOf[GrpcConnection].getDeclaredField("parent")
+    f.setAccessible(true)
+    f.get(conn).asInstanceOf[
+      java.util.concurrent.atomic.AtomicReference[io.netty.channel.Channel]]
+  }
+
+  test("evict that loses the CAS still closes the orphan channel") {
+    // regression (r10 ADVICE): evict() used to close only when its CAS won,
+    // so a GOAWAY-draining channel replaced by a concurrent reconnect stayed
+    // registered on the daemon event loop until JVM exit. Stage exactly that
+    // shape: ch1 live in the slot, slot nulled as a racing reconnect would
+    // leave it mid-swap, ch2 dialed in — then evict(ch1) must lose the CAS
+    // yet close ch1, and must not disturb the newer ch2.
+    val conn = new GrpcConnection("127.0.0.1", stub.port)
+    val req = graft.sources.grpc.TendermintGrpcCodec.encodeHeightRequest(2270371L)
+    try {
+      assert(conn.unary(GrpcBlockClient.GetBlockByHeightPath, req).status === GrpcWire.OK)
+      val ch1 = conn.pooledChannel
+      assert(ch1 != null && ch1.isActive)
+      slotOf(conn).set(null) // the racing reconnect's window
+      assert(conn.unary(GrpcBlockClient.GetBlockByHeightPath, req).status === GrpcWire.OK)
+      val ch2 = conn.pooledChannel
+      assert((ch2 ne ch1) && ch2.isActive, "second dial must publish a fresh channel")
+      assert(ch1.isActive, "staging precondition: ch1 is the still-open orphan")
+      conn.evict(ch1) // CAS(ch1 → null) loses: slot holds ch2
+      assert(ch1.closeFuture().awaitUninterruptibly(5000L),
+        "the CAS-losing evict must still close its channel")
+      assert(!ch1.isActive)
+      assert(conn.pooledChannel eq ch2, "evict of an orphan must not touch the live slot")
+      assert(conn.unary(GrpcBlockClient.GetBlockByHeightPath, req).status === GrpcWire.OK)
+    } finally conn.close()
+  }
+
+  test("close() racing a dial never leaves the slot resurrected or a dead channel pooled") {
+    // regression (r10 ADVICE): close() used to skip the dial monitor, so a
+    // close racing a dial could getAndSet(null) BEFORE the dial's
+    // parent.set published — resurrecting the slot with a channel nobody
+    // would ever close. Both serializations are forced deterministically by
+    // parking both threads on the connection's monitor and releasing it.
+    val conn = new GrpcConnection("127.0.0.1", stub.port)
+    val req = graft.sources.grpc.TendermintGrpcCodec.encodeHeightRequest(2270371L)
+    def awaitBlocked(t: Thread): Unit = {
+      val deadline = System.nanoTime() + 10000L * 1000000L
+      while (t.getState != Thread.State.BLOCKED && System.nanoTime() < deadline)
+        Thread.sleep(1)
+      assert(t.getState == Thread.State.BLOCKED, s"${t.getName} never contended the monitor")
+    }
+    for (round <- 1 to 6) {
+      @volatile var dialErr: Throwable = null
+      val dial = new Thread(() => {
+        try { conn.unary(GrpcBlockClient.GetBlockByHeightPath, req); () }
+        catch { case t: Throwable => dialErr = t }
+      }, s"lifecycle-dial-$round")
+      val closer = new Thread(() => conn.close(), s"lifecycle-close-$round")
+      conn.synchronized {
+        dial.start(); awaitBlocked(dial)
+        closer.start(); awaitBlocked(closer)
+      } // release: the JVM serializes the two in either order
+      dial.join(30000L); closer.join(30000L)
+      assert(!dial.isAlive && !closer.isAlive, "lifecycle threads wedged")
+      val slot = conn.pooledChannel
+      // invariant either way: a pooled channel is live, never a corpse; a
+      // dial killed mid-call by the close surfaces the documented
+      // stream-closed IOException, nothing else
+      assert(slot == null || slot.isActive, "slot holds a dead channel")
+      if (dialErr != null) assert(dialErr.isInstanceOf[java.io.IOException], s"$dialErr")
+      // and the load-bearing contract: once close() returns UNCONTENDED, the
+      // slot is null — under the pre-fix race it could come back non-null
+      conn.close()
+      assert(conn.pooledChannel == null, "close() must leave the slot null")
+    }
+  }
+
+  test("a pipelined batch shares ONE call-timeout budget across its awaits") {
+    // regression (r10 ADVICE): each sequential await used to get a fresh
+    // full callTimeoutMillis, so a 20-deep batch against a stalled-but-open
+    // peer blocked the task thread ~20× the intended timeout before the T4
+    // retry saw an error. A listener that accepts TCP but never speaks
+    // HTTP/2 is exactly that peer (the backlog completes the connect; no
+    // accept loop needed). 5 calls at 400 ms each: old = ~2000 ms serial
+    // budgets, new = one shared deadline ≈ 400 ms; gate in between.
+    val silent = new java.net.ServerSocket(0, 16,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val conn = new GrpcConnection("127.0.0.1", silent.getLocalPort,
+      callTimeoutMillis = 400)
+    try {
+      val req = graft.sources.grpc.TendermintGrpcCodec.encodeHeightRequest(2270371L)
+      val pending = (1 to 5).map(_ =>
+        conn.start(GrpcBlockClient.GetBlockByHeightPath, req))
+      val deadline = conn.deadlineFromNow()
+      val t0 = System.nanoTime()
+      pending.foreach(p => intercept[java.io.IOException](p.await(deadline)))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(elapsedMs < 1300L,
+        s"5 awaits against a stalled peer took ${elapsedMs} ms — batch " +
+          "deadline not shared (serial budgets would be ~2000 ms)")
+    } finally { conn.close(); silent.close() }
+  }
+
   test("request counters observe the wire (the gate queries' proof hooks)") {
     val before = stub.blockServesIn(2270380L, 2270380L)
     client.block(2270380L)
