@@ -929,11 +929,65 @@ object Blocks extends QueryPack {
     },
     s1Connector.oracle)
 
+  /** st17: CHAOS AT THE HISTORY→LIVE HANDOVER ITSELF — the one T4 shape
+    * st7/st14/st16 (retries inside bounded history) and st9/st15 (the clean
+    * transition) left ungated. The reference re-subscribes from `currentFrom`
+    * across the merge when the wire dies at the boundary
+    * (`es-core/.../stream/flows/MultiplexFlow.kt:160`, `retryWhen` around the
+    * history+live concat); this engine's claim is that the height-offset log
+    * makes that recovery free — the boundary is just another offset. Make it
+    * evidence: st9's combined drain (no `to`; 100 historical slots, then the
+    * 6 live slots above the start tip), with the wire killed INSIDE the
+    * trigger where provenance flips. With `maxHeightsPerTrigger = 40` the
+    * flip trigger is the third micro-batch (slots 2270450–2270475: the last
+    * 20 historical heights AND all 6 live slots), and `failOnceAtHeights` on
+    * BOTH boundary slots — the last historical (`histTo`) and the first live
+    * (`liveFrom`) — 503s the first `/block` fetch on each side of the flip:
+    * deterministic chaos exactly at the handover, no timing thread. The
+    * executor retry ladder absorbs both; the drain must still hash-match
+    * s13's 106-row oracle with the provenance flip intact — no dropped
+    * boundary height, no re-fetched row surfacing twice, no second
+    * `historical=false` run. The requires pin that both faults engaged (each
+    * boundary slot served ≥2 = faulted then retried) and that the flip
+    * structure is exactly one live run of 6.
+    */
+  val st17HandoverChaos = GQuery(
+    "st17_handover_chaos",
+    (s, _) => {
+      val stub = new graft.StubRpcServer(T)
+      try {
+        stub.failOnceAtHeights(Seq(stub.histTo, stub.liveFrom))
+        val out = StreamGate.drain(s,
+          s.readStream.format("blockfeed").option("path", stub.base)
+            .option("from", From.toString) // no `to`: history, then live
+            .option("maxHeightsPerTrigger", "40")
+            .option("retryBaseWaitMs", "25").load()
+            .select(col("height"),
+              size(coalesce(col("block.data.txs"), array())).as("num_txs"),
+              col("historical")),
+          "st17_blocks", mode = "append")
+        require(stub.pendingHeightFaults == 0,
+          s"st17 chaos did not engage: ${stub.pendingHeightFaults} boundary " +
+            "faults were never requested")
+        require(stub.blockServesIn(stub.histTo, stub.histTo) >= 2 &&
+            stub.blockServesIn(stub.liveFrom, stub.liveFrom) >= 2,
+          "st17 boundary heights were not retried after their injected faults")
+        // exactly ONE historical=false run: the 6 live rows and nothing else
+        // (the memory sink is materialized — this inspection re-runs nothing)
+        val live = out.filter(!col("historical")).count()
+        require(live == 6L,
+          s"st17 expected exactly the 6 live rows to flag historical=false, got $live")
+        out
+      } finally stub.stop()
+    },
+    s13Combined.oracle)
+
   override def queries: Seq[GQuery] =
     Seq(s1Scan, s3MetaScan, e1TxEventsByType, e2BlockEventsByType,
       e3TxErrors, f4TxHashes, f10AttrKeys, s13Combined, p1NonEmpty,
       p2Filter, p6Nth, f13Fees, s1Connector, s2HeightList, e1Connector,
       st6StreamConnector, st7ChaosConnector, st8WsConnector,
       st9Combined, st10Resume, st11GrpcConnector, st12GrpcTxEvents,
-      st13GrpcV038Events, st14GrpcChaos, st15GrpcCombined, st16WsChaos)
+      st13GrpcV038Events, st14GrpcChaos, st15GrpcCombined, st16WsChaos,
+      st17HandoverChaos)
 }
