@@ -38,12 +38,22 @@ trait StubChainNode {
     */
   @volatile var latest: Long = histTo + liveCount
 
+  /** Soak mode: chain slots above the live window REPLAY the historical
+    * templates (modulo the window size) instead of 404ing — an endlessly
+    * advancing chain for long-running drills (SoakSpec). Content heights and
+    * payloads repeat; chain slots never do, so the offset log still advances
+    * monotonically the way a real weeks-long tail would.
+    */
+  protected def wrapAboveWindow: Boolean = false
+
   /** Chain height → template file height: live slots serve the live
     * payloads (content heights `liveSrcFrom`+), everything else serves its
     * own file — a real node is DENSE, unlike a fixture dir listing.
     */
   protected final def srcHeight(h: Long): Long =
     if (h >= liveFrom && h < liveFrom + liveCount) liveSrcFrom + (h - liveFrom)
+    else if (wrapAboveWindow && h > histTo)
+      histFrom + ((h - histFrom) % (histTo - histFrom + 1))
     else h
 
   // ---- failNext: the next n requests (any RPC) answer transient ---------

@@ -29,7 +29,8 @@ final class StubRpcServer(dir: String,
                           val histFrom: Long = 2270370L,
                           val histTo: Long = 2270469L,
                           val liveCount: Int = 6,
-                          val liveSrcFrom: Long = 3126935L)
+                          val liveSrcFrom: Long = 3126935L,
+                          override protected val wrapAboveWindow: Boolean = false)
   extends StubChainNode {
 
   // chain model, chaos contract (failNext / failOnceAtHeights), and the

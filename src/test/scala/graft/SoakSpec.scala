@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A bounded LIVE-TAIL SOAK: every streaming gate drains in seconds, but a
+  * real deployment tails a node for weeks — thousands of micro-batch
+  * triggers against the same connector, offset log, state store, and wire
+  * pool. This spec runs the machinery long enough (≥200 committed
+  * micro-batches, the chain tip advancing as batches commit, each batch
+  * fetching real blocks over real loopback HTTP) to catch anything that
+  * grows PER TRIGGER instead of per vocabulary:
+  *
+  *   - the offset/commit logs must be PURGED, not accumulated (Spark retains
+  *     `minBatchesToRetain` = 100 entries; ~240 batches must leave ~100
+  *     files, never one per batch);
+  *   - state-operator footprint (rows AND serialized bytes) must be flat
+  *     between mid-run and end — the StateSizeSpec budgets, re-measured
+  *     under endless replay instead of a one-shot drain;
+  *   - the JVM thread population must be flat between mid-run and end — a
+  *     thread leaked per trigger/connection would show up ~100× here.
+  *
+  * The node side is [[StubRpcServer]] in `wrapAboveWindow` soak mode: chain
+  * slots above the golden window replay the historical templates (content
+  * repeats, slots never do), so the tip can advance indefinitely while every
+  * fetch still serves a real payload.
+  *
+  * The second test is the gRPC twin of the thread claim: the 4-connection
+  * pool ([[graft.sources.grpc.GrpcWire.PoolSize]]) is immortal BY DESIGN —
+  * this proves those loops are the ONLY immortals by draining the same
+  * bounded range twice, one height per trigger, and requiring the
+  * `graft-grpc-client` thread census to stay at ≤ PoolSize with zero growth
+  * across drains (a per-trigger channel/loop leak would add threads on
+  * every one of the ~200 triggers).
+  */
+class SoakSpec extends AnyFunSuite {
+
+  private val T = graft.blocks.FixtureSource.DefaultTemplates
+
+  // HDFS-backed provider pinned on an own session (the StateSizeSpec
+  // rationale: only it reports stateOnCurrentVersionSizeBytes, and another
+  // suite in the shared JVM may have selected RocksDB)
+  private lazy val spark: SparkSession = {
+    val s = Session.builder("soak-test").getOrCreate().newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    s
+  }
+
+  private def liveThreads: Seq[Thread] = {
+    import scala.jdk.CollectionConverters._
+    Thread.getAllStackTraces.keySet.asScala.toSeq.filter(_.isAlive)
+  }
+
+  test("210-trigger live tail: offset log purged, state flat, threads flat") {
+    val stub = new StubRpcServer(T, wrapAboveWindow = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-soak-")
+    val ckpt = s"$tmp/ckpt"
+    try {
+      stub.latest = stub.histFrom // tip starts at the floor, advances below
+      val df = spark.readStream.format("blockfeed")
+        .option("path", stub.base)
+        .option("from", stub.histFrom.toString) // no `to`: endless tail
+        .option("maxHeightsPerTrigger", "1")
+        .option("retryBaseWaitMs", "25").load()
+        // payload-derived num_txs forces full mode: every trigger really
+        // fetches its block over the wire (the st7/st9 rationale)
+        .select(col("height"), col("time"),
+          size(coalesce(col("block.data.txs"), array())).as("num_txs"))
+        .withWatermark("time", "10 seconds")
+        .groupBy(window(col("time"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(col("num_txs")).as("txs"))
+      val q = df.writeStream.format("memory").queryName("soak_tail")
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0L)).start()
+
+      def committed: Long = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      // the local CheckpointFileManager writes a .crc sidecar per entry —
+      // count the entries themselves
+      def offsetFiles: Int =
+        Option(new java.io.File(s"$ckpt/offsets").list())
+          .map(_.count(!_.endsWith(".crc"))).getOrElse(0)
+      def stateProbe: (Long, Long) = {
+        val withState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        assert(withState.nonEmpty, "no state-operator progress recorded")
+        val op = withState.last.stateOperators.head
+        (op.numRowsTotal,
+          op.customMetrics.get("stateOnCurrentVersionSizeBytes").longValue())
+      }
+
+      val target = 210L // ≥200 committed triggers; headroom under host load
+      val budgetSecs = 360L
+      var mid: Option[(Long, Long, Int, Int)] = None // state rows/bytes, offset files, threads
+      val deadline = System.nanoTime() + budgetSecs * 1000000000L
+      try {
+        while (committed < target && System.nanoTime() < deadline) {
+          // the tip advances as batches commit — the live-tail shape: the
+          // node is always a couple of blocks ahead, never a deep backlog
+          stub.latest = math.min(stub.histFrom + committed + 2, stub.histFrom + target + 4)
+          if (committed >= 110 && mid.isEmpty) {
+            val (r, b) = stateProbe
+            mid = Some((r, b, offsetFiles, liveThreads.size))
+          }
+          Thread.sleep(2)
+        }
+        assert(committed >= target,
+          s"soak committed only $committed micro-batches in $budgetSecs s (target $target)")
+        val Some((midRows, midBytes, midOffsets, midThreads)) = mid
+        val (endRows, endBytes) = stateProbe
+        val endOffsets = offsetFiles
+        val endThreads = liveThreads.size
+
+        // the chain replays the same 100 templates: vocabulary (the 1 h
+        // windows of the golden corpus) is fixed, so state must be EXACTLY
+        // flat from mid-run to end — any per-trigger growth is a leak
+        assert(endRows == midRows,
+          s"state rows grew under endless replay: $midRows → $endRows")
+        assert(endBytes == midBytes,
+          s"state bytes grew under endless replay: $midBytes → $endBytes")
+        // purge, not accumulation: ~100 retained + slack, never ~1/batch
+        assert(endOffsets <= 120 && endOffsets <= midOffsets + 10,
+          s"offset log grew with the trigger count: $midOffsets → $endOffsets files")
+        // 100 triggers between the probes: a per-trigger thread leak would
+        // add ~100 here; allow a little slack for lazy Spark pool warm-up
+        assert(endThreads <= midThreads + 8,
+          s"thread population grew across 100 triggers: $midThreads → $endThreads")
+        // and the soak really flowed data end-to-end the whole way:
+        //   - the replay phase (roughly the last 100 triggers): recentProgress
+        //     must show rows still ARRIVING one per trigger — the watermark
+        //     then drops the stale-timestamped replays as late, which is
+        //     exactly WHY state stays flat above;
+        //   - the aggregate itself: the update-mode memory sink appends one
+        //     row per window per update, so each window's all-time accepted
+        //     count is its LAST (= max) n — together the golden window's
+        //     ~106 blocks must have landed before the watermark froze
+        val recentInput = q.recentProgress.map(_.numInputRows).sum
+        assert(recentInput >= 50,
+          s"late-phase triggers stopped flowing rows: $recentInput over the " +
+            s"last ${q.recentProgress.length} batches")
+        val drained = spark.table("soak_tail")
+          .groupBy(col("window")).agg(max(col("n")).as("n_final"))
+          .agg(sum(col("n_final"))).head().getLong(0)
+        assert(drained >= 100, s"only $drained rows were accepted into the aggregate")
+      } finally q.stop()
+    } finally {
+      stub.stop()
+      // the state-store maintenance thread can still be writing snapshot
+      // files for a beat after q.stop() — retry the tree delete until the
+      // walk and the delete agree
+      import scala.jdk.CollectionConverters._
+      var attempts = 5
+      while (attempts > 0 && java.nio.file.Files.exists(tmp)) {
+        attempts -= 1
+        // NonFatal, not just IOException: Files.walk's lazy iteration throws
+        // UncheckedIOException when the maintenance thread mutates mid-walk
+        try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        catch {
+          case scala.util.control.NonFatal(_) if attempts > 0 => Thread.sleep(300)
+        }
+      }
+    }
+  }
+
+  test("gRPC soak: the 4 pool loops are the ONLY immortal threads") {
+    val stub = new StubGrpcServer(T)
+    def grpcThreads: Int =
+      liveThreads.count(_.getName.startsWith("graft-grpc-client"))
+    def drain(name: String): Unit = {
+      val q = spark.readStream.format("blockfeed")
+        .option("path", stub.base)
+        .option("from", stub.histFrom.toString)
+        .option("to", stub.histTo.toString)
+        .option("maxHeightsPerTrigger", "1") // one gRPC fetch per trigger
+        .option("retryBaseWaitMs", "25").load()
+        .select(col("height"), col("chain_id"),
+          size(coalesce(col("block.data.txs"), array())).as("num_txs"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try {
+        assert(q.awaitTermination(240000), s"$name did not drain in 240 s")
+      } finally q.stop()
+      assert(spark.table(name).count() == 100L)
+    }
+    try {
+      drain("soak_grpc_1")
+      val (g1, t1) = (grpcThreads, liveThreads.size)
+      drain("soak_grpc_2")
+      val (g2, t2) = (grpcThreads, liveThreads.size)
+      // the loop threads start LAZILY (a pool connection dials only when a
+      // task thread's affinity picks it), so the census may still climb
+      // between drains — but it must NEVER exceed the fixed pool size: a
+      // per-trigger channel/loop leak would blow past 4 within one drain
+      assert(g1 <= graft.sources.grpc.GrpcWire.PoolSize &&
+          g2 <= graft.sources.grpc.GrpcWire.PoolSize,
+        s"gRPC loop census $g1 → $g2 exceeds the fixed pool size " +
+          s"${graft.sources.grpc.GrpcWire.PoolSize}")
+      assert(t2 <= t1 + 8,
+        s"thread population grew across a 100-trigger gRPC drain: $t1 → $t2")
+    } finally stub.stop()
+  }
+}
