@@ -499,8 +499,8 @@ object Blocks extends QueryPack {
         // silently flipping the scan back to meta mode would skip every
         // /block request the faults target)
         require(stub.pendingHeightFaults == 0,
-          s"st7 chaos did not engage: ${stub.pendingHeightFaults} height " +
-            "faults were never requested")
+          s"st7 chaos did not engage: ${stub.pendingHeightFaults} armed height " +
+            "faults were never consumed by a /block fetch")
         out
       } finally stub.stop()
     },
@@ -803,8 +803,8 @@ object Blocks extends QueryPack {
               size(coalesce(col("block.data.txs"), array())).as("num_txs")),
           "st14_blocks", mode = "append")
         require(stub.pendingHeightFaults == 0,
-          s"st14 chaos did not engage: ${stub.pendingHeightFaults} height " +
-            "faults were never requested")
+          s"st14 chaos did not engage: ${stub.pendingHeightFaults} armed height " +
+            "faults were never consumed by a block fetch")
         out
       } finally stub.stop()
     },
@@ -967,8 +967,8 @@ object Blocks extends QueryPack {
               col("historical")),
           "st17_blocks", mode = "append")
         require(stub.pendingHeightFaults == 0,
-          s"st17 chaos did not engage: ${stub.pendingHeightFaults} boundary " +
-            "faults were never requested")
+          s"st17 chaos did not engage: ${stub.pendingHeightFaults} armed boundary " +
+            "faults were never consumed by a /block fetch")
         require(stub.blockServesIn(stub.histTo, stub.histTo) >= 2 &&
             stub.blockServesIn(stub.liveFrom, stub.liveFrom) >= 2,
           "st17 boundary heights were not retried after their injected faults")

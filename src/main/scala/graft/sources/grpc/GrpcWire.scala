@@ -204,8 +204,7 @@ final class GrpcConnection(host: String, port: Int,
   final class PendingCall private[GrpcConnection] (
       done: CompletableFuture[GrpcWire.GrpcResponse],
       stream: Channel, path: String) {
-    def await(): GrpcWire.GrpcResponse =
-      await(System.nanoTime() + callTimeoutMillis * 1000000L)
+    def await(): GrpcWire.GrpcResponse = await(deadlineFromNow())
 
     /** Await against an absolute deadline — the batch form. A pipelined
       * batch's calls all travel concurrently on the one connection, so the
@@ -216,9 +215,9 @@ final class GrpcConnection(host: String, port: Int,
       * immediately (`done.get(0, …)` still returns a completed future's
       * value, so responses that already arrived are never discarded).
       */
-    def await(deadlineNanos: Long): GrpcWire.GrpcResponse =
-      try done.get(math.max(0L, deadlineNanos - System.nanoTime()),
-        TimeUnit.NANOSECONDS)
+    def await(deadlineNanos: Long): GrpcWire.GrpcResponse = {
+      val waitedNanos = math.max(0L, deadlineNanos - System.nanoTime())
+      try done.get(waitedNanos, TimeUnit.NANOSECONDS)
       catch {
         case e: java.util.concurrent.ExecutionException => e.getCause match {
           case io: IOException => throw io
@@ -226,8 +225,14 @@ final class GrpcConnection(host: String, port: Int,
         }
         case _: java.util.concurrent.TimeoutException =>
           stream.close()
-          throw new IOException(s"gRPC call timeout after $callTimeoutMillis ms: $path")
+          // report the wait THIS call actually got, not the configured
+          // per-batch budget: under a shared batch deadline a late sibling
+          // may have had almost nothing left, and logging 60000 ms for a
+          // 1 s wait misdiagnoses the peer's stall pattern
+          throw new IOException(s"gRPC call timeout after ${waitedNanos / 1000000L} ms " +
+            s"(budget $callTimeoutMillis ms): $path")
       }
+    }
 
     /** Abandon the call: close its stream channel without waiting. Used by
       * a batch issuer when a SIBLING call failed — the un-awaited streams
