@@ -159,10 +159,15 @@ final class GrpcBlockClient(base: String) extends BlockClient {
         dispatched.foreach(_.abort())
         throw t
     }
-    // the batch shares ONE call-timeout budget (the calls travel
-    // concurrently; sequential fresh-budget awaits against a stalled peer
-    // would block the task thread for up to n× the intended timeout)
-    val deadline = c.deadlineFromNow()
+    // INACTIVITY budget, not one fresh budget per await: the deadline
+    // refreshes each time a response completes, so a STALLED peer costs the
+    // task thread ~one callTimeoutMillis total (sequential fresh budgets
+    // would block up to n× before the T4 retry saw an error), while a
+    // slow-but-PROGRESSING peer (rate-limited node delivering a response
+    // every few seconds) never starves — a fixed whole-batch budget would
+    // make such a peer permanently unfetchable, since every T4 retry would
+    // re-issue the same over-budget batch
+    var deadline = c.deadlineFromNow()
     // on the first failure, ABORT the not-yet-awaited siblings instead of
     // abandoning them: their streams would otherwise stay registered on the
     // immortal pooled connection (and hold the peer's concurrent-stream
@@ -172,7 +177,11 @@ final class GrpcBlockClient(base: String) extends BlockClient {
       if (failure != null) { p.abort(); None }
       // NonFatal only: an OutOfMemoryError mid-batch must propagate NOW,
       // not be parked while the loop keeps allocating through 19 aborts
-      else try taxonomy(path, p.await(deadline))
+      else try {
+        val res = taxonomy(path, p.await(deadline))
+        deadline = c.deadlineFromNow() // progress observed: refresh
+        res
+      }
       catch { case scala.util.control.NonFatal(t) => failure = t; None }
     }
     if (failure != null) throw failure

@@ -208,12 +208,15 @@ final class GrpcConnection(host: String, port: Int,
 
     /** Await against an absolute deadline — the batch form. A pipelined
       * batch's calls all travel concurrently on the one connection, so the
-      * batch as a whole deserves ONE `callTimeoutMillis` budget, not one per
-      * call: sequential fresh-budget awaits against a stalled-but-open peer
-      * would block the task thread for up to n× the intended timeout before
-      * the T4 retry ever saw an error. An already-expired deadline times out
-      * immediately (`done.get(0, …)` still returns a completed future's
-      * value, so responses that already arrived are never discarded).
+      * issuer awaits them under an INACTIVITY budget (one
+      * `callTimeoutMillis` refreshed on every completed response — see
+      * [[graft.sources.grpc.GrpcBlockClient]]'s callMany) instead of a
+      * fresh full budget per sequential await, which against a
+      * stalled-but-open peer would block the task thread for up to n× the
+      * intended timeout before the T4 retry ever saw an error. An
+      * already-expired deadline times out immediately (`done.get(0, …)`
+      * still returns a completed future's value, so responses that already
+      * arrived are never discarded).
       */
     def await(deadlineNanos: Long): GrpcWire.GrpcResponse = {
       val waitedNanos = math.max(0L, deadlineNanos - System.nanoTime())
@@ -244,8 +247,9 @@ final class GrpcConnection(host: String, port: Int,
   }
 
   /** Absolute deadline `callTimeoutMillis` from now — what a batch issuer
-    * passes to each [[PendingCall.await(deadlineNanos*)]] so the whole
-    * pipelined batch shares one call-timeout budget.
+    * passes to [[PendingCall.await(deadlineNanos*)]], refreshing it on each
+    * completed response (the inactivity-budget contract: a stalled peer
+    * costs ~one budget total, a progressing peer never starves).
     */
   def deadlineFromNow(): Long = System.nanoTime() + callTimeoutMillis * 1000000L
 

@@ -153,11 +153,7 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(log.length === 3 * 1024 * 1024)
         assert(log.forall(_ == 'x'))
       } finally big.stop()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally TestDirs.deleteRecursively(tmp)
   }
 
   test("a dropped connection reconnects transparently on the next call") {
@@ -341,14 +337,17 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("a pipelined batch shares ONE call-timeout budget across its awaits") {
+  test("a stalled peer costs a pipelined batch ONE inactivity budget, not one per await") {
     // regression (r10 ADVICE): each sequential await used to get a fresh
     // full callTimeoutMillis, so a 20-deep batch against a stalled-but-open
     // peer blocked the task thread ~20× the intended timeout before the T4
-    // retry saw an error. A listener that accepts TCP but never speaks
-    // HTTP/2 is exactly that peer (the backlog completes the connect; no
-    // accept loop needed). 5 calls at 400 ms each: old = ~2000 ms serial
-    // budgets, new = one shared deadline ≈ 400 ms; gate in between.
+    // retry saw an error. The batch issuer now refreshes the deadline only
+    // when a response COMPLETES (the inactivity budget — a progressing peer
+    // never starves); a fully stalled peer completes nothing, so the whole
+    // batch times out within ~one budget. A listener that accepts TCP but
+    // never speaks HTTP/2 is exactly that peer (the backlog completes the
+    // connect; no accept loop needed). 5 calls at 400 ms each: old =
+    // ~2000 ms serial budgets, new ≈ 400 ms; gate in between.
     val silent = new java.net.ServerSocket(0, 16,
       java.net.InetAddress.getByName("127.0.0.1"))
     val conn = new GrpcConnection("127.0.0.1", silent.getLocalPort,

@@ -27,13 +27,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * repeats, slots never do), so the tip can advance indefinitely while every
   * fetch still serves a real payload.
   *
-  * The second test is the gRPC twin of the thread claim: the 4-connection
-  * pool ([[graft.sources.grpc.GrpcWire.PoolSize]]) is immortal BY DESIGN —
-  * this proves those loops are the ONLY immortals by draining the same
-  * bounded range twice, one height per trigger, and requiring the
-  * `graft-grpc-client` thread census to stay at ≤ PoolSize with zero growth
-  * across drains (a per-trigger channel/loop leak would add threads on
-  * every one of the ~200 triggers).
+  * The second test is the gRPC twin: the 4-connection pool
+  * ([[graft.sources.grpc.GrpcWire.PoolSize]]) is immortal BY DESIGN — this
+  * proves those loops AND their sockets are the ONLY immortals by draining
+  * the same bounded range twice, one height per trigger, with two censuses:
+  * `graft-grpc-client` threads ≤ PoolSize (loop immortality), and
+  * ESTABLISHED client sockets to the stub ≤ PoolSize via `/proc/net/tcp`
+  * (connection immortality — a leaked parent channel keeps a socket open
+  * that the thread census cannot see, since netty registers leaked channels
+  * on the existing loops). Leaked HTTP/2 STREAM channels carry neither a
+  * thread nor a socket; those are pinned functionally by GrpcWireSpec's
+  * abort/evict regressions.
   */
 class SoakSpec extends AnyFunSuite {
 
@@ -79,10 +83,13 @@ class SoakSpec extends AnyFunSuite {
 
       def committed: Long = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       // the local CheckpointFileManager writes a .crc sidecar per entry —
-      // count the entries themselves
-      def offsetFiles: Int =
-        Option(new java.io.File(s"$ckpt/offsets").list())
+      // count the entries themselves, in BOTH metadata logs (Spark purges
+      // offsetLog and commitLog separately; a purge regression in either is
+      // the per-trigger file-growth leak this soak exists to catch)
+      def logFiles(sub: String): Int =
+        Option(new java.io.File(s"$ckpt/$sub").list())
           .map(_.count(!_.endsWith(".crc"))).getOrElse(0)
+      def offsetFiles: Int = logFiles("offsets") + logFiles("commits")
       def stateProbe: (Long, Long) = {
         val withState = q.recentProgress.filter(_.stateOperators.nonEmpty)
         assert(withState.nonEmpty, "no state-operator progress recorded")
@@ -108,7 +115,9 @@ class SoakSpec extends AnyFunSuite {
         }
         assert(committed >= target,
           s"soak committed only $committed micro-batches in $budgetSecs s (target $target)")
-        val Some((midRows, midBytes, midOffsets, midThreads)) = mid
+        val (midRows, midBytes, midOffsets, midThreads) = mid.getOrElse(
+          fail(s"mid-run probe never captured: the monitor loop skipped the " +
+            s"[110, $target) window (only saw committed=$committed)"))
         val (endRows, endBytes) = stateProbe
         val endOffsets = offsetFiles
         val endThreads = liveThreads.size
@@ -120,9 +129,10 @@ class SoakSpec extends AnyFunSuite {
           s"state rows grew under endless replay: $midRows → $endRows")
         assert(endBytes == midBytes,
           s"state bytes grew under endless replay: $midBytes → $endBytes")
-        // purge, not accumulation: ~100 retained + slack, never ~1/batch
-        assert(endOffsets <= 120 && endOffsets <= midOffsets + 10,
-          s"offset log grew with the trigger count: $midOffsets → $endOffsets files")
+        // purge, not accumulation: ~100 retained PER log + slack, never
+        // ~1/batch (the count spans offsets + commits)
+        assert(endOffsets <= 240 && endOffsets <= midOffsets + 20,
+          s"offset/commit logs grew with the trigger count: $midOffsets → $endOffsets files")
         // 100 triggers between the probes: a per-trigger thread leak would
         // add ~100 here; allow a little slack for lazy Spark pool warm-up
         assert(endThreads <= midThreads + 8,
@@ -148,24 +158,36 @@ class SoakSpec extends AnyFunSuite {
     } finally {
       stub.stop()
       // the state-store maintenance thread can still be writing snapshot
-      // files for a beat after q.stop() — retry the tree delete until the
-      // walk and the delete agree
-      import scala.jdk.CollectionConverters._
-      var attempts = 5
-      while (attempts > 0 && java.nio.file.Files.exists(tmp)) {
-        attempts -= 1
-        // NonFatal, not just IOException: Files.walk's lazy iteration throws
-        // UncheckedIOException when the maintenance thread mutates mid-walk
-        try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        catch {
-          case scala.util.control.NonFatal(_) if attempts > 0 => Thread.sleep(300)
-        }
-      }
+      // files for a beat after q.stop() — retry, and never throw from here
+      // (a cleanup error in a finally would REPLACE the real test failure)
+      TestDirs.deleteRecursively(tmp, retries = 5)
     }
   }
 
-  test("gRPC soak: the 4 pool loops are the ONLY immortal threads") {
+  /** Client-side ESTABLISHED TCP connections to `port` (Linux `/proc/net`
+    * census — the rem_address side, so the stub's own listening/accepted
+    * sockets don't double-count). A leaked parent channel keeps its socket
+    * open, so this catches CONNECTION leaks the thread census cannot (netty
+    * registers leaked channels on the EXISTING loop threads); leaked HTTP/2
+    * STREAM channels carry no socket and are pinned functionally by
+    * GrpcWireSpec's abort/evict regressions instead (a leaked stream budget
+    * wedges the low-max-concurrent-streams peer test).
+    */
+  private def establishedTo(port: Int): Int = {
+    val hex = f"$port%04X"
+    Seq("/proc/net/tcp", "/proc/net/tcp6").map { f =>
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(f))) 0
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().drop(1).count { l =>
+          val cols = l.trim.split("\\s+")
+          cols.length > 3 && cols(2).endsWith(":" + hex) && cols(3) == "01"
+        } finally src.close()
+      }
+    }.sum
+  }
+
+  test("gRPC soak: the 4 pool loops and their sockets are the ONLY immortals") {
     val stub = new StubGrpcServer(T)
     def grpcThreads: Int =
       liveThreads.count(_.getName.startsWith("graft-grpc-client"))
@@ -187,17 +209,22 @@ class SoakSpec extends AnyFunSuite {
     }
     try {
       drain("soak_grpc_1")
-      val (g1, t1) = (grpcThreads, liveThreads.size)
+      val (g1, t1, s1) = (grpcThreads, liveThreads.size, establishedTo(stub.port))
       drain("soak_grpc_2")
-      val (g2, t2) = (grpcThreads, liveThreads.size)
+      val (g2, t2, s2) = (grpcThreads, liveThreads.size, establishedTo(stub.port))
       // the loop threads start LAZILY (a pool connection dials only when a
       // task thread's affinity picks it), so the census may still climb
-      // between drains — but it must NEVER exceed the fixed pool size: a
-      // per-trigger channel/loop leak would blow past 4 within one drain
+      // between drains — but it must NEVER exceed the fixed pool size
       assert(g1 <= graft.sources.grpc.GrpcWire.PoolSize &&
           g2 <= graft.sources.grpc.GrpcWire.PoolSize,
         s"gRPC loop census $g1 → $g2 exceeds the fixed pool size " +
           s"${graft.sources.grpc.GrpcWire.PoolSize}")
+      // CONNECTION census: ~100 fetches + ~100 tip polls per drain must
+      // ride the ≤4 pooled sockets — a parent-channel leak (one orphan per
+      // reconnect/evict round) would pile up ESTABLISHED sockets here
+      assert(s1 <= graft.sources.grpc.GrpcWire.PoolSize &&
+          s2 <= graft.sources.grpc.GrpcWire.PoolSize,
+        s"client sockets to the stub grew past the pool: $s1 → $s2")
       assert(t2 <= t1 + 8,
         s"thread population grew across a 100-trigger gRPC drain: $t1 → $t2")
     } finally stub.stop()
