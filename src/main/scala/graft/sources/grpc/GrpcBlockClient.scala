@@ -15,6 +15,14 @@ object GrpcBlockClient {
   val GetBlockResultsPath =
     "/cometbft.services.block_results.v1.BlockResultsService/GetBlockResults"
 
+  /** Absolute ceiling on a pipelined batch's total await time, in multiples
+    * of the per-call timeout: the inactivity refresh (callMany) unblocks
+    * slow-but-progressing peers, this bounds the pathological one that
+    * trickles a response per just-under-budget. 5× the 60 s default = 5 min
+    * worst-case task-thread pin for a 20-deep page, vs 20 min unbounded.
+    */
+  val BatchCeilingFactor = 5L
+
   /** A small fixed pool of connections per (host, port) per JVM, shared by
     * every task on the executor — the gRPC twin of the JDK keep-alive pool
     * the HTTP transport rides ([[graft.sources.HttpBlockClient]]'s
@@ -32,9 +40,17 @@ object GrpcBlockClient {
   private val pool =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[GrpcConnection]]()
 
-  private[grpc] def connection(host: String, port: Int): GrpcConnection = {
+  /** The per-call timeout is applied when a (host, port) slot is FIRST
+    * dialed (the pool is keyed by endpoint; a later client naming a
+    * different timeout for the same endpoint keeps the existing pool —
+    * endpoints are per-stub in tests and per-node in deployment, so the
+    * first-wins rule never bites in practice).
+    */
+  private[grpc] def connection(host: String, port: Int,
+                               callTimeoutMillis: Int = 60000): GrpcConnection = {
     val conns = pool.computeIfAbsent((host, port),
-      { case (h, p) => Array.fill(GrpcWire.PoolSize)(new GrpcConnection(h, p)) })
+      { case (h, p) => Array.fill(GrpcWire.PoolSize)(
+          new GrpcConnection(h, p, callTimeoutMillis = callTimeoutMillis)) })
     conns((Thread.currentThread().getId % GrpcWire.PoolSize).toInt)
   }
 
@@ -93,7 +109,7 @@ object GrpcBlockClient {
   */
 final class GrpcBlockClient(base: String) extends BlockClient {
 
-  private val (host, port, resultsV038) = {
+  private val (host, port, resultsV038, callTimeoutMillis) = {
     val (hpPart, query) = base.stripPrefix("grpc://").split("\\?", 2) match {
       case Array(hp, q) => (hp, q)
       case Array(hp) => (hp, "")
@@ -111,14 +127,20 @@ final class GrpcBlockClient(base: String) extends BlockClient {
       case Some(other) => throw new IllegalArgumentException(
         s"unknown results layout '$other' in $base (v034 | v038)")
     }
+    // per-call timeout, first-dial-wins per endpoint (the pool note on
+    // GrpcBlockClient.connection); default = the gRPC-conventional 60 s
+    val timeoutMs = params.collectFirst { case Array("callTimeoutMillis", v) => v }
+      .map(_.toInt).getOrElse(60000)
     hpPart.stripSuffix("/").split(":", 2) match {
-      case Array(h, p) => (h, p.toInt, v038)
+      case Array(h, p) => (h, p.toInt, v038, timeoutMs)
       case _ => throw new IllegalArgumentException(
-        s"grpc:// URI must be grpc://host:port[?results=v034|v038], got $base")
+        s"grpc:// URI must be grpc://host:port[?results=v034|v038]" +
+          s"[&callTimeoutMillis=n], got $base")
     }
   }
 
-  private def conn: GrpcConnection = GrpcBlockClient.connection(host, port)
+  private def conn: GrpcConnection =
+    GrpcBlockClient.connection(host, port, callTimeoutMillis)
 
   /** The grpc-status → Option/exception taxonomy (class scaladoc). */
   private def taxonomy(path: String, res: GrpcWire.GrpcResponse): Option[Array[Byte]] =
@@ -166,8 +188,13 @@ final class GrpcBlockClient(base: String) extends BlockClient {
     // slow-but-PROGRESSING peer (rate-limited node delivering a response
     // every few seconds) never starves — a fixed whole-batch budget would
     // make such a peer permanently unfetchable, since every T4 retry would
-    // re-issue the same over-budget batch
-    var deadline = c.deadlineFromNow()
+    // re-issue the same over-budget batch. The refresh runs under an
+    // ABSOLUTE ceiling (BatchCeilingFactor × budget) so a pathological peer
+    // trickling one response per just-under-budget still cannot pin the
+    // task thread for n× — the two bounds together: per-response stalls
+    // ≤ 1 budget, whole batch ≤ the ceiling
+    val ceiling = c.deadlineFromNow(GrpcBlockClient.BatchCeilingFactor)
+    var deadline = math.min(c.deadlineFromNow(), ceiling)
     // on the first failure, ABORT the not-yet-awaited siblings instead of
     // abandoning them: their streams would otherwise stay registered on the
     // immortal pooled connection (and hold the peer's concurrent-stream
@@ -179,7 +206,7 @@ final class GrpcBlockClient(base: String) extends BlockClient {
       // not be parked while the loop keeps allocating through 19 aborts
       else try {
         val res = taxonomy(path, p.await(deadline))
-        deadline = c.deadlineFromNow() // progress observed: refresh
+        deadline = math.min(c.deadlineFromNow(), ceiling) // progress: refresh
         res
       }
       catch { case scala.util.control.NonFatal(t) => failure = t; None }

@@ -246,12 +246,16 @@ final class GrpcConnection(host: String, port: Int,
     def abort(): Unit = { stream.close(); () }
   }
 
-  /** Absolute deadline `callTimeoutMillis` from now — what a batch issuer
-    * passes to [[PendingCall.await(deadlineNanos*)]], refreshing it on each
-    * completed response (the inactivity-budget contract: a stalled peer
-    * costs ~one budget total, a progressing peer never starves).
+  /** Absolute deadline `factor × callTimeoutMillis` from now — what a batch
+    * issuer passes to [[PendingCall.await(deadlineNanos*)]], refreshing the
+    * factor-1 form on each completed response (the inactivity-budget
+    * contract: a stalled peer costs ~one budget total, a progressing peer
+    * never starves) under a factor-k absolute ceiling (so a pathological
+    * peer trickling one response per just-under-budget cannot pin the task
+    * thread unboundedly).
     */
-  def deadlineFromNow(): Long = System.nanoTime() + callTimeoutMillis * 1000000L
+  def deadlineFromNow(factor: Long = 1L): Long =
+    System.nanoTime() + factor * callTimeoutMillis * 1000000L
 
   /** Blocking unary call. Returns the peer's grpc-status + raw (unframed)
     * response payload; transport-level failures surface as IOException so

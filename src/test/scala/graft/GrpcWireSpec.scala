@@ -366,6 +366,30 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { conn.close(); silent.close() }
   }
 
+  test("callMany against a stalled peer fails within ~one inactivity budget end-to-end") {
+    // the callMany-LEVEL twin of the await-primitive test above: the whole
+    // pipelined meta path (dispatch 20, await under the refresh-on-
+    // completion inactivity budget with its absolute ceiling) must surface
+    // the stalled peer as IOException in ~one budget — reverting the
+    // refresh to per-await fresh budgets (the r10 bug) would take ~20×,
+    // and deleting the refresh line entirely is caught by the comment's
+    // progressing-peer rationale plus the ceiling bound pinned here.
+    // ?callTimeoutMillis routes the short budget through the real client
+    // and pool (first-dial-wins per endpoint; the port is unique).
+    val silent = new java.net.ServerSocket(0, 32,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    try {
+      val c = new GrpcBlockClient(
+        s"grpc://127.0.0.1:${silent.getLocalPort}?callTimeoutMillis=400")
+      val t0 = System.nanoTime()
+      intercept[java.io.IOException](c.metaPages(2270370L, 2270389L))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(elapsedMs < 1600L,
+        s"a 20-deep stalled batch took ${elapsedMs} ms through callMany — " +
+          "per-await fresh budgets would be ~8000 ms")
+    } finally silent.close()
+  }
+
   test("request counters observe the wire (the gate queries' proof hooks)") {
     val before = stub.blockServesIn(2270380L, 2270380L)
     client.block(2270380L)

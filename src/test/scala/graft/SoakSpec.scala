@@ -14,8 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * grows PER TRIGGER instead of per vocabulary:
   *
   *   - the offset/commit logs must be PURGED, not accumulated (Spark retains
-  *     `minBatchesToRetain` = 100 entries; ~240 batches must leave ~100
-  *     files, never one per batch);
+  *     `minBatchesToRetain` = 100 entries PER log; ~210 batches must leave
+  *     ~100 files in each of offsets/ and commits/ — ~200 combined, which is
+  *     what the probe counts — never one per batch);
   *   - state-operator footprint (rows AND serialized bytes) must be flat
   *     between mid-run and end — the StateSizeSpec budgets, re-measured
   *     under endless replay instead of a one-shot drain;
@@ -175,13 +176,20 @@ class SoakSpec extends AnyFunSuite {
     */
   private def establishedTo(port: Int): Int = {
     val hex = f"$port%04X"
+    // scope to LOOPBACK remote addresses (the stub binds 127.0.0.1): an
+    // unrelated outbound connection elsewhere in the namespace whose remote
+    // port happens to collide with the stub's ephemeral port must not count
+    val remotes = Set(
+      s"0100007F:$hex", // 127.0.0.1 in /proc/net/tcp
+      s"00000000000000000000000001000000:$hex", // ::1 in tcp6
+      s"0000000000000000FFFF00000100007F:$hex") // ::ffff:127.0.0.1 in tcp6
     Seq("/proc/net/tcp", "/proc/net/tcp6").map { f =>
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(f))) 0
       else {
         val src = scala.io.Source.fromFile(f)
         try src.getLines().drop(1).count { l =>
           val cols = l.trim.split("\\s+")
-          cols.length > 3 && cols(2).endsWith(":" + hex) && cols(3) == "01"
+          cols.length > 3 && remotes.contains(cols(2)) && cols(3) == "01"
         } finally src.close()
       }
     }.sum

@@ -18,8 +18,14 @@ object TestDirs {
     var attempts = math.max(1, retries)
     while (attempts > 0 && java.nio.file.Files.exists(root)) {
       attempts -= 1
-      try java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      // close the walk stream even on the mid-walk throw (Files.walk holds
+      // open DirectoryStream descriptors; the javadoc requires closing)
+      try {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
       catch {
         case scala.util.control.NonFatal(_) if attempts > 0 => Thread.sleep(300)
         case scala.util.control.NonFatal(_) => // final attempt: never mask the test result
