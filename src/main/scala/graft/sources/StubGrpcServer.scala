@@ -40,7 +40,8 @@ final class StubGrpcServer(dir: String,
                            val liveSrcFrom: Long = 3126935L,
                            resultsLayout: String = "v034",
                            advanceTipAfterFirstPoll: Boolean = false,
-                           maxConcurrentStreams: Int = 0)
+                           maxConcurrentStreams: Int = 0,
+                           delayBlockMillis: Int = 0)
   extends StubChainNode {
 
   require(resultsLayout == "v034" || resultsLayout == "v038",
@@ -165,6 +166,18 @@ final class StubGrpcServer(dir: String,
     }
   }
 
+  /** The slow-lane cursor behind `delayBlockMillis`: the nanoTime at which
+    * the previously scheduled delayed response fires. Each delayed request
+    * schedules itself one delay AFTER max(now, cursor), so responses pace
+    * out strictly serialized — a rate-limited / cold-storage peer that
+    * delivers one response per interval. NB the pacing must be timer-
+    * scheduled, not slept on the loop thread: Http2MultiplexHandler
+    * coalesces child-stream flushes until the parent's read batch
+    * completes, so in-read sleeps serialize the work but flush every
+    * response at once — an all-at-the-end burst, not a drip.
+    */
+  private val slowLaneFreeAt = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Per-stream handler: aggregate request DATA, answer on END_STREAM. */
   private final class StreamHandler extends ChannelInboundHandlerAdapter {
     private var path: String = ""
@@ -189,7 +202,18 @@ final class StubGrpcServer(dir: String,
         io.netty.util.ReferenceCountUtil.release(other)
     }
 
-    private def respond(ctx: ChannelHandlerContext): Unit = {
+    private def respond(ctx: ChannelHandlerContext): Unit =
+      if (delayBlockMillis > 0 && path == GrpcBlockClient.GetBlockByHeightPath) {
+        val now = System.nanoTime()
+        val at = slowLaneFreeAt.updateAndGet(prev =>
+          math.max(prev, now) + delayBlockMillis * 1000000L)
+        ctx.executor().schedule(new Runnable {
+          override def run(): Unit = answer(ctx)
+        }, at - now, java.util.concurrent.TimeUnit.NANOSECONDS)
+        ()
+      } else answer(ctx)
+
+    private def answer(ctx: ChannelHandlerContext): Unit = {
       val (status, message, payload) =
         try route(path, body.toByteArray)
         catch { case e: Exception =>

@@ -23,6 +23,52 @@ object GrpcBlockClient {
     */
   val BatchCeilingFactor = 5L
 
+  /** Sentinel "unlimited" pipeline depth (the healthy-peer default). Kept
+    * finite so the multiplicative re-growth below has a fixed point.
+    */
+  private[graft] val MaxBatchDepth = 1 << 20
+
+  /** Per-endpoint adaptive pipeline depth. The ceiling above cannot tell a
+    * pathological trickler from a LEGITIMATELY slow node that serializes
+    * large responses (20 × ~20 s each > the 5× ceiling at the 60 s default),
+    * and a T4 retry that re-issues the identical full-depth batch against
+    * the same ceiling livelocks: the peer makes constant progress yet the
+    * range is permanently unfetchable. So a ceiling-tripped batch HALVES the
+    * depth its retry will use (floor 1 — where the ceiling degenerates to
+    * 5× a single call's budget, which only a genuinely stalled peer misses),
+    * and a batch that completes chunked at reduced depth doubles it back
+    * (AIMD): one slow incident costs log₂(depth) extra round-trips, not a
+    * permanent serial path.
+    */
+  private val batchDepth =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      java.util.concurrent.atomic.AtomicInteger]()
+
+  private[grpc] def depthOf(host: String, port: Int): java.util.concurrent.atomic.AtomicInteger =
+    batchDepth.computeIfAbsent((host, port),
+      _ => new java.util.concurrent.atomic.AtomicInteger(MaxBatchDepth))
+
+  /** Test view: the pipeline depth the next batch against the endpoint will
+    * dispatch at (GrpcWireSpec's ceiling-livelock regression asserts the
+    * shrink/re-grow cycle).
+    */
+  private[graft] def pipelineDepth(host: String, port: Int): Int =
+    depthOf(host, port).get()
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[GrpcBlockClient])
+
+  /** (host, port, requestedTimeout) triples already warned about — one line
+    * per distinct conflict, not one per RPC.
+    */
+  private val warnedTimeoutConflicts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Int)]()
+  private val timeoutConflictCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Test view: distinct first-dial-wins timeout conflicts observed
+    * (GrpcWireSpec pins that a conflicting later dial is flagged, once).
+    */
+  private[graft] def timeoutConflicts: Int = timeoutConflictCount.get()
+
   /** A small fixed pool of connections per (host, port) per JVM, shared by
     * every task on the executor — the gRPC twin of the JDK keep-alive pool
     * the HTTP transport rides ([[graft.sources.HttpBlockClient]]'s
@@ -44,13 +90,23 @@ object GrpcBlockClient {
     * dialed (the pool is keyed by endpoint; a later client naming a
     * different timeout for the same endpoint keeps the existing pool —
     * endpoints are per-stub in tests and per-node in deployment, so the
-    * first-wins rule never bites in practice).
+    * first-wins rule never bites in practice). Because a user-visible
+    * option silently not taking effect is unreadable from the outside, a
+    * later client whose timeout CONFLICTS with the pooled one is warned
+    * about — once per distinct conflict, not per RPC.
     */
   private[grpc] def connection(host: String, port: Int,
                                callTimeoutMillis: Int = 60000): GrpcConnection = {
     val conns = pool.computeIfAbsent((host, port),
       { case (h, p) => Array.fill(GrpcWire.PoolSize)(
           new GrpcConnection(h, p, callTimeoutMillis = callTimeoutMillis)) })
+    if (conns(0).callTimeoutMillis != callTimeoutMillis &&
+        warnedTimeoutConflicts.add((host, port, callTimeoutMillis))) {
+      timeoutConflictCount.incrementAndGet()
+      log.warn(s"grpc://$host:$port was first dialed with callTimeoutMillis=" +
+        s"${conns(0).callTimeoutMillis}; the requested $callTimeoutMillis is " +
+        "ignored (the connection pool is per-endpoint, first-dial-wins)")
+    }
     conns((Thread.currentThread().getId % GrpcWire.PoolSize).toInt)
   }
 
@@ -128,9 +184,22 @@ final class GrpcBlockClient(base: String) extends BlockClient {
         s"unknown results layout '$other' in $base (v034 | v038)")
     }
     // per-call timeout, first-dial-wins per endpoint (the pool note on
-    // GrpcBlockClient.connection); default = the gRPC-conventional 60 s
-    val timeoutMs = params.collectFirst { case Array("callTimeoutMillis", v) => v }
-      .map(_.toInt).getOrElse(60000)
+    // GrpcBlockClient.connection); default = the gRPC-conventional 60 s.
+    // Validated like results= above: a bare .toInt would surface a raw
+    // NumberFormatException without the URI context, and a 0/negative value
+    // would make every call on the endpoint's first-dial-wins pool time out
+    // instantly with nothing pointing at the option
+    val timeoutMs = params.collectFirst { case Array("callTimeoutMillis", v) => v } match {
+      case None => 60000
+      case Some(v) =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"callTimeoutMillis must be a positive integer, got '$v' in $base")
+        }
+        if (n <= 0) throw new IllegalArgumentException(
+          s"callTimeoutMillis must be > 0, got $n in $base")
+        n
+    }
     hpPart.stripSuffix("/").split(":", 2) match {
       case Array(h, p) => (h, p.toInt, v038, timeoutMs)
       case _ => throw new IllegalArgumentException(
@@ -168,6 +237,28 @@ final class GrpcBlockClient(base: String) extends BlockClient {
     * serial loop.
     */
   private def callMany(path: String, requests: Seq[Array[Byte]]): Seq[Option[Array[Byte]]] = {
+    val depthRef = GrpcBlockClient.depthOf(host, port)
+    val depth = depthRef.get()
+    if (requests.size <= depth) callChunk(path, requests, depthRef)
+    else {
+      // a prior batch against this endpoint tripped the absolute ceiling
+      // (a slow peer serializing responses, not a stalled one) and shrank
+      // the depth: re-issue in depth-sized chunks so each chunk's
+      // serialized-response total fits under its OWN ceiling and the peer
+      // drains instead of livelocking on identical full-depth retries
+      val out = requests.grouped(depth)
+        .flatMap(chunk => callChunk(path, chunk, depthRef)).toVector
+      // the whole chunked batch completed: re-grow multiplicatively so one
+      // slow incident does not leave the endpoint serial forever
+      depthRef.updateAndGet(d =>
+        if (d >= GrpcBlockClient.MaxBatchDepth / 2) GrpcBlockClient.MaxBatchDepth
+        else d * 2)
+      out
+    }
+  }
+
+  private def callChunk(path: String, requests: Seq[Array[Byte]],
+                        depthRef: java.util.concurrent.atomic.AtomicInteger): Seq[Option[Array[Byte]]] = {
     val c = conn
     // dispatch under try/catch: a start() that throws mid-loop (stream-open
     // failure on a draining connection) must abort the already-dispatched
@@ -195,11 +286,18 @@ final class GrpcBlockClient(base: String) extends BlockClient {
     // ≤ 1 budget, whole batch ≤ the ceiling
     val ceiling = c.deadlineFromNow(GrpcBlockClient.BatchCeilingFactor)
     var deadline = math.min(c.deadlineFromNow(), ceiling)
+    // whether the CEILING (not the inactivity refresh) is the binding bound:
+    // a timeout while it binds means the peer kept progressing but the batch
+    // as a whole overran — the shrink-the-retry's-depth case; a timeout
+    // while the fresh budget binds is a genuine stall, where shrinking would
+    // not help and the T4 backoff is the right response
+    var ceilingBinds = deadline == ceiling
     // on the first failure, ABORT the not-yet-awaited siblings instead of
     // abandoning them: their streams would otherwise stay registered on the
     // immortal pooled connection (and hold the peer's concurrent-stream
     // budget) until the connection dies — one leak per retry round
     var failure: Throwable = null
+    var ceilingTripped = false
     val results = dispatched.toSeq.map { p =>
       if (failure != null) { p.abort(); None }
       // NonFatal only: an OutOfMemoryError mid-batch must propagate NOW,
@@ -207,11 +305,21 @@ final class GrpcBlockClient(base: String) extends BlockClient {
       else try {
         val res = taxonomy(path, p.await(deadline))
         deadline = math.min(c.deadlineFromNow(), ceiling) // progress: refresh
+        ceilingBinds = deadline == ceiling
         res
       }
-      catch { case scala.util.control.NonFatal(t) => failure = t; None }
+      catch {
+        case t: GrpcWire.CallTimeoutException =>
+          if (ceilingBinds) ceilingTripped = true
+          failure = t; None
+        case scala.util.control.NonFatal(t) => failure = t; None
+      }
     }
-    if (failure != null) throw failure
+    if (failure != null) {
+      if (ceilingTripped)
+        depthRef.updateAndGet(d => math.max(1, math.min(d, requests.size) / 2))
+      throw failure
+    }
     results
   }
 

@@ -50,6 +50,15 @@ object GrpcWire {
 
   final case class GrpcResponse(status: Int, message: String, payload: Array[Byte])
 
+  /** An await that ran out its deadline — a DISTINCT IOException subtype so
+    * a batch issuer can recognize its own expired deadline structurally (a
+    * ceiling-tripped batch shrinks the pipeline depth its retry will use —
+    * [[GrpcBlockClient]]'s callMany) without string-matching the message.
+    * Still an IOException: the T4 retry ladder treats it as the transient
+    * it is, exactly as before.
+    */
+  final class CallTimeoutException(msg: String) extends IOException(msg)
+
   /** Prefix `msg` with the gRPC frame header (flag 0 + u32 length). */
   def frame(msg: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](5 + msg.length)
@@ -100,7 +109,10 @@ object GrpcWire {
   */
 final class GrpcConnection(host: String, port: Int,
                            connectTimeoutMillis: Int = 10000,
-                           callTimeoutMillis: Int = 60000) {
+                           // val: the pool compares a later client's
+                           // requested timeout against the dialed one to
+                           // warn on a first-dial-wins conflict
+                           private[graft] val callTimeoutMillis: Int = 60000) {
 
   // CAS slot, not a synchronized field: evict() may be called from a netty
   // event-loop thread (stream-open failure callbacks), and a monitor shared
@@ -232,8 +244,9 @@ final class GrpcConnection(host: String, port: Int,
           // per-batch budget: under a shared batch deadline a late sibling
           // may have had almost nothing left, and logging 60000 ms for a
           // 1 s wait misdiagnoses the peer's stall pattern
-          throw new IOException(s"gRPC call timeout after ${waitedNanos / 1000000L} ms " +
-            s"(budget $callTimeoutMillis ms): $path")
+          throw new GrpcWire.CallTimeoutException(
+            s"gRPC call timeout after ${waitedNanos / 1000000L} ms " +
+              s"(budget $callTimeoutMillis ms): $path")
       }
     }
 

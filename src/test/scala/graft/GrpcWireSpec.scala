@@ -390,6 +390,70 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally silent.close()
   }
 
+  test("callTimeoutMillis is validated like results=: non-numeric and non-positive both name the URI") {
+    val bad = intercept[IllegalArgumentException](
+      new GrpcBlockClient("grpc://127.0.0.1:1?callTimeoutMillis=abc"))
+    assert(bad.getMessage.contains("callTimeoutMillis") &&
+      bad.getMessage.contains("grpc://127.0.0.1:1"))
+    val zero = intercept[IllegalArgumentException](
+      new GrpcBlockClient("grpc://127.0.0.1:1?callTimeoutMillis=0"))
+    assert(zero.getMessage.contains("> 0") &&
+      zero.getMessage.contains("grpc://127.0.0.1:1"))
+  }
+
+  test("a conflicting callTimeoutMillis for an already-dialed endpoint is flagged, once") {
+    // first-dial-wins is documented on the pool, but a silently ignored
+    // user-visible option is unreadable from the outside — the pool warns on
+    // a conflicting later dial, once per distinct conflict, not per RPC
+    val iso = new StubGrpcServer(T)
+    try {
+      val first = new GrpcBlockClient(iso.base) // dials at the 60 s default
+      assert(first.currentHeight() === 2270469L)
+      val n0 = GrpcBlockClient.timeoutConflicts
+      val second = new GrpcBlockClient(s"${iso.base}&callTimeoutMillis=123")
+      assert(second.currentHeight() === 2270469L) // still served (pool reused)
+      assert(GrpcBlockClient.timeoutConflicts === n0 + 1)
+      assert(second.currentHeight() === 2270469L)
+      assert(GrpcBlockClient.timeoutConflicts === n0 + 1,
+        "the same conflict must be flagged once, not once per RPC")
+    } finally iso.stop()
+  }
+
+  test("ceiling-tripped batch shrinks the retry's pipeline depth: a slow-but-progressing peer drains") {
+    // regression (r11 ADVICE): the absolute batch ceiling reintroduced the
+    // fixed-whole-batch-budget failure mode for a LEGITIMATELY slow peer
+    // that serializes its responses — each response lands inside the
+    // inactivity budget, the batch total overruns the ceiling, and every T4
+    // retry re-issued the IDENTICAL full-depth batch against the same
+    // ceiling: permanently unfetchable despite constant progress. Now the
+    // trip halves the endpoint's pipeline depth, so the retry's chunks each
+    // fit under their own ceiling and the range drains; success re-grows
+    // the depth so one incident is not a permanent serial path.
+    // Numbers: budget 800 ms, 400 ms per serialized response, 12-deep page
+    // → ceiling 4000 ms < 12×400 ms total, trips with the ceiling binding.
+    val slow = new StubGrpcServer(T, delayBlockMillis = 400)
+    try {
+      val c = new GrpcBlockClient(s"${slow.base}&callTimeoutMillis=800")
+      assert(c.currentHeight() === 2270469L) // settle SETTINGS (undelayed RPC)
+      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) ===
+        GrpcBlockClient.MaxBatchDepth)
+      intercept[java.io.IOException](c.metaPages(2270370L, 2270381L))
+      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 6,
+        "a ceiling trip must halve the effective (12-deep) pipeline depth")
+      Thread.sleep(1200L) // let the stub finish the abandoned serialized work
+      // the retry (T4 re-issues exactly this call) drains at depth 6:
+      // 6 × 400 ms per chunk sits well under the 4000 ms chunk ceiling
+      val pages = c.metaPages(2270370L, 2270381L)
+      assert(pages.size === 1)
+      val metas = mapper.readTree(pages.head).path("result").path("block_metas")
+      assert(metas.size() === 12)
+      assert(metas.get(0).path("header").path("height").asText() === "2270370")
+      assert(metas.get(11).path("header").path("height").asText() === "2270381")
+      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 12,
+        "a completed chunked batch must re-grow the depth (AIMD)")
+    } finally slow.stop()
+  }
+
   test("request counters observe the wire (the gate queries' proof hooks)") {
     val before = stub.blockServesIn(2270380L, 2270380L)
     client.block(2270380L)
