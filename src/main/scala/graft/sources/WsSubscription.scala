@@ -25,6 +25,19 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong, AtomicReference}
   *
   * Transport is JDK `java.net.http.WebSocket` — no extra dependency.
   */
+object WsSubscription {
+  /** ONE shared JDK HttpClient per JVM (the [[graft.sources.grpc.GrpcWire]]
+    * event-loop / JDK keep-alive-pool pattern): an HttpClient owns a
+    * selector thread plus a worker pool that live until the client is
+    * unreachable AND collected, so a client per subscription would accrete
+    * a selector thread per start/stop cycle on a driver that runs ws-mode
+    * queries for weeks, dying only at the GC's convenience. The builder is
+    * just a factory — each subscription still gets its own WebSocket
+    * connection and listener.
+    */
+  private[sources] lazy val http: HttpClient = HttpClient.newHttpClient()
+}
+
 final class WsSubscription(
     url: String,
     subscribeQuery: String = "tm.event='NewBlock'",
@@ -41,8 +54,6 @@ final class WsSubscription(
   /** connection-drop signals: supervisor blocks on this between sessions */
   private val drops = new LinkedBlockingQueue[String]()
   @volatile private var ws: WebSocket = _
-
-  private val http = HttpClient.newHttpClient()
 
   private final class Listener extends WebSocket.Listener {
     // java.net.http delivers fragmented text as (data, last=false)* — buffer
@@ -90,7 +101,7 @@ final class WsSubscription(
     var attempt = 0
     while (!closed.get() && failure.get() == null) {
       try {
-        ws = http.newWebSocketBuilder()
+        ws = WsSubscription.http.newWebSocketBuilder()
           .buildAsync(URI.create(url), new Listener).join()
         attempt = 0
         // block until this session drops (close/error/malformed/panic/close())

@@ -68,13 +68,19 @@ class SoakSpec extends AnyFunSuite {
     * per-trigger leak (~100 threads per 100 triggers) never settles and
     * still fails loudly after the wait.
     */
-  private def settledThreads(bound: Int): Int = {
+  private def settledThreads(bound: Int): Int = settled(bound)(liveThreads.size)
+
+  /** The settle-tolerant poll generalized over any census (thread counts,
+    * socket counts): wait for `count` to drop under `bound`; a real
+    * per-cycle leak never settles and still fails loudly after the wait.
+    */
+  private def settled(bound: Int)(count: => Int): Int = {
     val deadline = System.nanoTime() + 20L * 1000000000L
-    var t = liveThreads.size
-    while (t > bound && System.nanoTime() < deadline) {
-      Thread.sleep(200); t = liveThreads.size
+    var c = count
+    while (c > bound && System.nanoTime() < deadline) {
+      Thread.sleep(200); c = count
     }
-    t
+    c
   }
 
   test("210-trigger live tail: offset log purged, state flat, threads flat") {
@@ -211,6 +217,52 @@ class SoakSpec extends AnyFunSuite {
         } finally src.close()
       }
     }.sum
+  }
+
+  test("ws soak: nothing accretes per subscription cycle — supervisors and sockets all die") {
+    // the third transport's census twin (st16 proves ws CHAOS recovery;
+    // this proves REPETITION cleanliness): each ws-mode query start spawns
+    // one subscription — a supervisor thread, a websocket connection, and
+    // (pre-fix) a PRIVATE JDK HttpClient whose selector thread lived until
+    // GC. Four start/stop cycles must leave zero supervisors, zero client
+    // sockets to the ws stub, a selector census no larger than after cycle
+    // one (the shared-HttpClient pin), and a flat overall thread census.
+    val ws = new StubWsServer
+    val wsPort = ws.url.stripPrefix("ws://127.0.0.1:").takeWhile(_.isDigit).toInt
+    def wsSupervisors: Int =
+      liveThreads.count(_.getName.startsWith("ws-subscription-"))
+    def selectorThreads: Int =
+      liveThreads.count(_.getName.endsWith("-SelectorManager"))
+    def drain(i: Int): Unit = {
+      val q = spark.readStream.format("blockfeed")
+        .option("path", T) // file-mode data: this soak is about the ws side
+        .option("ws", ws.url)
+        .option("from", "2270370")
+        .load()
+        .select(col("height"))
+        .writeStream.format("memory").queryName(s"soak_ws_$i")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(240000), s"ws drain $i did not finish in 240 s")
+      finally q.stop()
+      assert(spark.table(s"soak_ws_$i").count() == 100L)
+    }
+    try {
+      drain(1)
+      val sel1 = selectorThreads
+      val t1 = liveThreads.size
+      (2 to 4).foreach(drain)
+      assert(settled(0)(wsSupervisors) == 0,
+        "a subscription supervisor outlived its query's stop()")
+      assert(settled(0)(establishedTo(wsPort)) == 0,
+        "a websocket client connection outlived its subscription")
+      assert(selectorThreads <= sel1,
+        s"HttpClient selector threads accreted across subscription cycles: " +
+          s"$sel1 → $selectorThreads (the shared-client pin)")
+      val t2 = settledThreads(t1 + 8)
+      assert(t2 <= t1 + 8,
+        s"thread population grew across 3 ws subscription cycles and never " +
+          s"settled: $t1 → $t2")
+    } finally ws.stop()
   }
 
   test("gRPC soak: the 4 pool loops and their sockets are the ONLY immortals") {
