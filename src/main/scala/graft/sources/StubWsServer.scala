@@ -30,6 +30,25 @@ final class StubWsServer {
   def url: String = s"ws://127.0.0.1:${server.getLocalPort}/websocket"
   def subscriptions: Int = subscribeCount.get()
 
+  /** Handshake gate: while armed, an accepted connection's 101 response is
+    * held until [[releaseHandshake]] — lets a test park a client's
+    * `buildAsync(...).join()` mid-flight deterministically (the
+    * close()-during-reconnect interleaving in WsSubscription's supervisor).
+    * Await with a 30 s ceiling so a test failure can never wedge the stub.
+    */
+  @volatile private var handshakeGate: java.util.concurrent.CountDownLatch = null
+  private val heldHandshakes = new AtomicInteger(0)
+  def holdNextHandshake(): Unit = {
+    handshakeGate = new java.util.concurrent.CountDownLatch(1)
+  }
+  /** Connections that have parked at the gate (cumulative). */
+  def heldCount: Int = heldHandshakes.get()
+  def releaseHandshake(): Unit = {
+    val g = handshakeGate
+    handshakeGate = null
+    if (g != null) g.countDown()
+  }
+
   private def sha1b64(s: String): String =
     Base64.getEncoder.encodeToString(
       MessageDigest.getInstance("SHA-1").digest(s.getBytes(UTF_8)))
@@ -45,6 +64,11 @@ final class StubWsServer {
       .findFirstMatchIn(head).map(_.group(1))
     key match {
       case Some(k) =>
+        val gate = handshakeGate
+        if (gate != null) {
+          heldHandshakes.incrementAndGet()
+          gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
         val accept = sha1b64(k + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
         out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
           "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
@@ -165,6 +189,7 @@ final class StubWsServer {
 
   def stop(): Unit = {
     running = false
+    releaseHandshake() // a still-parked handshake must not outlive the stub
     dropAll()
     try server.close() catch { case _: Throwable => }
   }

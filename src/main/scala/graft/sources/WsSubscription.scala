@@ -122,6 +122,16 @@ final class WsSubscription(
           }
       }
     }
+    // close() can land while buildAsync(...).join() is in flight during a
+    // reconnect: join() is uninterruptible (it re-asserts the interrupt flag
+    // on completion), so the NEW WebSocket is assigned after close() already
+    // aborted the stale one, and the pending interrupt makes drops.take()
+    // throw before the in-loop abort runs. The supervisor therefore owns the
+    // FINAL abort: whatever socket is current when the loop exits dies here.
+    // (With the JVM-shared HttpClient a leaked WebSocket is pinned forever —
+    // the client holds it, GC never reclaims the connection.)
+    val last = ws
+    if (last != null) try last.abort() catch { case _: Throwable => }
   }, s"ws-subscription-$url")
   supervisor.setDaemon(true)
   supervisor.start()

@@ -24,7 +24,7 @@ object GrpcBlockClient {
   val BatchCeilingFactor = 5L
 
   /** Sentinel "unlimited" pipeline depth (the healthy-peer default). Kept
-    * finite so the multiplicative re-growth below has a fixed point.
+    * finite so the additive re-growth below has a fixed point.
     */
   private[graft] val MaxBatchDepth = 1 << 20
 
@@ -36,9 +36,14 @@ object GrpcBlockClient {
     * range is permanently unfetchable. So a ceiling-tripped batch HALVES the
     * depth its retry will use (floor 1 — where the ceiling degenerates to
     * 5× a single call's budget, which only a genuinely stalled peer misses),
-    * and a batch that completes chunked at reduced depth doubles it back
-    * (AIMD): one slow incident costs log₂(depth) extra round-trips, not a
-    * permanent serial path.
+    * and a batch that completes chunked at reduced depth grows it back by
+    * ONE (textbook AIMD). Growth must be additive: doubling straight back
+    * would return to the exact depth that just tripped, so a persistently
+    * slow peer alternates trip/drain forever — a full ceiling of abandoned
+    * serialized work plus a T4 backoff on every other page. +1 per completed
+    * batch instead converges just above the sustainable depth; any depth ≥
+    * the page size behaves as unpinned, so a recovered peer is back to
+    * effectively-unlimited within ~page-size successful pages.
     */
   private val batchDepth =
     new java.util.concurrent.ConcurrentHashMap[(String, Int),
@@ -62,12 +67,12 @@ object GrpcBlockClient {
     */
   private val warnedTimeoutConflicts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Int)]()
-  private val timeoutConflictCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Test view: distinct first-dial-wins timeout conflicts observed
     * (GrpcWireSpec pins that a conflicting later dial is flagged, once).
+    * The warned-set IS the count — no separate counter to drift.
     */
-  private[graft] def timeoutConflicts: Int = timeoutConflictCount.get()
+  private[graft] def timeoutConflicts: Int = warnedTimeoutConflicts.size()
 
   /** A small fixed pool of connections per (host, port) per JVM, shared by
     * every task on the executor — the gRPC twin of the JDK keep-alive pool
@@ -102,7 +107,6 @@ object GrpcBlockClient {
           new GrpcConnection(h, p, callTimeoutMillis = callTimeoutMillis)) })
     if (conns(0).callTimeoutMillis != callTimeoutMillis &&
         warnedTimeoutConflicts.add((host, port, callTimeoutMillis))) {
-      timeoutConflictCount.incrementAndGet()
       log.warn(s"grpc://$host:$port was first dialed with callTimeoutMillis=" +
         s"${conns(0).callTimeoutMillis}; the requested $callTimeoutMillis is " +
         "ignored (the connection pool is per-endpoint, first-dial-wins)")
@@ -248,11 +252,12 @@ final class GrpcBlockClient(base: String) extends BlockClient {
       // drains instead of livelocking on identical full-depth retries
       val out = requests.grouped(depth)
         .flatMap(chunk => callChunk(path, chunk, depthRef)).toVector
-      // the whole chunked batch completed: re-grow multiplicatively so one
-      // slow incident does not leave the endpoint serial forever
+      // the whole chunked batch completed: re-grow by ONE (additive — the
+      // batchDepth scaladoc's anti-oscillation rationale) so one slow
+      // incident does not leave the endpoint serial forever, without
+      // bouncing straight back to the depth that just tripped
       depthRef.updateAndGet(d =>
-        if (d >= GrpcBlockClient.MaxBatchDepth / 2) GrpcBlockClient.MaxBatchDepth
-        else d * 2)
+        math.min(GrpcBlockClient.MaxBatchDepth, d + 1))
       out
     }
   }

@@ -428,7 +428,10 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ceiling: permanently unfetchable despite constant progress. Now the
     // trip halves the endpoint's pipeline depth, so the retry's chunks each
     // fit under their own ceiling and the range drains; success re-grows
-    // the depth so one incident is not a permanent serial path.
+    // the depth by ONE so one incident is not a permanent serial path.
+    // Additive, not doubling: a re-grow straight back to the tripped depth
+    // would make the NEXT page trip again — trip/drain oscillation, a full
+    // ceiling of abandoned peer work per cycle (r12 review).
     // Numbers: budget 800 ms, 400 ms per serialized response, 12-deep page
     // → ceiling 4000 ms < 12×400 ms total, trips with the ceiling binding.
     val slow = new StubGrpcServer(T, delayBlockMillis = 400)
@@ -449,8 +452,16 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(metas.size() === 12)
       assert(metas.get(0).path("header").path("height").asText() === "2270370")
       assert(metas.get(11).path("header").path("height").asText() === "2270381")
-      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 12,
-        "a completed chunked batch must re-grow the depth (AIMD)")
+      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 7,
+        "a completed chunked batch must re-grow the depth by one (AIMD), " +
+          "not double back to the depth that just tripped")
+      // the anti-oscillation property itself: the NEXT page dispatches at 7
+      // (chunks of 7+5, each ≤2.8 s of serialized responses, well under the
+      // 4 s chunk ceiling) and succeeds — no second trip, depth climbs to 8
+      val again = c.metaPages(2270370L, 2270381L)
+      assert(mapper.readTree(again.head).path("result").path("block_metas").size() === 12)
+      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 8,
+        "the re-grown depth must not re-trip on the following page")
     } finally slow.stop()
   }
 

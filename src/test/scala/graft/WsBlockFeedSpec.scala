@@ -88,6 +88,35 @@ class WsBlockFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("close() during an in-flight reconnect still aborts the freshly built socket") {
+    // r12 review: CompletableFuture.join() is uninterruptible (it re-asserts
+    // the interrupt flag on completion), so close() landing while the
+    // supervisor rebuilds the websocket assigns the NEW socket after close()
+    // aborted the STALE one — and the pending interrupt throws out of
+    // drops.take() before the in-loop abort runs. With the JVM-shared
+    // HttpClient a socket missed there is pinned forever (pre-fix: one
+    // ESTABLISHED connection leaked per query restart against a flapping
+    // node). The supervisor now owns a final abort on loop exit; this test
+    // forces the exact interleaving via the stub's handshake gate.
+    withWs { ws =>
+      val sub = new WsSubscription(ws.url, reconnectBaseMillis = 25L)
+      eventually()(ws.subscriptions == 1)
+      ws.holdNextHandshake()
+      ws.dropAll() // supervisor wakes and reconnects; the gate parks join()
+      eventually()(ws.heldCount == 1)
+      sub.close() // the interrupt pends while join() is uninterruptible
+      ws.releaseHandshake() // join() completes and assigns the NEW socket
+      // the supervisor's exit abort must kill it: the stub sees the
+      // connection die (pre-fix it stayed ESTABLISHED, subscribed, forever)
+      eventually()(ws.connectionCount == 0)
+      eventually() {
+        import scala.jdk.CollectionConverters._
+        !Thread.getAllStackTraces.keySet.asScala.exists(t =>
+          t.isAlive && t.getName == s"ws-subscription-${ws.url}")
+      }
+    }
+  }
+
   test("unreachable node: backoff exhausts and the recorded failure surfaces") {
     // the give-up arm of the reconnect ladder (reference Backoff.kt caps
     // attempts): a node that is GONE — not flapping — must eventually turn
