@@ -123,7 +123,12 @@ class SoakSpec extends AnyFunSuite {
       }
 
       val target = 210L // ≥200 committed triggers; headroom under host load
-      val budgetSecs = 360L
+      // failure deadline only — the loop exits the moment `target` commits.
+      // r12 flake-margin runs (3× under 16 busy-loop threads, 1-min load
+      // 19-30 ≈ 2× the load the r11 driver run passed at) measured 139-225 s;
+      // 480 s keeps ~2× headroom over that worst case, and a REAL per-trigger
+      // stall still fails loudly, just 2 min later
+      val budgetSecs = 480L
       var mid: Option[(Long, Long, Int, Int)] = None // state rows/bytes, offset files, threads
       val deadline = System.nanoTime() + budgetSecs * 1000000000L
       try {
