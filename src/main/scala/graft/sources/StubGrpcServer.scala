@@ -204,21 +204,31 @@ final class StubGrpcServer(dir: String,
 
     private def respond(ctx: ChannelHandlerContext): Unit =
       if (delayBlockMillis > 0 && path == GrpcBlockClient.GetBlockByHeightPath) {
+        // route() — and ALL its side effects: request counters, transient
+        // fault absorption (failNext budgets) — runs at RECEIPT time; only
+        // the WRITE is paced. Scheduling route() itself made the chaos/proof
+        // hooks nondeterministic: counters ticked at answer time, and
+        // streams the client had already abandoned still consumed fault
+        // budget seconds later (r12 review)
+        val result = routed()
         val now = System.nanoTime()
         val at = slowLaneFreeAt.updateAndGet(prev =>
           math.max(prev, now) + delayBlockMillis * 1000000L)
         ctx.executor().schedule(new Runnable {
-          override def run(): Unit = answer(ctx)
+          override def run(): Unit = answer(ctx, result)
         }, at - now, java.util.concurrent.TimeUnit.NANOSECONDS)
         ()
-      } else answer(ctx)
+      } else answer(ctx, routed())
 
-    private def answer(ctx: ChannelHandlerContext): Unit = {
-      val (status, message, payload) =
-        try route(path, body.toByteArray)
-        catch { case e: Exception =>
-          (GrpcWire.INTERNAL, s"stub error: ${e.getMessage}", None)
-        }
+    private def routed(): (Int, String, Option[Array[Byte]]) =
+      try route(path, body.toByteArray)
+      catch { case e: Exception =>
+        (GrpcWire.INTERNAL, s"stub error: ${e.getMessage}", None)
+      }
+
+    private def answer(ctx: ChannelHandlerContext,
+                       result: (Int, String, Option[Array[Byte]])): Unit = {
+      val (status, message, payload) = result
       payload match {
         case Some(msg) =>
           val headers = new DefaultHttp2Headers()

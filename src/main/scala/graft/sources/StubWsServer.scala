@@ -38,6 +38,17 @@ final class StubWsServer {
     */
   @volatile private var handshakeGate: java.util.concurrent.CountDownLatch = null
   private val heldHandshakes = new AtomicInteger(0)
+  private val completedHandshakes = new AtomicInteger(0)
+  /** CUMULATIVE successful handshakes (monotone — unlike `connectionCount`,
+    * a census that can flicker 0→1→0 faster than a test can poll it): lets
+    * a regression assert "connection N fully established" deterministically
+    * before asserting it died, so a leak pin can never pass vacuously.
+    * Incremented AFTER the connection is registered in `conns`, so
+    * `handshakes == N` implies connection N is (or was) visible to
+    * `connectionCount` — no window where the census reads 0 merely because
+    * registration hasn't happened yet.
+    */
+  def handshakes: Int = completedHandshakes.get()
   def holdNextHandshake(): Unit = {
     handshakeGate = new java.util.concurrent.CountDownLatch(1)
   }
@@ -126,6 +137,7 @@ final class StubWsServer {
             val out = sock.getOutputStream
             if (handshake(in, out)) {
               conns.add(sock)
+              completedHandshakes.incrementAndGet()
               var open = true
               while (open && running) readFrame(in) match {
                 case Some((0x1, payload)) =>

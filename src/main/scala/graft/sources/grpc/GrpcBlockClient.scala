@@ -15,11 +15,19 @@ object GrpcBlockClient {
   val GetBlockResultsPath =
     "/cometbft.services.block_results.v1.BlockResultsService/GetBlockResults"
 
-  /** Absolute ceiling on a pipelined batch's total await time, in multiples
-    * of the per-call timeout: the inactivity refresh (callMany) unblocks
-    * slow-but-progressing peers, this bounds the pathological one that
-    * trickles a response per just-under-budget. 5× the 60 s default = 5 min
-    * worst-case task-thread pin for a 20-deep page, vs 20 min unbounded.
+  /** Absolute ceiling on a pipelined DISPATCH's total await time, in
+    * multiples of the per-call timeout: the inactivity refresh (callMany)
+    * unblocks slow-but-progressing peers, this bounds each dispatched
+    * chunk/batch to 5× the 60 s default = 5 min of task-thread pin.
+    * NB the bound is per DISPATCH, not per page: once the adaptive depth
+    * below has shrunk, a page drains as several chunks, so a peer that
+    * really delivers one response per just-under-budget can still hold a
+    * page's total at ~n×budget — that is the unavoidable price of fetching
+    * n responses from such a peer (it is indistinguishable from a
+    * legitimate rate-limited node), and the pre-chunking alternative was
+    * paying the same wall-clock and then THROWING the responses away in a
+    * livelock. What the ceiling + chunking guarantee together: every
+    * ceiling-length wait now banks its completed responses.
     */
   val BatchCeilingFactor = 5L
 
@@ -295,7 +303,13 @@ final class GrpcBlockClient(base: String) extends BlockClient {
     // a timeout while it binds means the peer kept progressing but the batch
     // as a whole overran — the shrink-the-retry's-depth case; a timeout
     // while the fresh budget binds is a genuine stall, where shrinking would
-    // not help and the T4 backoff is the right response
+    // not help and the T4 backoff is the right response. The distinction is
+    // inherently ambiguous in the LAST budget-sized window before the
+    // ceiling (a peer that progressed until then and THEN stalled times out
+    // with the ceiling binding): we conservatively shrink there — against a
+    // dead peer the chunked retry fails in ~one budget just like the
+    // full-depth one would, and the depth re-grows additively, so the
+    // misclassification costs nothing durable
     var ceilingBinds = deadline == ceiling
     // on the first failure, ABORT the not-yet-awaited siblings instead of
     // abandoning them: their streams would otherwise stay registered on the

@@ -432,35 +432,40 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Additive, not doubling: a re-grow straight back to the tripped depth
     // would make the NEXT page trip again — trip/drain oscillation, a full
     // ceiling of abandoned peer work per cycle (r12 review).
-    // Numbers: budget 800 ms, 400 ms per serialized response, 12-deep page
-    // → ceiling 4000 ms < 12×400 ms total, trips with the ceiling binding.
-    val slow = new StubGrpcServer(T, delayBlockMillis = 400)
+    // Numbers: budget 1800 ms, 500 ms per serialized response, 20-deep page
+    // → ceiling 9000 ms < 20×500 ms total, trips with the ceiling binding.
+    // The margins are deliberately wide for a wall-clock gate with exact
+    // depth asserts (r12 review flagged the original 800/400 pair as ~2×):
+    // a spurious inactivity timeout needs a >1.3 s scheduling excursion
+    // between two paced responses, and a chunk that should complete sits
+    // ≥3.5 s under its ceiling (10×500 ms vs 9000 ms).
+    val slow = new StubGrpcServer(T, delayBlockMillis = 500)
     try {
-      val c = new GrpcBlockClient(s"${slow.base}&callTimeoutMillis=800")
+      val c = new GrpcBlockClient(s"${slow.base}&callTimeoutMillis=1800")
       assert(c.currentHeight() === 2270469L) // settle SETTINGS (undelayed RPC)
       assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) ===
         GrpcBlockClient.MaxBatchDepth)
-      intercept[java.io.IOException](c.metaPages(2270370L, 2270381L))
-      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 6,
-        "a ceiling trip must halve the effective (12-deep) pipeline depth")
-      Thread.sleep(1200L) // let the stub finish the abandoned serialized work
-      // the retry (T4 re-issues exactly this call) drains at depth 6:
-      // 6 × 400 ms per chunk sits well under the 4000 ms chunk ceiling
-      val pages = c.metaPages(2270370L, 2270381L)
+      intercept[java.io.IOException](c.metaPages(2270370L, 2270389L))
+      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 10,
+        "a ceiling trip must halve the effective (20-deep) pipeline depth")
+      Thread.sleep(2000L) // let the stub finish the abandoned serialized work
+      // the retry (T4 re-issues exactly this call) drains at depth 10:
+      // 10 × 500 ms per chunk sits well under the 9000 ms chunk ceiling
+      val pages = c.metaPages(2270370L, 2270389L)
       assert(pages.size === 1)
       val metas = mapper.readTree(pages.head).path("result").path("block_metas")
-      assert(metas.size() === 12)
+      assert(metas.size() === 20)
       assert(metas.get(0).path("header").path("height").asText() === "2270370")
-      assert(metas.get(11).path("header").path("height").asText() === "2270381")
-      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 7,
+      assert(metas.get(19).path("header").path("height").asText() === "2270389")
+      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 11,
         "a completed chunked batch must re-grow the depth by one (AIMD), " +
           "not double back to the depth that just tripped")
-      // the anti-oscillation property itself: the NEXT page dispatches at 7
-      // (chunks of 7+5, each ≤2.8 s of serialized responses, well under the
-      // 4 s chunk ceiling) and succeeds — no second trip, depth climbs to 8
-      val again = c.metaPages(2270370L, 2270381L)
-      assert(mapper.readTree(again.head).path("result").path("block_metas").size() === 12)
-      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 8,
+      // the anti-oscillation property itself: the NEXT page dispatches at 11
+      // (chunks of 11+9, each ≤5.5 s of serialized responses, well under the
+      // 9 s chunk ceiling) and succeeds — no second trip, depth climbs to 12
+      val again = c.metaPages(2270370L, 2270389L)
+      assert(mapper.readTree(again.head).path("result").path("block_metas").size() === 20)
+      assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 12,
         "the re-grown depth must not re-trip on the following page")
     } finally slow.stop()
   }

@@ -106,6 +106,12 @@ class WsBlockFeedSpec extends AnyFunSuite {
       eventually()(ws.heldCount == 1)
       sub.close() // the interrupt pends while join() is uninterruptible
       ws.releaseHandshake() // join() completes and assigns the NEW socket
+      // first pin that the reconnect connection fully ESTABLISHED — the
+      // monotone handshake counter, incremented after `conns` registration,
+      // cannot be missed the way the connectionCount census can flicker;
+      // without this the ==0 below could sample before the stub registered
+      // the released connection and pass vacuously even with the leak
+      eventually()(ws.handshakes == 2)
       // the supervisor's exit abort must kill it: the stub sees the
       // connection die (pre-fix it stayed ESTABLISHED, subscribed, forever)
       eventually()(ws.connectionCount == 0)
