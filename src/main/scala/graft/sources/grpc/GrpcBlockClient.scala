@@ -68,6 +68,35 @@ object GrpcBlockClient {
   private[graft] def pipelineDepth(host: String, port: Int): Int =
     depthOf(host, port).get()
 
+  /** Once-per-INCIDENT shrink: CAS from the depth the failed batch observed
+    * at dispatch, not a blind halve. The pool is shared by every task on
+    * the executor, so ONE slow incident trips the ceiling in many
+    * concurrently in-flight batches — an unconditional updateAndGet would
+    * halve once PER TRIPPED BATCH (20→10→5→2→1 after four concurrent
+    * trips, leaving the endpoint fully serial for one incident). With the
+    * CAS, the first tripped batch moves the depth and the rest fail the
+    * CAS because the value they observed is gone. A batch that dispatched
+    * at an ALREADY-shrunk depth and still trips observes the new value, so
+    * a genuinely slower peer still walks down.
+    */
+  private[graft] def shrinkOnCeilingTrip(
+      depthRef: java.util.concurrent.atomic.AtomicInteger,
+      depthAtDispatch: Int, batchSize: Int): Boolean =
+    depthRef.compareAndSet(depthAtDispatch,
+      math.max(1, math.min(depthAtDispatch, batchSize) / 2))
+
+  /** Once-per-incident-window regrow, the additive half of the AIMD pair:
+    * CAS from the depth observed at dispatch so a wave of 32 concurrently
+    * completing chunked batches regrows +1 total, not +32 (which would
+    * overshoot straight past the depth that just tripped and re-trip every
+    * other page).
+    */
+  private[graft] def regrowAfterChunkedBatch(
+      depthRef: java.util.concurrent.atomic.AtomicInteger,
+      depthAtDispatch: Int): Boolean =
+    depthRef.compareAndSet(depthAtDispatch,
+      math.min(MaxBatchDepth, depthAtDispatch + 1))
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[GrpcBlockClient])
 
   /** (host, port, requestedTimeout) triples already warned about — one line
@@ -99,6 +128,11 @@ object GrpcBlockClient {
   private val pool =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[GrpcConnection]]()
 
+  /** The default per-call timeout (the gRPC-conventional 60 s), applied
+    * when the URI names no callTimeoutMillis.
+    */
+  private[grpc] val DefaultCallTimeoutMillis = 60000
+
   /** The per-call timeout is applied when a (host, port) slot is FIRST
     * dialed (the pool is keyed by endpoint; a later client naming a
     * different timeout for the same endpoint keeps the existing pool —
@@ -106,18 +140,24 @@ object GrpcBlockClient {
     * first-wins rule never bites in practice). Because a user-visible
     * option silently not taking effect is unreadable from the outside, a
     * later client whose timeout CONFLICTS with the pooled one is warned
-    * about — once per distinct conflict, not per RPC.
+    * about — once per distinct conflict, not per RPC. The timeout is an
+    * Option so only an EXPLICITLY requested value can conflict: a client
+    * that never set the option must not be warned that "the requested
+    * 60000 is ignored" just because the pool was dialed at 30000.
     */
   private[grpc] def connection(host: String, port: Int,
-                               callTimeoutMillis: Int = 60000): GrpcConnection = {
+                               requestedTimeoutMillis: Option[Int] = None): GrpcConnection = {
     val conns = pool.computeIfAbsent((host, port),
       { case (h, p) => Array.fill(GrpcWire.PoolSize)(
-          new GrpcConnection(h, p, callTimeoutMillis = callTimeoutMillis)) })
-    if (conns(0).callTimeoutMillis != callTimeoutMillis &&
-        warnedTimeoutConflicts.add((host, port, callTimeoutMillis))) {
-      log.warn(s"grpc://$host:$port was first dialed with callTimeoutMillis=" +
-        s"${conns(0).callTimeoutMillis}; the requested $callTimeoutMillis is " +
-        "ignored (the connection pool is per-endpoint, first-dial-wins)")
+          new GrpcConnection(h, p, callTimeoutMillis =
+            requestedTimeoutMillis.getOrElse(DefaultCallTimeoutMillis))) })
+    requestedTimeoutMillis.foreach { t =>
+      if (conns(0).callTimeoutMillis != t &&
+          warnedTimeoutConflicts.add((host, port, t))) {
+        log.warn(s"grpc://$host:$port was first dialed with callTimeoutMillis=" +
+          s"${conns(0).callTimeoutMillis}; the requested $t is " +
+          "ignored (the connection pool is per-endpoint, first-dial-wins)")
+      }
     }
     conns((Thread.currentThread().getId % GrpcWire.PoolSize).toInt)
   }
@@ -177,7 +217,7 @@ object GrpcBlockClient {
   */
 final class GrpcBlockClient(base: String) extends BlockClient {
 
-  private val (host, port, resultsV038, callTimeoutMillis) = {
+  private val (host, port, resultsV038, requestedTimeoutMillis) = {
     val (hpPart, query) = base.stripPrefix("grpc://").split("\\?", 2) match {
       case Array(hp, q) => (hp, q)
       case Array(hp) => (hp, "")
@@ -196,14 +236,14 @@ final class GrpcBlockClient(base: String) extends BlockClient {
         s"unknown results layout '$other' in $base (v034 | v038)")
     }
     // per-call timeout, first-dial-wins per endpoint (the pool note on
-    // GrpcBlockClient.connection); default = the gRPC-conventional 60 s.
+    // GrpcBlockClient.connection); None = URI named no timeout, so the
+    // pool's default applies AND a differently-dialed pool is no conflict.
     // Validated like results= above: a bare .toInt would surface a raw
     // NumberFormatException without the URI context, and a 0/negative value
     // would make every call on the endpoint's first-dial-wins pool time out
     // instantly with nothing pointing at the option
-    val timeoutMs = params.collectFirst { case Array("callTimeoutMillis", v) => v } match {
-      case None => 60000
-      case Some(v) =>
+    val timeoutMs: Option[Int] =
+      params.collectFirst { case Array("callTimeoutMillis", v) => v }.map { v =>
         val n = try v.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"callTimeoutMillis must be a positive integer, got '$v' in $base")
@@ -211,7 +251,7 @@ final class GrpcBlockClient(base: String) extends BlockClient {
         if (n <= 0) throw new IllegalArgumentException(
           s"callTimeoutMillis must be > 0, got $n in $base")
         n
-    }
+      }
     hpPart.stripSuffix("/").split(":", 2) match {
       case Array(h, p) => (h, p.toInt, v038, timeoutMs)
       case _ => throw new IllegalArgumentException(
@@ -221,7 +261,7 @@ final class GrpcBlockClient(base: String) extends BlockClient {
   }
 
   private def conn: GrpcConnection =
-    GrpcBlockClient.connection(host, port, callTimeoutMillis)
+    GrpcBlockClient.connection(host, port, requestedTimeoutMillis)
 
   /** The grpc-status → Option/exception taxonomy (class scaladoc). */
   private def taxonomy(path: String, res: GrpcWire.GrpcResponse): Option[Array[Byte]] =
@@ -251,7 +291,7 @@ final class GrpcBlockClient(base: String) extends BlockClient {
   private def callMany(path: String, requests: Seq[Array[Byte]]): Seq[Option[Array[Byte]]] = {
     val depthRef = GrpcBlockClient.depthOf(host, port)
     val depth = depthRef.get()
-    if (requests.size <= depth) callChunk(path, requests, depthRef)
+    if (requests.size <= depth) callChunk(path, requests, depthRef, depth)
     else {
       // a prior batch against this endpoint tripped the absolute ceiling
       // (a slow peer serializing responses, not a stalled one) and shrank
@@ -259,19 +299,20 @@ final class GrpcBlockClient(base: String) extends BlockClient {
       // serialized-response total fits under its OWN ceiling and the peer
       // drains instead of livelocking on identical full-depth retries
       val out = requests.grouped(depth)
-        .flatMap(chunk => callChunk(path, chunk, depthRef)).toVector
+        .flatMap(chunk => callChunk(path, chunk, depthRef, depth)).toVector
       // the whole chunked batch completed: re-grow by ONE (additive — the
       // batchDepth scaladoc's anti-oscillation rationale) so one slow
       // incident does not leave the endpoint serial forever, without
-      // bouncing straight back to the depth that just tripped
-      depthRef.updateAndGet(d =>
-        math.min(GrpcBlockClient.MaxBatchDepth, d + 1))
+      // bouncing straight back to the depth that just tripped; CAS'd from
+      // the observed depth (regrowAfterChunkedBatch's concurrency note)
+      GrpcBlockClient.regrowAfterChunkedBatch(depthRef, depth)
       out
     }
   }
 
   private def callChunk(path: String, requests: Seq[Array[Byte]],
-                        depthRef: java.util.concurrent.atomic.AtomicInteger): Seq[Option[Array[Byte]]] = {
+                        depthRef: java.util.concurrent.atomic.AtomicInteger,
+                        depthAtDispatch: Int): Seq[Option[Array[Byte]]] = {
     val c = conn
     // dispatch under try/catch: a start() that throws mid-loop (stream-open
     // failure on a draining connection) must abort the already-dispatched
@@ -299,18 +340,6 @@ final class GrpcBlockClient(base: String) extends BlockClient {
     // ≤ 1 budget, whole batch ≤ the ceiling
     val ceiling = c.deadlineFromNow(GrpcBlockClient.BatchCeilingFactor)
     var deadline = math.min(c.deadlineFromNow(), ceiling)
-    // whether the CEILING (not the inactivity refresh) is the binding bound:
-    // a timeout while it binds means the peer kept progressing but the batch
-    // as a whole overran — the shrink-the-retry's-depth case; a timeout
-    // while the fresh budget binds is a genuine stall, where shrinking would
-    // not help and the T4 backoff is the right response. The distinction is
-    // inherently ambiguous in the LAST budget-sized window before the
-    // ceiling (a peer that progressed until then and THEN stalled times out
-    // with the ceiling binding): we conservatively shrink there — against a
-    // dead peer the chunked retry fails in ~one budget just like the
-    // full-depth one would, and the depth re-grows additively, so the
-    // misclassification costs nothing durable
-    var ceilingBinds = deadline == ceiling
     // on the first failure, ABORT the not-yet-awaited siblings instead of
     // abandoning them: their streams would otherwise stay registered on the
     // immortal pooled connection (and hold the peer's concurrent-stream
@@ -324,19 +353,34 @@ final class GrpcBlockClient(base: String) extends BlockClient {
       else try {
         val res = taxonomy(path, p.await(deadline))
         deadline = math.min(c.deadlineFromNow(), ceiling) // progress: refresh
-        ceilingBinds = deadline == ceiling
         res
       }
       catch {
         case t: GrpcWire.CallTimeoutException =>
-          if (ceilingBinds) ceilingTripped = true
+          // deadline still holds the bound the FAILED await used (the
+          // refresh only runs on success), so deadline == ceiling tells the
+          // two timeout causes apart right here: the CEILING binding means
+          // the peer kept progressing but the batch as a whole overran —
+          // the shrink-the-retry's-depth case; the fresh inactivity budget
+          // binding is a genuine stall, where shrinking would not help and
+          // the T4 backoff is the right response. The distinction is
+          // inherently ambiguous in the LAST budget-sized window before the
+          // ceiling (a peer that progressed until then and THEN stalled
+          // times out with the ceiling binding): we conservatively shrink
+          // there — against a dead peer the chunked retry fails in ~one
+          // budget just like the full-depth one would, and the depth
+          // re-grows additively, so the misclassification costs nothing
+          // durable
+          if (deadline == ceiling) ceilingTripped = true
           failure = t; None
         case scala.util.control.NonFatal(t) => failure = t; None
       }
     }
     if (failure != null) {
+      // once per INCIDENT, not once per tripped batch (shrinkOnCeilingTrip's
+      // concurrency note — the pool is executor-shared)
       if (ceilingTripped)
-        depthRef.updateAndGet(d => math.max(1, math.min(d, requests.size) / 2))
+        GrpcBlockClient.shrinkOnCeilingTrip(depthRef, depthAtDispatch, requests.size)
       throw failure
     }
     results

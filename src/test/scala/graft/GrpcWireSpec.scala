@@ -417,6 +417,20 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(GrpcBlockClient.timeoutConflicts === n0 + 1,
         "the same conflict must be flagged once, not once per RPC")
     } finally iso.stop()
+    // the converse must NOT warn: a client that never set the option is not
+    // "requesting 60000" just because that is the default — against a pool
+    // first-dialed at an explicit non-default timeout, a defaulted later
+    // client is silence, not a conflict (r12 review)
+    val iso2 = new StubGrpcServer(T)
+    try {
+      val explicit = new GrpcBlockClient(s"${iso2.base}&callTimeoutMillis=123")
+      assert(explicit.currentHeight() === 2270469L)
+      val n1 = GrpcBlockClient.timeoutConflicts
+      val defaulted = new GrpcBlockClient(iso2.base) // no option named
+      assert(defaulted.currentHeight() === 2270469L)
+      assert(GrpcBlockClient.timeoutConflicts === n1,
+        "a defaulted client must not be warned about a timeout it never requested")
+    } finally iso2.stop()
   }
 
   test("ceiling-tripped batch shrinks the retry's pipeline depth: a slow-but-progressing peer drains") {
@@ -468,6 +482,37 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(GrpcBlockClient.pipelineDepth("127.0.0.1", slow.port) === 12,
         "the re-grown depth must not re-trip on the following page")
     } finally slow.stop()
+  }
+
+  test("the depth AIMD is per-incident, not per-batch: a wave of trips shrinks once, a wave of completions regrows once") {
+    // r12 review: the pool is shared by every task on the executor, so ONE
+    // slow incident trips the ceiling in MANY concurrently in-flight
+    // batches — and an unconditional halve-per-tripped-batch would collapse
+    // 20→10→5→2→1 in one incident, leaving the endpoint fully serial, while
+    // an unconditional +1-per-completion would regrow +32 in one wave and
+    // overshoot straight past the depth that just tripped. Deterministic
+    // unit pin of the CAS semantics (a live concurrent twin would be a
+    // timing gate; the wire-level shrink/regrow cycle is pinned end-to-end
+    // by the test above).
+    val d = new java.util.concurrent.atomic.AtomicInteger(20)
+    // a wave of 4 tripped batches, all of which observed depth 20 at dispatch
+    val shrinks = (1 to 4).map(_ => GrpcBlockClient.shrinkOnCeilingTrip(d, 20, 20))
+    assert(d.get() === 10,
+      "four trips of ONE incident must halve once, not collapse toward 1")
+    assert(shrinks.count(identity) === 1)
+    // a batch that dispatched at the ALREADY-shrunk depth and still tripped
+    // is a new incident at the new depth — a genuinely slower peer walks down
+    assert(GrpcBlockClient.shrinkOnCeilingTrip(d, 10, 10))
+    assert(d.get() === 5)
+    // a wave of 4 chunked completions that all observed depth 5: +1 total
+    val regrows = (1 to 4).map(_ => GrpcBlockClient.regrowAfterChunkedBatch(d, 5))
+    assert(d.get() === 6)
+    assert(regrows.count(identity) === 1)
+    // the floor: a trip at depth 1 stays at 1 (there the ceiling degenerates
+    // to 5× a single call's budget, which only a genuinely stalled peer misses)
+    val floor = new java.util.concurrent.atomic.AtomicInteger(1)
+    GrpcBlockClient.shrinkOnCeilingTrip(floor, 1, 1)
+    assert(floor.get() === 1)
   }
 
   test("request counters observe the wire (the gate queries' proof hooks)") {

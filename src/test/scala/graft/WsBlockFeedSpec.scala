@@ -100,26 +100,32 @@ class WsBlockFeedSpec extends AnyFunSuite {
     // forces the exact interleaving via the stub's handshake gate.
     withWs { ws =>
       val sub = new WsSubscription(ws.url, reconnectBaseMillis = 25L)
-      eventually()(ws.subscriptions == 1)
-      ws.holdNextHandshake()
-      ws.dropAll() // supervisor wakes and reconnects; the gate parks join()
-      eventually()(ws.heldCount == 1)
-      sub.close() // the interrupt pends while join() is uninterruptible
-      ws.releaseHandshake() // join() completes and assigns the NEW socket
-      // first pin that the reconnect connection fully ESTABLISHED — the
-      // monotone handshake counter, incremented after `conns` registration,
-      // cannot be missed the way the connectionCount census can flicker;
-      // without this the ==0 below could sample before the stub registered
-      // the released connection and pass vacuously even with the leak
-      eventually()(ws.handshakes == 2)
-      // the supervisor's exit abort must kill it: the stub sees the
-      // connection die (pre-fix it stayed ESTABLISHED, subscribed, forever)
-      eventually()(ws.connectionCount == 0)
-      eventually() {
-        import scala.jdk.CollectionConverters._
-        !Thread.getAllStackTraces.keySet.asScala.exists(t =>
-          t.isAlive && t.getName == s"ws-subscription-${ws.url}")
-      }
+      // close() is idempotent; the finally covers an assertion failing
+      // BEFORE the mid-test close below — without it a timed-out eventually
+      // would leave the subscription reconnecting (8-attempt backoff against
+      // the stopped stub) under the rest of the suite's thread censuses
+      try {
+        eventually()(ws.subscriptions == 1)
+        ws.holdNextHandshake()
+        ws.dropAll() // supervisor wakes and reconnects; the gate parks join()
+        eventually()(ws.heldCount == 1)
+        sub.close() // the interrupt pends while join() is uninterruptible
+        ws.releaseHandshake() // join() completes and assigns the NEW socket
+        // first pin that the reconnect connection fully ESTABLISHED — the
+        // monotone handshake counter, incremented after `conns` registration,
+        // cannot be missed the way the connectionCount census can flicker;
+        // without this the ==0 below could sample before the stub registered
+        // the released connection and pass vacuously even with the leak
+        eventually()(ws.handshakes == 2)
+        // the supervisor's exit abort must kill it: the stub sees the
+        // connection die (pre-fix it stayed ESTABLISHED, subscribed, forever)
+        eventually()(ws.connectionCount == 0)
+        eventually() {
+          import scala.jdk.CollectionConverters._
+          !Thread.getAllStackTraces.keySet.asScala.exists(t =>
+            t.isAlive && t.getName == s"ws-subscription-${ws.url}")
+        }
+      } finally sub.close()
     }
   }
 
