@@ -68,22 +68,28 @@ object GrpcBlockClient {
   private[graft] def pipelineDepth(host: String, port: Int): Int =
     depthOf(host, port).get()
 
-  /** Once-per-INCIDENT shrink: CAS from the depth the failed batch observed
-    * at dispatch, not a blind halve. The pool is shared by every task on
-    * the executor, so ONE slow incident trips the ceiling in many
-    * concurrently in-flight batches — an unconditional updateAndGet would
-    * halve once PER TRIPPED BATCH (20→10→5→2→1 after four concurrent
-    * trips, leaving the endpoint fully serial for one incident). With the
-    * CAS, the first tripped batch moves the depth and the rest fail the
-    * CAS because the value they observed is gone. A batch that dispatched
-    * at an ALREADY-shrunk depth and still trips observes the new value, so
-    * a genuinely slower peer still walks down.
+  /** Once-per-INCIDENT shrink: clamp the depth to half the FAILED BATCH'S
+    * OWN dispatch depth, not half the current value. The pool is shared by
+    * every task on the executor, so ONE slow incident trips the ceiling in
+    * many concurrently in-flight batches — halving the current value once
+    * per tripped batch would collapse 20→10→5→2→1 in a single incident,
+    * leaving the endpoint fully serial. The clamp is idempotent across an
+    * incident's sibling trips (every batch dispatched at depth 20 computes
+    * the same target 10, and min(d, 10) lands there exactly once) yet can
+    * never be LOST: unlike a CAS from the observed depth, a concurrent
+    * regrow (+1) or an earlier sibling's shrink moving the value does not
+    * make this trip a no-op — the clamp still lands, so a genuine incident
+    * never costs the T4 retry a second full-ceiling round at an un-shrunk
+    * depth. A batch dispatched at an ALREADY-shrunk depth that still trips
+    * computes a lower target, so a genuinely slower peer walks down.
+    * Returns the post-clamp depth.
     */
   private[graft] def shrinkOnCeilingTrip(
       depthRef: java.util.concurrent.atomic.AtomicInteger,
-      depthAtDispatch: Int, batchSize: Int): Boolean =
-    depthRef.compareAndSet(depthAtDispatch,
-      math.max(1, math.min(depthAtDispatch, batchSize) / 2))
+      depthAtDispatch: Int, batchSize: Int): Int = {
+    val target = math.max(1, math.min(depthAtDispatch, batchSize) / 2)
+    depthRef.updateAndGet(d => math.min(d, target))
+  }
 
   /** Once-per-incident-window regrow, the additive half of the AIMD pair:
     * CAS from the depth observed at dispatch so a wave of 32 concurrently
@@ -236,8 +242,10 @@ final class GrpcBlockClient(base: String) extends BlockClient {
         s"unknown results layout '$other' in $base (v034 | v038)")
     }
     // per-call timeout, first-dial-wins per endpoint (the pool note on
-    // GrpcBlockClient.connection); None = URI named no timeout, so the
-    // pool's default applies AND a differently-dialed pool is no conflict.
+    // GrpcBlockClient.connection); None = URI named no timeout, so this
+    // client takes whatever the pool's FIRST dial set (the 60 s default
+    // only if THIS client creates the pool) and is never warned about a
+    // conflict — it requested nothing to conflict with.
     // Validated like results= above: a bare .toInt would surface a raw
     // NumberFormatException without the URI context, and a 0/negative value
     // would make every call on the endpoint's first-dial-wins pool time out

@@ -495,24 +495,32 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     // timing gate; the wire-level shrink/regrow cycle is pinned end-to-end
     // by the test above).
     val d = new java.util.concurrent.atomic.AtomicInteger(20)
-    // a wave of 4 tripped batches, all of which observed depth 20 at dispatch
-    val shrinks = (1 to 4).map(_ => GrpcBlockClient.shrinkOnCeilingTrip(d, 20, 20))
+    // a wave of 4 tripped batches, all of which dispatched at depth 20:
+    // every sibling computes the same target (10), so the clamp is
+    // idempotent — once per incident, not once per batch
+    (1 to 4).foreach(_ => GrpcBlockClient.shrinkOnCeilingTrip(d, 20, 20))
     assert(d.get() === 10,
       "four trips of ONE incident must halve once, not collapse toward 1")
-    assert(shrinks.count(identity) === 1)
     // a batch that dispatched at the ALREADY-shrunk depth and still tripped
     // is a new incident at the new depth — a genuinely slower peer walks down
-    assert(GrpcBlockClient.shrinkOnCeilingTrip(d, 10, 10))
+    assert(GrpcBlockClient.shrinkOnCeilingTrip(d, 10, 10) === 5)
     assert(d.get() === 5)
-    // a wave of 4 chunked completions that all observed depth 5: +1 total
-    val regrows = (1 to 4).map(_ => GrpcBlockClient.regrowAfterChunkedBatch(d, 5))
+    // a shrink must never be LOST to a racing regrow (the CAS-from-observed
+    // alternative lost exactly this): a completion regrows 5→6 an instant
+    // before a sibling dispatched at 5 trips — the trip's clamp still lands,
+    // so the T4 retry does not burn a second full-ceiling round un-shrunk
+    assert(GrpcBlockClient.regrowAfterChunkedBatch(d, 5))
     assert(d.get() === 6)
+    assert(GrpcBlockClient.shrinkOnCeilingTrip(d, 5, 5) === 2)
+    // a wave of 4 chunked completions that all observed depth 2: +1 total,
+    // not +4 (overshoot would re-trip every other page)
+    val regrows = (1 to 4).map(_ => GrpcBlockClient.regrowAfterChunkedBatch(d, 2))
+    assert(d.get() === 3)
     assert(regrows.count(identity) === 1)
     // the floor: a trip at depth 1 stays at 1 (there the ceiling degenerates
     // to 5× a single call's budget, which only a genuinely stalled peer misses)
     val floor = new java.util.concurrent.atomic.AtomicInteger(1)
-    GrpcBlockClient.shrinkOnCeilingTrip(floor, 1, 1)
-    assert(floor.get() === 1)
+    assert(GrpcBlockClient.shrinkOnCeilingTrip(floor, 1, 1) === 1)
   }
 
   test("request counters observe the wire (the gate queries' proof hooks)") {
