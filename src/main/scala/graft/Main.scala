@@ -28,7 +28,10 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Spark mappings: history+live merge, gap-fill, restart resume and dedup
   * all come from the blockfeed offset log (+`checkpoint=`); `skipEmpty`
-  * rides the connector's `num_txs` pushdown; event filters are the P2/P3
+  * filters on the payload's tx list (in BATCH reads an equivalent
+  * `num_txs` predicate would push down to the scan; Spark's streaming
+  * DSv2 path never pushes, so here it is an ordinary post-scan filter);
+  * event filters are the P2/P3
   * `exists` predicates; the file sink is the K2 sha-splayed idempotent
   * layout (ordered = W6); `nth` adds the K3 console sample as a second
   * sink off the same batch (K8 fan-out).

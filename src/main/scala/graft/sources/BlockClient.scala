@@ -36,6 +36,16 @@ trait BlockClient extends Serializable {
   /** Node's current chain height (`abci_info`). */
   def currentHeight(): Long
 
+  /** Whether every height at or below the tip is served (a real chain node
+    * is dense). The ws subscription's zero-RPC arithmetic offset advance is
+    * only sound on a dense transport: the FILE transport is a sparse
+    * listing whose abci template can report a tip far above its last block
+    * file, so ws mode must plan from availability there — arithmetic
+    * planning over the fixture once enumerated ~758k phantom heights per
+    * drain (the template's 3028985 default vs the listing's 2270469 max).
+    */
+  def denseBelowTip: Boolean = true
+
   /** Heights with full block data available in [from, to], ascending.
     * A real node has every height (dense); the fixture dir has whatever
     * template files exist.
@@ -98,6 +108,7 @@ final class RetryingBlockClient(
     throw new IllegalStateException("unreachable")
   }
 
+  override def denseBelowTip: Boolean = inner.denseBelowTip
   override def currentHeight(): Long = retry(inner.currentHeight())
   override def availableHeights(from: Long, to: Long): Seq[Long] =
     retry(inner.availableHeights(from, to))
@@ -110,6 +121,10 @@ final class RetryingBlockClient(
 
 /** Reads the reference's golden template layout (FIXTURES.md §A). */
 final class FileBlockClient(dir: String) extends BlockClient {
+
+  // a directory listing, not a chain node: heights are whatever template
+  // files exist (the denseBelowTip scaladoc's ws-planning rationale)
+  override def denseBelowTip: Boolean = false
 
   private def readFile(p: java.nio.file.Path): String =
     new String(Files.readAllBytes(p), "UTF-8")

@@ -5,7 +5,7 @@ import graft.blocks.BlockSchemas
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -22,6 +22,11 @@ import scala.jdk.CollectionConverters._
   *     20-height `/blockchain` pages (§4 "column pruning" row)
   *   - `num_txs > 0` filter pushdown → skip-empty pre-filter (P4)
   *   - height-range filter pushdown  → partition pruning (§4)
+  *     (pruning/pushdown reach BATCH scans only: Spark's DSv2 streaming
+  *     path builds the scan without pushFilters/pruneColumns calls, so a
+  *     streaming query always runs mode=full — use the `fetchResults`
+  *     option to elide the per-height results RPC on streams that never
+  *     read the event columns)
   *   - `maxHeightsPerTrigger`        → T6 admission control (the 10k live
   *     buffer, `MultiplexFlow.kt:74`)
   *
@@ -36,7 +41,12 @@ import scala.jdk.CollectionConverters._
   * endpoint — the stream's tip then comes from pushed `NewBlock` events via
   * [[WsSubscription]] instead of per-trigger polling; block data still
   * flows through the partitioned RPC readers, the reference's
-  * `WsBlockDataFlow.kt:48` subscribe-then-fetch split).
+  * `WsBlockDataFlow.kt:48` subscribe-then-fetch split),
+  * `fetchResults` (default true; false skips the per-height
+  * `/block_results` RPC entirely — event columns come back null, the same
+  * documented degrade as a node that does not serve results. The batch
+  * path gets this for free from column pruning; the option exists for
+  * STREAMING queries, which Spark never prunes).
   */
 class BlockFeedProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "blockfeed"
@@ -74,13 +84,17 @@ class BlockFeedScanBuilder(options: CaseInsensitiveStringMap)
   private var minNumTxs: Int = 0
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // boundary literals stay RESIDUAL (Spark keeps evaluating them): the
+    // strict bounds below compute v±1, which would wrap at the extreme
+    // Long/Int values — an accepted-but-unenforced filter returns every
+    // row where the right answer is none
     val (accepted, rejected) = filters.partition {
-      case GreaterThan("height", _: Long) => true
+      case GreaterThan("height", v: Long) => v < Long.MaxValue
       case GreaterThanOrEqual("height", _: Long) => true
-      case LessThan("height", _: Long) => true
+      case LessThan("height", v: Long) => v > Long.MinValue
       case LessThanOrEqual("height", _: Long) => true
       case EqualTo("height", _: Long) => true
-      case GreaterThan("num_txs", _: Int) => true
+      case GreaterThan("num_txs", v: Int) => v < Int.MaxValue
       case GreaterThanOrEqual("num_txs", _: Int) => true
       case _ => false
     }
@@ -138,19 +152,13 @@ class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
   private val heightsPerPartition =
     options.getInt("heightsPerPartition", 128)
 
+  private val fetchResults = options.getBoolean("fetchResults", true)
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"blockfeed(path=$path, mode=${if (metaMode) "meta" else "full"}, " +
       s"heights=[${math.max(minHeight, 0)}..${if (maxHeight == Long.MaxValue) "∞" else maxHeight}], " +
       s"minNumTxs=$minNumTxs)"
-
-  private def bounds(c: BlockClient): (Long, Long) = {
-    val from = math.max(
-      Option(options.get("from")).map(_.toLong).getOrElse(1L), minHeight)
-    val to = math.min(
-      Option(options.get("to")).map(_.toLong).getOrElse(c.currentHeight()), maxHeight)
-    (from, to)
-  }
 
   /** S2: explicit height list (`List<Long>.toBlockData`,
     * `HistoricalBlockFlow.kt:52`) — still intersected with pushed height
@@ -164,8 +172,14 @@ class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val c = client
-      val (from, to) = bounds(c)
+      // ONE tip RPC: it serves both the default upper bound and the
+      // history/live provenance boundary (two separate calls could also
+      // disagree if the chain advanced between them)
       val cur = c.currentHeight()
+      val from = math.max(
+        Option(options.get("from")).map(_.toLong).getOrElse(1L), minHeight)
+      val to = math.min(
+        Option(options.get("to")).map(_.toLong).getOrElse(cur), maxHeight)
       val inRange = c.availableHeights(from, to)
       val heights = explicitHeights match {
         case Some(list) => val avail = inRange.toSet; list.filter(avail.contains)
@@ -177,7 +191,8 @@ class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
         .toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs, retryBaseWaitMs)
+      new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs,
+        retryBaseWaitMs, fetchResults)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -220,10 +235,16 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
   /** S7–S9 push mode: a driver-side websocket subscription replaces tip
     * polling (`ws` option). A node that pushes height h is dense through h,
     * so availability below the pushed tip is arithmetic — zero RPCs on the
-    * offset path.
+    * offset path. Only a DENSE transport earns that arithmetic: the file
+    * transport is a sparse listing (BlockClient.denseBelowTip), so ws mode
+    * plans from availability there — the subscription still supplies the
+    * tip, only the dense-range shortcut is withheld.
     */
   private val subscription: Option[WsSubscription] =
     Option(options.get("ws")).map(new WsSubscription(_))
+
+  private val wsArithmetic: Boolean =
+    subscription.isDefined && client.denseBelowTip
 
   private def tip: Long = {
     val t = subscription match {
@@ -246,18 +267,48 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
 
   override def reportLatestOffset(): Offset = HeightOffset(tip)
 
+  // latestOffset's availability answer, reused by planInputPartitions for
+  // the same (start, end) window: without it the polling path pays the
+  // identical availableHeights RPC twice per trigger (once to pick the
+  // offset, once to enumerate the batch). Restart replans a committed
+  // window without a prior latestOffset call, so the cache is an
+  // optimization only — planInputPartitions recomputes on a miss.
+  @volatile private var plannedWindow: (Long, Long, Seq[Long]) = (0L, -1L, Seq.empty)
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[HeightOffset].height
+    // Trigger.Once hands the source ReadLimit.allAvailable(): Spark
+    // explicitly IGNORES the default read limit there, so clamping the
+    // everything-limit back to maxPerTrigger would silently truncate a
+    // one-shot run at maxHeightsPerTrigger heights and terminate
     val cap = limit match {
       case m: ReadMaxRows => m.maxRows()
+      case _: ReadAllAvailable => Long.MaxValue
       case _ => maxPerTrigger.toLong
     }
-    if (subscription.isDefined) {
+    if (wsArithmetic) {
       // dense below the pushed tip: advance arithmetically, no RPC
-      HeightOffset(math.max(s, math.min(s + cap, tip)))
+      // (saturating — cap can be Long.MaxValue, so s + cap may not be
+      // computed directly)
+      val t = tip
+      HeightOffset(math.max(s, if (cap >= t - s) t else s + cap))
     } else {
-      val next = client.availableHeights(s + 1, tip).take(cap.toInt)
-      if (next.isEmpty) HeightOffset(s) else HeightOffset(next.max)
+      // ONE availability RPC per trigger: the committed offset already
+      // bounds the range below, so the former tip-then-availableHeights
+      // pair re-enumerated [from, tip] every trigger just to re-derive a
+      // bound this call applies anyway. ws over a sparse transport lands
+      // here too, with the subscription's tip as the upper bound.
+      val hi =
+        if (subscription.isDefined) tip
+        else availableNowCap.map(math.min(_, to)).getOrElse(to)
+      val next = client.availableHeights(s + 1, hi)
+        .take(math.min(cap, Int.MaxValue.toLong).toInt)
+      if (next.isEmpty) HeightOffset(s)
+      else {
+        val e = next.max
+        plannedWindow = (s, e, next)
+        HeightOffset(e)
+      }
     }
   }
 
@@ -269,8 +320,12 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
     val s = start.asInstanceOf[HeightOffset].height
     val e = end.asInstanceOf[HeightOffset].height
     val heights =
-      if (subscription.isDefined) if (e > s) (s + 1) to e else Seq.empty
-      else client.availableHeights(s + 1, e)
+      if (wsArithmetic) if (e > s) (s + 1) to e else Seq.empty
+      else {
+        val cached = plannedWindow
+        if (cached._1 == s && cached._2 == e) cached._3
+        else client.availableHeights(s + 1, e)
+      }
     heights
       .grouped(options.getInt("heightsPerPartition", 128))
       .map(h => HeightRangePartition(h.toArray, startCurrentHeight, metaMode))
@@ -278,7 +333,8 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs, retryBaseWaitMs)
+    new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs, retryBaseWaitMs,
+      options.getBoolean("fetchResults", true))
 
   override def deserializeOffset(json: String): Offset = HeightOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
@@ -286,7 +342,8 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
 }
 
 class BlockFeedReaderFactory(path: String, prunedOrdinals: Array[Int],
-                             minNumTxs: Int, retryBaseWaitMs: Long = 1000L)
+                             minNumTxs: Int, retryBaseWaitMs: Long = 1000L,
+                             fetchResults: Boolean = true)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[HeightRangePartition]
@@ -294,7 +351,8 @@ class BlockFeedReaderFactory(path: String, prunedOrdinals: Array[Int],
     // exponential backoff before surfacing a task failure
     new BlockFeedPartitionReader(
       new RetryingBlockClient(BlockClient.open(path),
-        baseWaitMillis = retryBaseWaitMs), p, prunedOrdinals, minNumTxs)
+        baseWaitMillis = retryBaseWaitMs), p, prunedOrdinals, minNumTxs,
+      retryBaseWaitMs, fetchResults)
   }
 }
 
@@ -304,34 +362,97 @@ class BlockFeedReaderFactory(path: String, prunedOrdinals: Array[Int],
   * degrade to null event columns (left-join parity with the batch path).
   */
 class BlockFeedPartitionReader(client: BlockClient, p: HeightRangePartition,
-                               prunedOrdinals: Array[Int], minNumTxs: Int)
+                               prunedOrdinals: Array[Int], minNumTxs: Int,
+                               retryBaseWaitMs: Long = 1000L,
+                               fetchResults: Boolean = true)
   extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
 
   private val codec = new RowCodec
   private val wanted = p.heights.toSet
+
+  /** A planned height the node does not serve is NOT silently droppable:
+    * planning only lists heights the node itself advertised (batch and
+    * polling paths) or that a ws push proved exist on-chain, and by read
+    * time the offset log has already advanced past them — a dropped row
+    * here is a PERMANENT gap in an exactly-once stream (the T1 contiguity
+    * contract). The realistic cause is a lagging read replica behind the
+    * RPC endpoint (the ws and RPC options may name different endpoints),
+    * so retry on the reference backoff ladder, then fail the task — a
+    * retried task can still succeed; a dropped row never can.
+    * (`block_results` stays best-effort by design: a missing results
+    * payload degrades to null event columns, the documented left-join
+    * parity — only the block itself is load-bearing.)
+    */
+  private def plannedBlock(h: Long): String = {
+    var attempt = 0
+    var res = client.block(h)
+    while (res.isEmpty && attempt < 4) {
+      Thread.sleep(retryBaseWaitMs * (1L << attempt))
+      attempt += 1
+      res = client.block(h)
+    }
+    res.getOrElse(throw new java.io.IOException(
+      s"height $h was planned from the node's own availability but /block " +
+        "does not serve it after retries — failing the task instead of " +
+        "dropping the row (lagging replica behind the endpoint?)"))
+  }
+
+  /** Contiguous runs of the partition's (sorted) heights: a gap wider than
+    * one 20-height page splits the span, so a sparse explicit height list
+    * fetches pages around its members instead of paging through the whole
+    * numeric range between its extremes (heights="1,10000000" used to
+    * issue one page RPC per 20 heights of the full span — 500k requests
+    * for 2 rows).
+    */
+  private def pageRuns(hs: Array[Long]): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var lo = hs(0)
+    var prev = hs(0)
+    var i = 1
+    while (i < hs.length) {
+      if (hs(i) - prev > 20L) { out += ((lo, prev)); lo = hs(i) }
+      prev = hs(i)
+      i += 1
+    }
+    out += ((lo, prev))
+    out.toSeq
+  }
 
   private val it: Iterator[org.apache.spark.sql.catalyst.InternalRow] =
     if (p.metaMode) {
       if (p.heights.isEmpty) Iterator.empty
       else {
         val seen = scala.collection.mutable.HashSet.empty[Long]
-        client.metaPages(p.heights.min, p.heights.max).iterator
+        val paged = pageRuns(p.heights).iterator
+          .flatMap { case (lo, hi) => client.metaPages(lo, hi) }
           .flatMap(page => codec.metaRows(
             page, _ <= p.historicalBelow, prunedOrdinals, minNumTxs))
           .filter { case (h, _) => wanted.contains(h) && seen.add(h) }
-          .map(_._2)
+          .flatMap(_._2)
+        // coverage backstop: the pages are a fetch optimization, not the
+        // result contract — any planned height the pages did not carry is
+        // fetched via /block (rawRow yields the same meta-safe columns), so
+        // changing the projection can never change the result SET. `seen`
+        // records every height the pages COVERED (including rows filtered
+        // by minNumTxs, reported as (h, None)), so the backstop fires only
+        // on genuine page gaps. Lazy RHS: Iterator.++ evaluates it after
+        // the paged iterator — and `seen` — are complete.
+        paged ++ p.heights.iterator.filterNot(seen.contains).flatMap(h =>
+          codec.rawRow(plannedBlock(h), None,
+            historical = h <= p.historicalBelow, prunedOrdinals, minNumTxs))
       }
     } else {
       // results-RPC elision: when no txs_results/begin/end_block_events
       // column (raw ordinals 7..9) is projected, the per-height fetch is ONE
       // RPC instead of the reference's fixed two (`TendermintBlockFetcher
-      // .kt:36`) — column pruning reaching past the scan into the wire calls
-      val needResults = prunedOrdinals.exists(_ >= 7)
+      // .kt:36`) — column pruning reaching past the scan into the wire calls.
+      // Streaming never receives pruning (Spark DSv2), so fetchResults=false
+      // is the explicit opt-out there.
+      val needResults = fetchResults && prunedOrdinals.exists(_ >= 7)
       p.heights.iterator.flatMap { h =>
-        client.block(h).flatMap { bj =>
-          codec.rawRow(bj, if (needResults) client.blockResults(h) else None,
-            historical = h <= p.historicalBelow, prunedOrdinals, minNumTxs)
-        }
+        codec.rawRow(plannedBlock(h),
+          if (needResults) client.blockResults(h) else None,
+          historical = h <= p.historicalBelow, prunedOrdinals, minNumTxs)
       }
     }
 

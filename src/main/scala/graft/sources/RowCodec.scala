@@ -94,9 +94,16 @@ final class RowCodec {
     * projected to `prunedOrdinals` (which must only reference meta-safe
     * columns: height/time/chain_id/num_txs/historical/block_id).
     */
+  /** Page rows keyed by height. A height COVERED by the page but filtered
+    * out (minNumTxs) still appears, as (height, None): the reader's
+    * coverage bookkeeping must see every height the pages actually carried,
+    * or a filtered row would be mistaken for a page gap and re-fetched via
+    * the per-height fallback — one wasted /block RPC per legitimately
+    * skipped row, defeating the P4 skip-empty pushdown.
+    */
   def metaRows(pageJson: String, isHistorical: Long => Boolean,
                prunedOrdinals: Array[Int],
-               minNumTxs: Int): Seq[(Long, InternalRow)] = {
+               minNumTxs: Int): Seq[(Long, Option[InternalRow])] = {
     parseOne(chainParser, pageJson) match {
       case None => Seq.empty
       case Some(env) =>
@@ -114,7 +121,9 @@ final class RowCodec {
               val numTxs = if (numTxsStr == null) 0 else numTxsStr.toString.toInt
               val header = m.getStruct(3, 14)
               val heightStr = if (header == null) null else header.getUTF8String(2)
-              if (heightStr == null || numTxs < minNumTxs) None
+              if (heightStr == null) None
+              else if (numTxs < minNumTxs)
+                Some((heightStr.toString.toLong, None))
               else {
                 val height = heightStr.toString.toLong
                 def fieldValue(ord: Int): Any = ord match {
@@ -134,7 +143,7 @@ final class RowCodec {
                   out.update(j, fieldValue(prunedOrdinals(j)))
                   j += 1
                 }
-                Some((height, out))
+                Some((height, Some(out)))
               }
             }
           }.toSeq

@@ -74,6 +74,26 @@ trait StubChainNode {
   /** Injected height faults not yet served — 0 proves the chaos engaged. */
   def pendingHeightFaults: Int = heightFaults.size()
 
+  // ---- hideBlocks: advertised-but-unserved heights (lagging replica) ----
+
+  /** A node that ADVERTISES a height (status/tip) but answers its /block
+    * fetch not-available models a lagging read replica behind the RPC
+    * endpoint — exactly the gap the reader's planned-height presence
+    * contract must absorb (retry, then task failure; never a dropped row).
+    * Budgeted per height: the next `times` fetches answer not-available,
+    * then the height heals (times = Int.MaxValue pins the never-heals arm).
+    */
+  private val hiddenBudget =
+    new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
+  def hideBlocks(h: Long, times: Int): Unit = {
+    hiddenBudget.put(h, new AtomicInteger(times)); ()
+  }
+  /** Decrement-and-test `h`'s hide budget; true = answer not-available. */
+  protected final def blockHiddenNow(h: Long): Boolean = {
+    val c = hiddenBudget.get(h)
+    c != null && c.getAndUpdate(n => math.max(0, n - 1)) > 0
+  }
+
   // ---- proof-hook counters ----------------------------------------------
 
   private val requests = new AtomicInteger(0)

@@ -101,6 +101,12 @@ final class StubRpcServer(dir: String,
             // short-circuiting would make counting order a pattern detail)
             if (sub == "block" && blockFetchFaulted(h))
               send(ex, 503, """{"error":"stub transient failure"}""")
+            else if (sub == "block" && blockHiddenNow(h))
+              // lagging-replica model (hideBlocks): advertised upstream,
+              // not yet served here — the same not-available shape a real
+              // node behind a load balancer returns
+              send(ex, 404,
+                s"""{"jsonrpc":"2.0","id":-1,"error":{"code":-32603,"message":"height $h is not available"}}""")
             else {
               val p = Paths.get(s"$dir/$sub/${srcHeight(h)}.json")
               if (Files.exists(p)) send(ex, 200, resolved(p.toString, Map.empty))

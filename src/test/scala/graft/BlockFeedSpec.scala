@@ -354,4 +354,71 @@ class BlockFeedSpec extends AnyFunSuite {
     assert(got.except(batch).count() === 0L)
     assert(batch.except(got).count() === 0L)
   }
+
+  test("Trigger.Once drains everything available, not one maxHeightsPerTrigger batch") {
+    // r12 review: Spark passes ReadLimit.allAvailable() under Trigger.Once
+    // (it explicitly ignores the source's default limit there); clamping
+    // the everything-limit back to maxHeightsPerTrigger made a one-shot
+    // run silently stop after the first 40 of 100 heights
+    val q = spark.readStream.format("blockfeed")
+      .option("path", T)
+      .option("from", "2270370").option("to", "2270469")
+      .option("maxHeightsPerTrigger", "40")
+      .load()
+      .writeStream.format("memory").queryName("bf_once")
+      .trigger(Trigger.Once()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("bf_once").count() === 100L,
+      "Trigger.Once must not be clamped to maxHeightsPerTrigger")
+  }
+
+  test("boundary height/num_txs literals stay residual (pushed v±1 would wrap)") {
+    // r12 review: GreaterThan("height", Long.MaxValue) used to be ACCEPTED
+    // and its strict bound computed as v+1 — wrapping to Long.MinValue, so
+    // the filter Spark believed was enforced matched nothing and every row
+    // came back where the right answer is zero
+    val df = read("from" -> "2270370", "to" -> "2270469")
+    assert(df.filter(col("height") > Long.MaxValue).count() === 0L)
+    assert(df.filter(col("height") < Long.MinValue).count() === 0L)
+    assert(df.filter(col("num_txs") > Int.MaxValue).count() === 0L)
+    // non-boundary bounds still push and still work
+    assert(df.filter(col("height") > 2270467L).count() === 2L)
+  }
+
+  test("meta-mode pages are a fetch optimization, not the result contract") {
+    // r12 review: a fixture whose blockchain/ pages do not cover every
+    // block/ height used to return FEWER rows under a header-only
+    // projection than under select(block) on the same data — projection
+    // changing the result set. The reader now backstops page gaps with
+    // per-height /block fetches.
+    val root = java.nio.file.Files.createTempDirectory("bf_meta_cov")
+    try {
+      val src = java.nio.file.Paths.get(T)
+      java.nio.file.Files.createDirectories(root.resolve("block"))
+      java.nio.file.Files.createDirectories(root.resolve("blockchain"))
+      java.nio.file.Files.createDirectories(root.resolve("abci_info"))
+      java.nio.file.Files.copy(src.resolve("abci_info/success.json"),
+        root.resolve("abci_info/success.json"))
+      (2270370L to 2270389L).foreach { h =>
+        java.nio.file.Files.copy(src.resolve(s"block/$h.json"),
+          root.resolve(s"block/$h.json"))
+      }
+      // pages cover only 4 of the 20 planned heights
+      java.nio.file.Files.copy(src.resolve("blockchain/2270370-2270373.json"),
+        root.resolve("blockchain/2270370-2270373.json"))
+      val df = spark.read.format("blockfeed")
+        .option("path", root.toString)
+        .option("from", "2270370").option("to", "2270389").load()
+      val meta = df.select("height", "num_txs")
+      assert(meta.queryExecution.executedPlan.toString.contains("mode=meta"))
+      assert(meta.count() === 20L,
+        "page gaps must be backstopped by /block, not dropped")
+      // and the full projection agrees — same result set either way
+      assert(df.select("height").count() === 20L)
+      // the skip-empty pushdown still composes with the backstop
+      assert(df.filter(col("num_txs") > 0).select("height", "num_txs").count() ===
+        read("from" -> "2270370", "to" -> "2270389")
+          .filter(col("num_txs") > 0).count())
+    } finally TestDirs.deleteRecursively(root)
+  }
 }

@@ -121,4 +121,88 @@ class HttpBlockFeedSpec extends AnyFunSuite {
       assert(got.filter(col("historical")).count() === 0L)
     }
   }
+
+  test("a planned height the node lags on is retried, then fails the task — never dropped") {
+    // r12 review: planning lists heights the node itself advertised, and by
+    // read time the offset/commit bookkeeping is past them — a /block that
+    // answers not-available (lagging replica behind the endpoint) must not
+    // silently flatMap the row away (a permanent T1 gap). Heal arm: two
+    // not-available answers, absorbed by the reader's presence ladder.
+    // NB count() takes the META path (empty projection) and pages still
+    // cover a hidden height — the presence contract under test lives on
+    // the full path, so the query must project a non-meta column
+    withStub { stub =>
+      stub.hideBlocks(2270380L, 2)
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base).option("retryBaseWaitMs", "5")
+        .option("from", "2270370").option("to", "2270389").load()
+      assert(df.filter(col("block").isNotNull).count() === 20L,
+        "a healing replica must cost retries, not rows")
+      assert(stub.blockServesIn(2270380L, 2270380L) >= 3) // the ladder engaged
+    }
+    // fail arm: a height that never heals fails the scan with the height
+    // named, instead of returning 19 rows
+    withStub { stub =>
+      stub.hideBlocks(2270385L, Int.MaxValue)
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base).option("retryBaseWaitMs", "5")
+        .option("from", "2270370").option("to", "2270389").load()
+      val e = intercept[Throwable](df.filter(col("block").isNotNull).count())
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("2270385"),
+        s"failure must name the unserved height, got:\n$msgs")
+    }
+  }
+
+  test("sparse explicit heights fetch meta pages per run, not across the whole span") {
+    // r12 review: the meta reader paged metaPages(min, max) over the
+    // partition's full numeric span — heights="lo,hi" a million apart paged
+    // the entire range for two rows. Runs split at >20-height gaps.
+    withStub { stub =>
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base)
+        .option("heights", "2270370,2270469")
+        .load().select("height", "num_txs")
+      assert(df.queryExecution.executedPlan.toString.contains("mode=meta"))
+      val before = stub.requestCount
+      assert(df.count() === 2L)
+      // planning RPCs (abci_info + /status, ×2 — AQE re-plans the cloned
+      // scan node) + one page per RUN = 2; the old span fetch paid
+      // ceil(100/20) = 5 page RPCs here (9 total) for the same two rows
+      assert(stub.requestCount - before <= 7,
+        s"expected per-run pages, saw ${stub.requestCount - before} RPCs")
+    }
+  }
+
+  test("fetchResults=false elides the results RPC on streams (Spark never prunes streaming scans)") {
+    // Spark's DSv2 streaming path builds the scan without pruneColumns /
+    // pushFilters, so a stream always runs mode=full and pays the results
+    // RPC even when no event column is ever read. fetchResults=false is the
+    // explicit opt-out: event columns degrade to null (the documented
+    // left-join parity), and the wire sees exactly zero /block_results.
+    def drainRequests(fetchResults: Boolean, name: String): Int = withStub { stub =>
+      val q = spark.readStream.format("blockfeed")
+        .option("path", stub.base)
+        .option("from", "2270370").option("to", "2270389")
+        .option("fetchResults", fetchResults.toString)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val got = spark.table(name)
+      assert(got.count() === 20L)
+      if (!fetchResults)
+        assert(got.filter(col("begin_block_events").isNotNull).count() === 0L,
+          "event columns must degrade to null, not go missing or stale")
+      else
+        assert(got.filter(col("begin_block_events").isNotNull).count() > 0L)
+      stub.requestCount
+    }
+    val withRes = drainRequests(fetchResults = true, "bf_http_res_on")
+    val withoutRes = drainRequests(fetchResults = false, "bf_http_res_off")
+    assert(withRes - withoutRes === 20,
+      s"the elided run must skip exactly the 20 /block_results RPCs " +
+        s"(with=$withRes, without=$withoutRes)")
+  }
 }
