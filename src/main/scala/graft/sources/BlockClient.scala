@@ -71,6 +71,21 @@ trait BlockClient extends Serializable {
   * `spark.task.maxFailures` sits above this; the decorator keeps transient
   * network blips from burning whole task attempts.
   */
+/** THE backoff schedule — `base · 2^attempt ± 25% jitter` (the reference's
+  * `utils/Backoff.kt:30`, base `Backoff.kt:12`). One definition: the T4
+  * retry decorator below and the reader's planned-height presence ladder
+  * both sleep on this, so dozens of executor tasks that hit the same
+  * lagging replica never re-hammer it in lockstep (the jitter's whole
+  * point) and a future tuning of the ladder cannot silently miss a copy.
+  */
+private[sources] object Backoff {
+  def waitMillis(baseWaitMillis: Long, attempt: Int): Long = {
+    val base = baseWaitMillis * (1L << attempt)
+    val jitter = (base * 0.25 * (2 * scala.util.Random.nextDouble() - 1)).toLong
+    math.max(0L, base + jitter)
+  }
+}
+
 final class RetryingBlockClient(
     inner: BlockClient,
     maxAttempts: Int = 5,
@@ -99,9 +114,7 @@ final class RetryingBlockClient(
       catch {
         case e: java.io.IOException
             if retryable(e) && attempt < maxAttempts - 1 =>
-          val base = baseWaitMillis * (1L << attempt)
-          val jitter = (base * 0.25 * (2 * scala.util.Random.nextDouble() - 1)).toLong
-          sleeper(math.max(0L, base + jitter))
+          sleeper(Backoff.waitMillis(baseWaitMillis, attempt))
           attempt += 1
       }
     }

@@ -246,11 +246,27 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
   private val wsArithmetic: Boolean =
     subscription.isDefined && client.denseBelowTip
 
+  /** The dense-range shortcut is only sound ABOVE the node's retained
+    * window: a pruning node advertises `earliest_block_height`, and a
+    * `from` below it (the from=1 default especially) would plan pruned
+    * heights arithmetically — which the presence contract in the reader
+    * then rightly refuses to drop, wedging the stream on heights that can
+    * never heal. One availability probe at construction clamps the start
+    * to the first height the node actually serves; polling mode gets the
+    * same clamp for free on every trigger. (The gRPC transport cannot see
+    * the floor — its availableHeights scaladoc — so the probe is a no-op
+    * there and a below-floor `from` fails loudly instead of silently.)
+    */
+  private val startFloor: Long =
+    if (!wsArithmetic) from
+    else client.availableHeights(from, math.max(from, startCurrentHeight))
+      .headOption.getOrElse(from)
+
   private def tip: Long = {
     val t = subscription match {
       case Some(sub) =>
         // before the first push, the tip captured at stream start stands in
-        math.max(from - 1,
+        math.max(startFloor - 1,
           math.min(sub.pushedTip.getOrElse(startCurrentHeight), to))
       case None =>
         client.availableHeights(from, to).lastOption.getOrElse(from - 1)
@@ -258,7 +274,7 @@ class BlockFeedMicroBatch(path: String, options: CaseInsensitiveStringMap,
     availableNowCap.map(math.min(t, _)).getOrElse(t)
   }
 
-  override def initialOffset(): Offset = HeightOffset(from - 1)
+  override def initialOffset(): Offset = HeightOffset(startFloor - 1)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
 
@@ -384,10 +400,13 @@ class BlockFeedPartitionReader(client: BlockClient, p: HeightRangePartition,
     * parity — only the block itself is load-bearing.)
     */
   private def plannedBlock(h: Long): String = {
+    // 4 backoffs = 5 fetches, mirroring RetryingBlockClient's maxAttempts;
+    // the shared Backoff schedule keeps the jitter (concurrent tasks that
+    // planned the same window must not re-hammer the replica in lockstep)
     var attempt = 0
     var res = client.block(h)
     while (res.isEmpty && attempt < 4) {
-      Thread.sleep(retryBaseWaitMs * (1L << attempt))
+      Thread.sleep(Backoff.waitMillis(retryBaseWaitMs, attempt))
       attempt += 1
       res = client.block(h)
     }

@@ -92,14 +92,13 @@ final class RowCodec {
 
   /** Parse one `/blockchain` page into (height → meta-mode row) pairs,
     * projected to `prunedOrdinals` (which must only reference meta-safe
-    * columns: height/time/chain_id/num_txs/historical/block_id).
-    */
-  /** Page rows keyed by height. A height COVERED by the page but filtered
-    * out (minNumTxs) still appears, as (height, None): the reader's
-    * coverage bookkeeping must see every height the pages actually carried,
-    * or a filtered row would be mistaken for a page gap and re-fetched via
-    * the per-height fallback — one wasted /block RPC per legitimately
-    * skipped row, defeating the P4 skip-empty pushdown.
+    * columns: height/time/chain_id/num_txs/historical/block_id). A height
+    * COVERED by the page but filtered out (minNumTxs) still appears, as
+    * (height, None): the reader's coverage bookkeeping must see every
+    * height the pages actually carried, or a filtered row would be
+    * mistaken for a page gap and re-fetched via the per-height fallback —
+    * one wasted /block RPC per legitimately skipped row, defeating the P4
+    * skip-empty pushdown.
     */
   def metaRows(pageJson: String, isHistorical: Long => Boolean,
                prunedOrdinals: Array[Int],

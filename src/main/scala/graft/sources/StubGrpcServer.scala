@@ -150,6 +150,11 @@ final class StubGrpcServer(dir: String,
         val h = TendermintGrpcCodec.decodeHeightRequest(GrpcWire.unframe(requestBody))
         if (blockFetchFaulted(h))
           return (GrpcWire.UNAVAILABLE, s"stub transient failure at $h", None)
+        // hideBlocks parity with the HTTP stub: the shared chaos contract
+        // must mean the same thing on every wire, or a future gRPC presence
+        // test would pass vacuously
+        if (blockHiddenNow(h))
+          return (GrpcWire.NOT_FOUND, s"height $h is not available", None)
         encoded(s"$dir/block/${srcHeight(h)}.json",
           TendermintGrpcCodec.encodeBlockResponse) match {
           case Some(b) => (GrpcWire.OK, "", Some(b))

@@ -155,6 +155,29 @@ class HttpBlockFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("ws mode clamps a below-floor `from` to the node's retained window") {
+    // r12 review: the dense-range arithmetic advance is only sound ABOVE
+    // the pruning node's earliest_block_height — from=1 (the default)
+    // used to plan heights 1..cap arithmetically, which the presence
+    // contract then rightly refuses to drop: a permanently wedged stream
+    // on heights that can never heal. The construction-time availability
+    // probe clamps the start to the floor instead.
+    val ws = new StubWsServer
+    try withStub { stub =>
+      val q = spark.readStream.format("blockfeed")
+        .option("path", stub.base)
+        .option("ws", ws.url)
+        .option("from", "1") // far below the stub's earliest (2270370)
+        .option("retryBaseWaitMs", "5")
+        .load()
+        .writeStream.format("memory").queryName("bf_ws_floor")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "drain wedged on pruned heights")
+      // tip at prepare = the abci start tip (no push): exactly the window
+      assert(spark.table("bf_ws_floor").count() === 100L)
+    } finally ws.stop()
+  }
+
   test("sparse explicit heights fetch meta pages per run, not across the whole span") {
     // r12 review: the meta reader paged metaPages(min, max) over the
     // partition's full numeric span — heights="lo,hi" a million apart paged
