@@ -64,13 +64,6 @@ trait BlockClient extends Serializable {
   def metaPages(from: Long, to: Long): Seq[String]
 }
 
-/** T4: transport-level retry with the reference's backoff policy —
-  * `base · 2^attempt ± 25% jitter` (`utils/Backoff.kt:30`, base 1 s
-  * `Backoff.kt:12`), retryable I/O failures only, everything else rethrown
-  * (the `shouldRetryFn` partition, `MultiplexFlow.kt:36–55`). Task-level
-  * `spark.task.maxFailures` sits above this; the decorator keeps transient
-  * network blips from burning whole task attempts.
-  */
 /** THE backoff schedule — `base · 2^attempt ± 25% jitter` (the reference's
   * `utils/Backoff.kt:30`, base `Backoff.kt:12`). One definition: the T4
   * retry decorator below and the reader's planned-height presence ladder
@@ -86,6 +79,13 @@ private[sources] object Backoff {
   }
 }
 
+/** T4: transport-level retry with the reference's backoff policy —
+  * `base · 2^attempt ± 25% jitter` (`utils/Backoff.kt:30`, base 1 s
+  * `Backoff.kt:12`), retryable I/O failures only, everything else rethrown
+  * (the `shouldRetryFn` partition, `MultiplexFlow.kt:36–55`). Task-level
+  * `spark.task.maxFailures` sits above this; the decorator keeps transient
+  * network blips from burning whole task attempts.
+  */
 final class RetryingBlockClient(
     inner: BlockClient,
     maxAttempts: Int = 5,

@@ -44,9 +44,12 @@ import scala.jdk.CollectionConverters._
   * `WsBlockDataFlow.kt:48` subscribe-then-fetch split),
   * `fetchResults` (default true; false skips the per-height
   * `/block_results` RPC entirely — event columns come back null, the same
-  * documented degrade as a node that does not serve results. The batch
-  * path gets this for free from column pruning; the option exists for
-  * STREAMING queries, which Spark never prunes).
+  * documented degrade as a node that does not serve results. The option
+  * exists for STREAMING queries, which Spark never prunes; the BATCH path
+  * ignores it — there column pruning is authoritative, eliding the RPC
+  * exactly when no event column is projected and fetching it when one is,
+  * so a conflicting fetchResults=false can never null out columns a batch
+  * query explicitly asked for).
   */
 class BlockFeedProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "blockfeed"
@@ -191,8 +194,16 @@ class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
         .toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory =
+      // the PROJECTION is authoritative in batch: pruneColumns reached this
+      // scan, so the reader's needResults guard (pruned ordinal >= 7)
+      // already elides the results RPC exactly when no event column is
+      // read. Honoring fetchResults=false here as well would hand a batch
+      // query that explicitly projects txs_results/begin/end_block_events
+      // silently-null event columns — the option is a STREAMING opt-out
+      // (Spark's DSv2 streaming path never prunes), documented as ignored
+      // on the batch path.
       new BlockFeedReaderFactory(path, prunedOrdinals, minNumTxs,
-        retryBaseWaitMs, fetchResults)
+        retryBaseWaitMs, fetchResults = true)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -391,28 +402,47 @@ class BlockFeedPartitionReader(client: BlockClient, p: HeightRangePartition,
     * polling paths) or that a ws push proved exist on-chain, and by read
     * time the offset log has already advanced past them — a dropped row
     * here is a PERMANENT gap in an exactly-once stream (the T1 contiguity
-    * contract). The realistic cause is a lagging read replica behind the
-    * RPC endpoint (the ws and RPC options may name different endpoints),
-    * so retry on the reference backoff ladder, then fail the task — a
-    * retried task can still succeed; a dropped row never can.
+    * contract). An UNREADABLE block payload (truncated body, error
+    * envelope, corrupt JSON) is the same hazard wearing a 200: the old
+    * decode path flatMapped it away exactly like the absence the contract
+    * was added to prevent. Both now ride the same ladder: the realistic
+    * cause for either is a lagging/odd read replica behind the RPC
+    * endpoint (the ws and RPC options may name different endpoints), so
+    * retry on the reference backoff schedule, then fail the task naming
+    * the height — a retried task can still succeed; a dropped row never
+    * can. A row filtered by the pushed minNumTxs predicate is the one
+    * LEGITIMATE None ([[RowCodec.rawRowChecked]] keeps the cases apart).
     * (`block_results` stays best-effort by design: a missing results
     * payload degrades to null event columns, the documented left-join
     * parity — only the block itself is load-bearing.)
     */
-  private def plannedBlock(h: Long): String = {
+  private def plannedRow(h: Long, needResults: Boolean): Option[org.apache.spark.sql.catalyst.InternalRow] = {
     // 4 backoffs = 5 fetches, mirroring RetryingBlockClient's maxAttempts;
     // the shared Backoff schedule keeps the jitter (concurrent tasks that
     // planned the same window must not re-hammer the replica in lockstep)
     var attempt = 0
-    var res = client.block(h)
-    while (res.isEmpty && attempt < 4) {
-      Thread.sleep(Backoff.waitMillis(retryBaseWaitMs, attempt))
-      attempt += 1
-      res = client.block(h)
+    var done: Option[Option[org.apache.spark.sql.catalyst.InternalRow]] = None
+    var lastFailure = "/block does not serve it"
+    while (done.isEmpty && attempt <= 4) {
+      client.block(h) match {
+        case Some(json) =>
+          codec.rawRowChecked(json,
+            if (needResults) client.blockResults(h) else None,
+            historical = h <= p.historicalBelow, prunedOrdinals, minNumTxs) match {
+            case Right(opt) => done = Some(opt)
+            case Left(reason) =>
+              lastFailure = s"/block serves an unreadable payload ($reason)"
+          }
+        case None => lastFailure = "/block does not serve it"
+      }
+      if (done.isEmpty) {
+        if (attempt < 4) Thread.sleep(Backoff.waitMillis(retryBaseWaitMs, attempt))
+        attempt += 1
+      }
     }
-    res.getOrElse(throw new java.io.IOException(
-      s"height $h was planned from the node's own availability but /block " +
-        "does not serve it after retries — failing the task instead of " +
+    done.getOrElse(throw new java.io.IOException(
+      s"height $h was planned from the node's own availability but " +
+        s"$lastFailure after retries — failing the task instead of " +
         "dropping the row (lagging replica behind the endpoint?)"))
   }
 
@@ -456,9 +486,8 @@ class BlockFeedPartitionReader(client: BlockClient, p: HeightRangePartition,
         // by minNumTxs, reported as (h, None)), so the backstop fires only
         // on genuine page gaps. Lazy RHS: Iterator.++ evaluates it after
         // the paged iterator — and `seen` — are complete.
-        paged ++ p.heights.iterator.filterNot(seen.contains).flatMap(h =>
-          codec.rawRow(plannedBlock(h), None,
-            historical = h <= p.historicalBelow, prunedOrdinals, minNumTxs))
+        paged ++ p.heights.iterator.filterNot(seen.contains)
+          .flatMap(h => plannedRow(h, needResults = false))
       }
     } else {
       // results-RPC elision: when no txs_results/begin/end_block_events
@@ -468,11 +497,7 @@ class BlockFeedPartitionReader(client: BlockClient, p: HeightRangePartition,
       // Streaming never receives pruning (Spark DSv2), so fetchResults=false
       // is the explicit opt-out there.
       val needResults = fetchResults && prunedOrdinals.exists(_ >= 7)
-      p.heights.iterator.flatMap { h =>
-        codec.rawRow(plannedBlock(h),
-          if (needResults) client.blockResults(h) else None,
-          historical = h <= p.historicalBelow, prunedOrdinals, minNumTxs)
-      }
+      p.heights.iterator.flatMap(h => plannedRow(h, needResults))
     }
 
   private var current: org.apache.spark.sql.catalyst.InternalRow = _

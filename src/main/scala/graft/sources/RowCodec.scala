@@ -30,8 +30,14 @@ final class RowCodec {
   private val chainParser = mkParser(BlockSchemas.blockchainResponse)
 
   private def parseOne(p: JacksonParser, json: String): Option[InternalRow] =
-    p.parse[String](json, CreateJacksonParser.string _,
+    // a bare JacksonParser (no FailureSafeParser above it) THROWS
+    // BadRecordException on malformed input even in PERMISSIVE mode — a
+    // truncated/garbage body from a broken replica must surface as
+    // None/Left (the reader's retry-then-fail ladder), not as an untyped
+    // task crash that skips the ladder
+    try p.parse[String](json, CreateJacksonParser.string _,
       (s: String) => UTF8String.fromString(s)).headOption.map(_.copy())
+    catch { case _: Exception => None }
 
   private def ts(timeStr: UTF8String): Any =
     if (timeStr == null) null
@@ -40,25 +46,33 @@ final class RowCodec {
 
   /** Assemble one [[BlockSchemas.raw]]-shaped row (projected to
     * `prunedOrdinals` of the raw schema) from the two RPC payloads.
-    * Returns None if the block JSON is unreadable. `numTxsFilter` applies the
-    * pushed-down skip-empty predicate before materializing the row.
+    * The two None-shaped outcomes a PLANNED-height reader must treat
+    * differently are kept apart: `Left(reason)` = the block payload is
+    * unreadable (parse failure, error envelope, truncated body — on a
+    * planned height this is the same permanent-gap hazard as absence),
+    * `Right(None)` = the row was legitimately dropped by the pushed-down
+    * minNumTxs skip-empty predicate. A missing/unreadable RESULTS payload
+    * stays best-effort either way (null event columns, the documented
+    * left-join parity) — only the block itself is load-bearing.
     */
-  def rawRow(blockJson: String, resultsJson: Option[String],
-             historical: Boolean, prunedOrdinals: Array[Int],
-             minNumTxs: Int): Option[InternalRow] = {
-    parseOne(blockParser, blockJson).flatMap { env =>
+  def rawRowChecked(blockJson: String, resultsJson: Option[String],
+                    historical: Boolean, prunedOrdinals: Array[Int],
+                    minNumTxs: Int): Either[String, Option[InternalRow]] = {
+    parseOne(blockParser, blockJson) match {
+      case None => Left("the payload did not parse as a block response")
+      case Some(env) =>
       val result = env.getStruct(1, 2)
-      if (result == null) None
+      if (result == null) Left("the payload carries no result (error envelope?)")
       else {
         val blockId = result.getStruct(0, 2)
         val block = result.getStruct(1, 4)
-        if (block == null) None
+        if (block == null) Left("the result carries no block")
         else {
           val header = block.getStruct(0, 14)
           val data = block.getStruct(1, 1)
           val txs = if (data == null) null else data.getArray(0)
           val numTxs = if (txs == null) 0 else txs.numElements()
-          if (numTxs < minNumTxs) None
+          if (numTxs < minNumTxs) Right(None)
           else {
             val heightStr = if (header == null) null else header.getUTF8String(2)
             val height = if (heightStr == null) -1L else heightStr.toString.toLong
@@ -83,12 +97,23 @@ final class RowCodec {
               out.update(i, fieldValue(prunedOrdinals(i)))
               i += 1
             }
-            Some(out)
+            Right(Some(out))
           }
         }
       }
     }
   }
+
+  /** The unchecked view of [[rawRowChecked]]: unreadable and filtered
+    * collapse to None. Only for call sites where coverage is not
+    * load-bearing — a PLANNED height must go through the checked variant
+    * (see the reader's presence contract).
+    */
+  def rawRow(blockJson: String, resultsJson: Option[String],
+             historical: Boolean, prunedOrdinals: Array[Int],
+             minNumTxs: Int): Option[InternalRow] =
+    rawRowChecked(blockJson, resultsJson, historical, prunedOrdinals,
+      minNumTxs).toOption.flatten
 
   /** Parse one `/blockchain` page into (height → meta-mode row) pairs,
     * projected to `prunedOrdinals` (which must only reference meta-safe

@@ -94,11 +94,44 @@ trait StubChainNode {
     c != null && c.getAndUpdate(n => math.max(0, n - 1)) > 0
   }
 
+  // ---- corruptBlocks: present-but-unreadable payloads (broken replica) ---
+
+  /** A node that answers a height's /block with 200 + a payload that is not
+    * a readable block models a replica serving truncated/corrupt bodies —
+    * the presence contract's second arm: the reader must treat an
+    * unreadable PLANNED block like absence (retry on the ladder, then fail
+    * the task), never as a silently dropped row. Budgeted per height like
+    * `hideBlocks`. HTTP-stub only by design: on the gRPC wire a corrupt
+    * payload fails in the client's proto decode, a transport-layer failure
+    * shape the codec-level contract under test sits above.
+    */
+  private val corruptBudget =
+    new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
+  def corruptBlocks(h: Long, times: Int): Unit = {
+    corruptBudget.put(h, new AtomicInteger(times)); ()
+  }
+  /** Decrement-and-test `h`'s corrupt budget; true = serve garbage. */
+  protected final def blockCorruptNow(h: Long): Boolean = {
+    val c = corruptBudget.get(h)
+    c != null && c.getAndUpdate(n => math.max(0, n - 1)) > 0
+  }
+
   // ---- proof-hook counters ----------------------------------------------
 
   private val requests = new AtomicInteger(0)
   def requestCount: Int = requests.get()
   protected final def countRequest(): Unit = { requests.incrementAndGet(); () }
+
+  // Block-results fetches served (those that reached the RPC, i.e. not
+  // absorbed by failNext) — lets a spec assert the results RPC was really
+  // paid (or really elided) PER ENDPOINT, instead of diffing total request
+  // counts, which couples the assertion to the exact planning-RPC sequence
+  // of both runs (AQE re-plans have already broken one such exact-delta).
+  private val resultsRequests = new AtomicInteger(0)
+  def resultsServes: Int = resultsRequests.get()
+  protected final def countResultsRequest(): Unit = {
+    resultsRequests.incrementAndGet(); ()
+  }
 
   // Per-chain-height block serve counts: lets gate queries PROVE which
   // heights a run actually fetched — st10's "resumed, didn't replay" and

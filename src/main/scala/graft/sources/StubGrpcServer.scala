@@ -81,11 +81,8 @@ final class StubGrpcServer(dir: String,
     */
   def tipServes: Int = tipPolls.get()
 
-  private val resultsRequests = new AtomicInteger(0)
-  /** GetBlockResults calls served — lets a gate query prove the event
-    * columns really crossed the gRPC wire.
-    */
-  def resultsServes: Int = resultsRequests.get()
+  // GetBlockResults serves count via StubChainNode.resultsServes — the
+  // shared counter keeps the HTTP and gRPC stubs' proof hooks in lockstep
 
   /** Template `${var:-default}` resolution + proto encode, memoized per
     * file (the encode walks multi-KB JSON; per-request it would bill stub
@@ -162,7 +159,7 @@ final class StubGrpcServer(dir: String,
         }
       case GrpcBlockClient.GetBlockResultsPath =>
         val h = TendermintGrpcCodec.decodeHeightRequest(GrpcWire.unframe(requestBody))
-        resultsRequests.incrementAndGet()
+        countResultsRequest()
         encoded(s"$dir/block_results/${srcHeight(h)}.json", encodeResults) match {
           case Some(b) => (GrpcWire.OK, "", Some(b))
           case None => (GrpcWire.NOT_FOUND, s"height $h is not available", None)

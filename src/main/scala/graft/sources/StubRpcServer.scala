@@ -96,6 +96,7 @@ final class StubRpcServer(dir: String,
         val hOpt = q.get("height").map(_.toLong)
         hOpt match {
           case Some(h) =>
+            if (sub == "block_results") countResultsRequest()
             // blockFetchFaulted also counts the serve, so it must run for
             // EVERY /block request (not as a pattern guard, whose
             // short-circuiting would make counting order a pattern detail)
@@ -107,6 +108,13 @@ final class StubRpcServer(dir: String,
               // node behind a load balancer returns
               send(ex, 404,
                 s"""{"jsonrpc":"2.0","id":-1,"error":{"code":-32603,"message":"height $h is not available"}}""")
+            else if (sub == "block" && blockCorruptNow(h))
+              // broken-replica model (corruptBlocks): a 200 whose body is
+              // valid JSON but carries no block — present-but-unreadable,
+              // the presence contract's second arm (half-written payloads
+              // and truncated bodies land in the same codec Left)
+              send(ex, 200,
+                """{"jsonrpc":"2.0","id":-1,"result":{"block_id":{"hash":"00"}}}""")
             else {
               val p = Paths.get(s"$dir/$sub/${srcHeight(h)}.json")
               if (Files.exists(p)) send(ex, 200, resolved(p.toString, Map.empty))

@@ -118,4 +118,36 @@ class GrpcBlockFeedSpec extends AnyFunSuite {
       assert(stub.blockServesIn(2270370L, 2270469L) === 3)
     }
   }
+
+  test("ws over grpc: a below-floor `from` fails loudly (the wire cannot see the floor)") {
+    // BlockFeed's startFloor probe clamps ws-mode's arithmetic start to the
+    // node's retained window — but only on a transport whose
+    // availableHeights can SEE the floor. The gRPC surface has no
+    // earliest-height RPC (GrpcBlockClient.availableHeights assumes a
+    // synced dense node), so the probe is a documented no-op there, and a
+    // below-floor `from` must fail the stream LOUDLY via the planned-height
+    // presence contract — never silently drop the pruned heights (permanent
+    // T1 gap) and never wedge without a cause. This pins the documented
+    // loud-failure arm so it cannot silently change.
+    val ws = new StubWsServer
+    try withStub { stub =>
+      val q = spark.readStream.format("blockfeed")
+        .option("path", stub.base)
+        .option("ws", ws.url)
+        .option("from", "1") // far below the stub's earliest (2270370)
+        .option("maxHeightsPerTrigger", "8")
+        .option("retryBaseWaitMs", "1")
+        .load()
+        .writeStream.format("memory").queryName("bf_grpc_ws_floor")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.awaitTermination(120000))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("planned from the node's own availability"),
+        s"a below-floor ws start on grpc must trip the presence contract, got:\n$msgs")
+      assert(msgs.contains("height 1 "),
+        s"the failure must name the below-floor height, got:\n$msgs")
+    } finally ws.stop()
+  }
 }

@@ -155,6 +155,36 @@ class HttpBlockFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("a planned height served as an unreadable payload retries, then fails — never dropped") {
+    // r13 (r12 ADVICE): the presence contract covered a block that is
+    // ABSENT, but a 200 whose body fails to decode used to hit rawRow's
+    // None path and get silently flatMapped away — the same permanent
+    // exactly-once gap, triggered by a corrupt payload instead of a 404.
+    // Heal arm: two corrupt serves, absorbed by the same ladder.
+    withStub { stub =>
+      stub.corruptBlocks(2270380L, 2)
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base).option("retryBaseWaitMs", "5")
+        .option("from", "2270370").option("to", "2270389").load()
+      assert(df.filter(col("block").isNotNull).count() === 20L,
+        "a replica healing from corrupt serves must cost retries, not rows")
+      assert(stub.blockServesIn(2270380L, 2270380L) >= 3) // the ladder engaged
+    }
+    // fail arm: a payload that never becomes readable fails the scan with
+    // the height named, instead of returning 19 rows
+    withStub { stub =>
+      stub.corruptBlocks(2270385L, Int.MaxValue)
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base).option("retryBaseWaitMs", "5")
+        .option("from", "2270370").option("to", "2270389").load()
+      val e = intercept[Throwable](df.filter(col("block").isNotNull).count())
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("2270385") && msgs.contains("unreadable"),
+        s"failure must name the unreadable height, got:\n$msgs")
+    }
+  }
+
   test("ws mode clamps a below-floor `from` to the node's retained window") {
     // r12 review: the dense-range arithmetic advance is only sound ABOVE
     // the pruning node's earliest_block_height — from=1 (the default)
@@ -204,7 +234,11 @@ class HttpBlockFeedSpec extends AnyFunSuite {
     // RPC even when no event column is ever read. fetchResults=false is the
     // explicit opt-out: event columns degrade to null (the documented
     // left-join parity), and the wire sees exactly zero /block_results.
-    def drainRequests(fetchResults: Boolean, name: String): Int = withStub { stub =>
+    // per-endpoint counter, NOT a total-request delta: an exact delta
+    // couples the assertion to both drains issuing byte-identical
+    // planning-RPC sequences (an AQE-style re-plan already broke one such
+    // exact count in the sparse-heights test)
+    def drainResultsServes(fetchResults: Boolean, name: String): Int = withStub { stub =>
       val q = spark.readStream.format("blockfeed")
         .option("path", stub.base)
         .option("from", "2270370").option("to", "2270389")
@@ -220,12 +254,30 @@ class HttpBlockFeedSpec extends AnyFunSuite {
           "event columns must degrade to null, not go missing or stale")
       else
         assert(got.filter(col("begin_block_events").isNotNull).count() > 0L)
-      stub.requestCount
+      stub.resultsServes
     }
-    val withRes = drainRequests(fetchResults = true, "bf_http_res_on")
-    val withoutRes = drainRequests(fetchResults = false, "bf_http_res_off")
-    assert(withRes - withoutRes === 20,
-      s"the elided run must skip exactly the 20 /block_results RPCs " +
-        s"(with=$withRes, without=$withoutRes)")
+    assert(drainResultsServes(fetchResults = true, "bf_http_res_on") === 20,
+      "the full-mode drain must pay one /block_results RPC per height")
+    assert(drainResultsServes(fetchResults = false, "bf_http_res_off") === 0,
+      "the elided drain must issue ZERO /block_results RPCs")
+  }
+
+  test("batch ignores fetchResults=false when event columns are projected") {
+    // the option is a STREAMING opt-out (Spark's DSv2 streaming path never
+    // prunes); in batch the projection is authoritative — honoring a
+    // conflicting fetchResults=false would hand a query that explicitly
+    // asked for begin_block_events silently-null columns
+    withStub { stub =>
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base)
+        .option("from", "2270370").option("to", "2270389")
+        .option("fetchResults", "false")
+        .load()
+        .select("height", "begin_block_events")
+      assert(df.filter(col("begin_block_events").isNotNull).count() > 0L,
+        "projection must win over fetchResults=false on the batch path")
+      assert(stub.resultsServes === 20,
+        "all 20 planned heights must pay their results RPC despite the option")
+    }
   }
 }
