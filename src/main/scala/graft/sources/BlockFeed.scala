@@ -155,7 +155,9 @@ class BlockFeedScan(options: CaseInsensitiveStringMap, required: StructType,
   private val heightsPerPartition =
     options.getInt("heightsPerPartition", 128)
 
-  private val fetchResults = options.getBoolean("fetchResults", true)
+  // fetchResults is deliberately NOT read here: the batch factory hardcodes
+  // true (projection is authoritative — see toBatch), and the streaming
+  // path re-reads the option inside BlockFeedMicroBatch
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -423,11 +425,16 @@ class BlockFeedPartitionReader(client: BlockClient, p: HeightRangePartition,
     var attempt = 0
     var done: Option[Option[org.apache.spark.sql.catalyst.InternalRow]] = None
     var lastFailure = "/block does not serve it"
+    // at most ONE results fetch across the ladder (it is best-effort and
+    // not under retry): lazy, so a height whose /block never answers pays
+    // zero results RPCs, and a corrupt-then-healing block does not re-buy
+    // the same results payload on every attempt
+    lazy val resultsOnce: Option[String] =
+      if (needResults) client.blockResults(h) else None
     while (done.isEmpty && attempt <= 4) {
       client.block(h) match {
         case Some(json) =>
-          codec.rawRowChecked(json,
-            if (needResults) client.blockResults(h) else None,
+          codec.rawRowChecked(json, resultsOnce,
             historical = h <= p.historicalBelow, prunedOrdinals, minNumTxs) match {
             case Right(opt) => done = Some(opt)
             case Left(reason) =>
@@ -480,7 +487,7 @@ class BlockFeedPartitionReader(client: BlockClient, p: HeightRangePartition,
           .flatMap(_._2)
         // coverage backstop: the pages are a fetch optimization, not the
         // result contract — any planned height the pages did not carry is
-        // fetched via /block (rawRow yields the same meta-safe columns), so
+        // fetched via /block (plannedRow yields the same meta-safe columns), so
         // changing the projection can never change the result SET. `seen`
         // records every height the pages COVERED (including rows filtered
         // by minNumTxs, reported as (h, None)), so the backstop fires only

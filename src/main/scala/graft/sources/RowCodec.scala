@@ -37,7 +37,12 @@ final class RowCodec {
     // task crash that skips the ladder
     try p.parse[String](json, CreateJacksonParser.string _,
       (s: String) => UTF8String.fromString(s)).headOption.map(_.copy())
-    catch { case _: Exception => None }
+    catch {
+      // ONLY the parser's malformed-record signal: a broader catch would
+      // relabel genuine codec bugs (or a task-cancellation interrupt) as
+      // "unreadable payload" and burn the production ladder on them
+      case _: org.apache.spark.sql.catalyst.util.BadRecordException => None
+    }
 
   private def ts(timeStr: UTF8String): Any =
     if (timeStr == null) null
@@ -75,9 +80,21 @@ final class RowCodec {
           if (numTxs < minNumTxs) Right(None)
           else {
             val heightStr = if (header == null) null else header.getUTF8String(2)
-            val height = if (heightStr == null) -1L else heightStr.toString.toLong
+            // a present-but-non-numeric height is a corrupt payload, not a
+            // row: surfacing it as Left keeps it on the reader's ladder
+            // instead of escaping as an untyped NumberFormatException
+            val heightOpt: Option[Long] =
+              if (heightStr == null) Some(-1L)
+              else heightStr.toString.toLongOption
+            if (heightOpt.isEmpty)
+              Left(s"the block header height '$heightStr' is not numeric")
+            else {
+            val height = heightOpt.get
+            // results stay BEST-EFFORT: a results payload whose result
+            // struct is null/missing degrades to null event columns (the
+            // documented left-join parity), never an NPE in fieldValue
             val res = resultsJson.flatMap(j => parseOne(resultsParser, j))
-              .map(_.getStruct(1, 4))
+              .map(_.getStruct(1, 4)).filter(_ != null)
             // full raw row field values by raw-schema ordinal
             def fieldValue(ord: Int): Any = ord match {
               case 0 => height
@@ -98,22 +115,12 @@ final class RowCodec {
               i += 1
             }
             Right(Some(out))
+            }
           }
         }
       }
     }
   }
-
-  /** The unchecked view of [[rawRowChecked]]: unreadable and filtered
-    * collapse to None. Only for call sites where coverage is not
-    * load-bearing — a PLANNED height must go through the checked variant
-    * (see the reader's presence contract).
-    */
-  def rawRow(blockJson: String, resultsJson: Option[String],
-             historical: Boolean, prunedOrdinals: Array[Int],
-             minNumTxs: Int): Option[InternalRow] =
-    rawRowChecked(blockJson, resultsJson, historical, prunedOrdinals,
-      minNumTxs).toOption.flatten
 
   /** Parse one `/blockchain` page into (height → meta-mode row) pairs,
     * projected to `prunedOrdinals` (which must only reference meta-safe
@@ -142,14 +149,24 @@ final class RowCodec {
             else {
               val blockId = m.getStruct(0, 2)
               val numTxsStr = m.getUTF8String(2)
-              val numTxs = if (numTxsStr == null) 0 else numTxsStr.toString.toInt
+              // a corrupt meta entry (non-numeric count/height) is SKIPPED,
+              // not thrown: pages are a fetch optimization, so the reader's
+              // /block backstop re-fetches any planned height a bad entry
+              // failed to cover — same taxonomy as rawRowChecked's Left
+              val numTxsOpt =
+                if (numTxsStr == null) Some(0)
+                else numTxsStr.toString.toIntOption
               val header = m.getStruct(3, 14)
               val heightStr = if (header == null) null else header.getUTF8String(2)
-              if (heightStr == null) None
-              else if (numTxs < minNumTxs)
-                Some((heightStr.toString.toLong, None))
+              val heightOpt =
+                if (heightStr == null) None
+                else heightStr.toString.toLongOption
+              if (heightOpt.isEmpty || numTxsOpt.isEmpty) None
+              else if (numTxsOpt.get < minNumTxs)
+                Some((heightOpt.get, None))
               else {
-                val height = heightStr.toString.toLong
+                val numTxs = numTxsOpt.get
+                val height = heightOpt.get
                 def fieldValue(ord: Int): Any = ord match {
                   case 0 => height
                   case 1 => ts(header.getUTF8String(3))

@@ -21,6 +21,34 @@ class BlockFeedSpec extends AnyFunSuite {
     opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
 
+  test("codec: degenerate payloads stay on the contract, never untyped crashes") {
+    // r13 review pins: (1) a results payload whose result struct is null
+    // degrades to null event columns (best-effort left-join parity), not an
+    // NPE in fieldValue; (2) a block whose header.height is non-numeric is
+    // Left (unreadable — the reader's ladder), not a NumberFormatException;
+    // (3) outright garbage bytes are Left, not a BadRecordException escaping
+    // parseOne (a bare JacksonParser throws even in PERMISSIVE mode)
+    val codec = new graft.sources.RowCodec
+    val allOrdinals = graft.sources.BlockFeed.RawFields.indices.toArray
+    val goodBlock = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$T/block/2270370.json")), "UTF-8")
+    val nullResult = """{"jsonrpc":"2.0","id":-1,"result":null}"""
+    codec.rawRowChecked(goodBlock, Some(nullResult), historical = true,
+      allOrdinals, 0) match {
+      case Right(Some(row)) =>
+        assert(row.isNullAt(7) && row.isNullAt(8) && row.isNullAt(9),
+          "a null results struct must degrade to null event columns")
+      case other => fail(s"expected a row with null events, got $other")
+    }
+    val badHeight = goodBlock.replaceFirst(
+      """("height"\s*:\s*)"2270370"""", "$1\"not-a-number\"")
+    assert(badHeight != goodBlock, "fixture surgery must have applied")
+    assert(codec.rawRowChecked(badHeight, None, historical = true,
+      allOrdinals, 0).isLeft, "a non-numeric height must be Left, not NFE")
+    assert(codec.rawRowChecked("{ not json at all", None, historical = true,
+      allOrdinals, 0).isLeft, "garbage bytes must be Left, not an exception")
+  }
+
   test("batch scan: 100 rows, event tables work through the connector") {
     val df = read("from" -> "2270370", "to" -> "2270469")
     assert(df.count() === 100L)
