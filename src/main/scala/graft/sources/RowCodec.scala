@@ -56,11 +56,20 @@ final class RowCodec {
     * unreadable (parse failure, error envelope, truncated body — on a
     * planned height this is the same permanent-gap hazard as absence),
     * `Right(None)` = the row was legitimately dropped by the pushed-down
-    * minNumTxs skip-empty predicate. A missing/unreadable RESULTS payload
-    * stays best-effort either way (null event columns, the documented
-    * left-join parity) — only the block itself is load-bearing.
+    * minNumTxs skip-empty predicate. VALIDATION RUNS BEFORE THE FILTER:
+    * a half-written payload (no header, non-numeric height, no data
+    * struct) must be Left even under a num_txs pushdown — classifying it
+    * as "filtered" would silently drop a planned height, the exact gap
+    * the reader's presence contract exists to close. The one legitimate
+    * empty-block shape is `data` PRESENT with `txs` null/empty (what a
+    * real node serializes). A missing/unreadable RESULTS payload stays
+    * best-effort either way (null event columns, the documented
+    * left-join parity) — only the block itself is load-bearing;
+    * `resultsJson` is by-name so the caller's (single, lazy) results
+    * fetch is forced only once a block payload has actually validated,
+    * never during a replica's broken phase.
     */
-  def rawRowChecked(blockJson: String, resultsJson: Option[String],
+  def rawRowChecked(blockJson: String, resultsJson: => Option[String],
                     historical: Boolean, prunedOrdinals: Array[Int],
                     minNumTxs: Int): Either[String, Option[InternalRow]] = {
     parseOne(blockParser, blockJson) match {
@@ -75,46 +84,47 @@ final class RowCodec {
         else {
           val header = block.getStruct(0, 14)
           val data = block.getStruct(1, 1)
-          val txs = if (data == null) null else data.getArray(0)
-          val numTxs = if (txs == null) 0 else txs.numElements()
-          if (numTxs < minNumTxs) Right(None)
+          val heightStr = if (header == null) null else header.getUTF8String(2)
+          val heightOpt: Option[Long] =
+            if (heightStr == null) None else heightStr.toString.toLongOption
+          if (header == null) Left("the block carries no header")
+          else if (heightOpt.isEmpty)
+            // present-but-non-numeric (or absent) height is corrupt, not a
+            // row: Left keeps it on the reader's ladder instead of escaping
+            // as an untyped NumberFormatException or a bogus height key
+            Left(s"the block header height '$heightStr' is not numeric")
+          else if (data == null) Left("the block carries no data struct")
           else {
-            val heightStr = if (header == null) null else header.getUTF8String(2)
-            // a present-but-non-numeric height is a corrupt payload, not a
-            // row: surfacing it as Left keeps it on the reader's ladder
-            // instead of escaping as an untyped NumberFormatException
-            val heightOpt: Option[Long] =
-              if (heightStr == null) Some(-1L)
-              else heightStr.toString.toLongOption
-            if (heightOpt.isEmpty)
-              Left(s"the block header height '$heightStr' is not numeric")
-            else {
             val height = heightOpt.get
-            // results stay BEST-EFFORT: a results payload whose result
-            // struct is null/missing degrades to null event columns (the
-            // documented left-join parity), never an NPE in fieldValue
-            val res = resultsJson.flatMap(j => parseOne(resultsParser, j))
-              .map(_.getStruct(1, 4)).filter(_ != null)
-            // full raw row field values by raw-schema ordinal
-            def fieldValue(ord: Int): Any = ord match {
-              case 0 => height
-              case 1 => if (header == null) null else ts(header.getUTF8String(3))
-              case 2 => if (header == null) null else header.getUTF8String(1)
-              case 3 => numTxs
-              case 4 => historical
-              case 5 => block
-              case 6 => blockId
-              case 7 => res.map(r => r.getArray(1)).orNull
-              case 8 => res.map(r => r.getArray(2)).orNull
-              case 9 => res.map(r => r.getArray(3)).orNull
-            }
-            val out = new GenericInternalRow(prunedOrdinals.length)
-            var i = 0
-            while (i < prunedOrdinals.length) {
-              out.update(i, fieldValue(prunedOrdinals(i)))
-              i += 1
-            }
-            Right(Some(out))
+            val txs = data.getArray(0)
+            val numTxs = if (txs == null) 0 else txs.numElements()
+            if (numTxs < minNumTxs) Right(None)
+            else {
+              // results stay BEST-EFFORT: a results payload whose result
+              // struct is null/missing degrades to null event columns (the
+              // documented left-join parity), never an NPE in fieldValue
+              val res = resultsJson.flatMap(j => parseOne(resultsParser, j))
+                .map(_.getStruct(1, 4)).filter(_ != null)
+              // full raw row field values by raw-schema ordinal
+              def fieldValue(ord: Int): Any = ord match {
+                case 0 => height
+                case 1 => ts(header.getUTF8String(3))
+                case 2 => header.getUTF8String(1)
+                case 3 => numTxs
+                case 4 => historical
+                case 5 => block
+                case 6 => blockId
+                case 7 => res.map(r => r.getArray(1)).orNull
+                case 8 => res.map(r => r.getArray(2)).orNull
+                case 9 => res.map(r => r.getArray(3)).orNull
+              }
+              val out = new GenericInternalRow(prunedOrdinals.length)
+              var i = 0
+              while (i < prunedOrdinals.length) {
+                out.update(i, fieldValue(prunedOrdinals(i)))
+                i += 1
+              }
+              Right(Some(out))
             }
           }
         }
@@ -149,12 +159,15 @@ final class RowCodec {
             else {
               val blockId = m.getStruct(0, 2)
               val numTxsStr = m.getUTF8String(2)
-              // a corrupt meta entry (non-numeric count/height) is SKIPPED,
-              // not thrown: pages are a fetch optimization, so the reader's
-              // /block backstop re-fetches any planned height a bad entry
-              // failed to cover — same taxonomy as rawRowChecked's Left
+              // a corrupt meta entry (missing/non-numeric count or height)
+              // is SKIPPED, not thrown and not trusted: pages are a fetch
+              // optimization, so the reader's /block backstop re-fetches
+              // any planned height a bad entry failed to cover — same
+              // taxonomy as rawRowChecked's Left. (Trusting a MISSING
+              // num_txs as 0 would record the height as covered-and-
+              // filtered under a num_txs pushdown — a silent drop.)
               val numTxsOpt =
-                if (numTxsStr == null) Some(0)
+                if (numTxsStr == null) None
                 else numTxsStr.toString.toIntOption
               val header = m.getStruct(3, 14)
               val heightStr = if (header == null) null else header.getUTF8String(2)

@@ -74,25 +74,36 @@ trait StubChainNode {
   /** Injected height faults not yet served — 0 proves the chaos engaged. */
   def pendingHeightFaults: Int = heightFaults.size()
 
+  /** Per-height chaos budget: `arm(h, times)` makes the next `times`
+    * consume(h) calls answer true, then the height heals
+    * (times = Int.MaxValue pins a never-heals arm). One definition for
+    * every per-height fault kind, so their decrement semantics can never
+    * drift apart.
+    */
+  private final class HeightBudget {
+    private val budget =
+      new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
+    def arm(h: Long, times: Int): Unit = {
+      budget.put(h, new AtomicInteger(times)); ()
+    }
+    def consume(h: Long): Boolean = {
+      val c = budget.get(h)
+      c != null && c.getAndUpdate(n => math.max(0, n - 1)) > 0
+    }
+  }
+
   // ---- hideBlocks: advertised-but-unserved heights (lagging replica) ----
 
   /** A node that ADVERTISES a height (status/tip) but answers its /block
     * fetch not-available models a lagging read replica behind the RPC
     * endpoint — exactly the gap the reader's planned-height presence
     * contract must absorb (retry, then task failure; never a dropped row).
-    * Budgeted per height: the next `times` fetches answer not-available,
-    * then the height heals (times = Int.MaxValue pins the never-heals arm).
     */
-  private val hiddenBudget =
-    new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
-  def hideBlocks(h: Long, times: Int): Unit = {
-    hiddenBudget.put(h, new AtomicInteger(times)); ()
-  }
+  private val hiddenBudget = new HeightBudget
+  def hideBlocks(h: Long, times: Int): Unit = hiddenBudget.arm(h, times)
   /** Decrement-and-test `h`'s hide budget; true = answer not-available. */
-  protected final def blockHiddenNow(h: Long): Boolean = {
-    val c = hiddenBudget.get(h)
-    c != null && c.getAndUpdate(n => math.max(0, n - 1)) > 0
-  }
+  protected final def blockHiddenNow(h: Long): Boolean =
+    hiddenBudget.consume(h)
 
   // ---- corruptBlocks: present-but-unreadable payloads (broken replica) ---
 
@@ -100,21 +111,16 @@ trait StubChainNode {
     * a readable block models a replica serving truncated/corrupt bodies —
     * the presence contract's second arm: the reader must treat an
     * unreadable PLANNED block like absence (retry on the ladder, then fail
-    * the task), never as a silently dropped row. Budgeted per height like
-    * `hideBlocks`. HTTP-stub only by design: on the gRPC wire a corrupt
-    * payload fails in the client's proto decode, a transport-layer failure
-    * shape the codec-level contract under test sits above.
+    * the task), never as a silently dropped row. HTTP-stub only by design:
+    * on the gRPC wire a corrupt payload fails in the client's proto decode,
+    * a transport-layer failure shape the codec-level contract under test
+    * sits above.
     */
-  private val corruptBudget =
-    new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
-  def corruptBlocks(h: Long, times: Int): Unit = {
-    corruptBudget.put(h, new AtomicInteger(times)); ()
-  }
+  private val corruptBudget = new HeightBudget
+  def corruptBlocks(h: Long, times: Int): Unit = corruptBudget.arm(h, times)
   /** Decrement-and-test `h`'s corrupt budget; true = serve garbage. */
-  protected final def blockCorruptNow(h: Long): Boolean = {
-    val c = corruptBudget.get(h)
-    c != null && c.getAndUpdate(n => math.max(0, n - 1)) > 0
-  }
+  protected final def blockCorruptNow(h: Long): Boolean =
+    corruptBudget.consume(h)
 
   // ---- proof-hook counters ----------------------------------------------
 

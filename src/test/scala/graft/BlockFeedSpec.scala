@@ -47,6 +47,40 @@ class BlockFeedSpec extends AnyFunSuite {
       allOrdinals, 0).isLeft, "a non-numeric height must be Left, not NFE")
     assert(codec.rawRowChecked("{ not json at all", None, historical = true,
       allOrdinals, 0).isLeft, "garbage bytes must be Left, not an exception")
+    // validation runs BEFORE the skip-empty filter: a half-written block
+    // (no data struct) under minNumTxs=1 must be Left (the ladder), never
+    // Right(None) ("legitimately filtered" — a silent drop); same for a
+    // missing header. And a corrupt payload must not force the results
+    // fetch (by-name resultsJson + the reader's lazy single fetch).
+    val noData =
+      """{"jsonrpc":"2.0","id":-1,"result":{"block_id":{"hash":"00"},
+        |"block":{"header":{"chain_id":"x","height":"5",
+        |"time":"2021-07-15T19:27:44Z"}}}}""".stripMargin
+    var resultsForced = 0
+    def countedResults: Option[String] = { resultsForced += 1; None }
+    assert(codec.rawRowChecked(noData, countedResults, historical = true,
+      allOrdinals, 1).isLeft, "a block without data must be Left under pushdown")
+    val noHeader =
+      """{"jsonrpc":"2.0","id":-1,"result":{"block_id":{"hash":"00"},
+        |"block":{"data":{"txs":[]}}}}""".stripMargin
+    assert(codec.rawRowChecked(noHeader, countedResults, historical = true,
+      allOrdinals, 0).isLeft, "a block without header must be Left")
+    assert(resultsForced === 0,
+      "a corrupt payload must never force the results fetch")
+    // a corrupt PAGE entry (missing num_txs) is skipped — never trusted as
+    // an authoritative 0, which under a num_txs pushdown would record the
+    // height as covered-and-filtered (a silent drop past the backstop)
+    val page =
+      """{"jsonrpc":"2.0","id":-1,"result":{"last_height":"9","block_metas":[
+        |{"block_id":{"hash":"00"},"block_size":"1","num_txs":"3",
+        | "header":{"chain_id":"x","height":"7","time":"2021-07-15T19:27:44Z"}},
+        |{"block_id":{"hash":"00"},"block_size":"1",
+        | "header":{"chain_id":"x","height":"8","time":"2021-07-15T19:27:44Z"}}
+        |]}}""".stripMargin
+    val metaOrdinals = Array(0, 3) // height, num_txs
+    val entries = codec.metaRows(page, _ => true, metaOrdinals, 0)
+    assert(entries.map(_._1) === Seq(7L),
+      "the num_txs-less entry must be skipped to the /block backstop")
   }
 
   test("batch scan: 100 rows, event tables work through the connector") {
