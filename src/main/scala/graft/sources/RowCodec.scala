@@ -84,14 +84,16 @@ final class RowCodec {
         else {
           val header = block.getStruct(0, 14)
           val data = block.getStruct(1, 1)
-          val heightStr = if (header == null) null else header.getUTF8String(2)
+          if (header == null) Left("the block carries no header")
+          else {
+          val heightStr = header.getUTF8String(2)
           val heightOpt: Option[Long] =
             if (heightStr == null) None else heightStr.toString.toLongOption
-          if (header == null) Left("the block carries no header")
+          if (heightStr == null) Left("the block header carries no height")
           else if (heightOpt.isEmpty)
-            // present-but-non-numeric (or absent) height is corrupt, not a
-            // row: Left keeps it on the reader's ladder instead of escaping
-            // as an untyped NumberFormatException or a bogus height key
+            // present-but-non-numeric height is corrupt, not a row: Left
+            // keeps it on the reader's ladder instead of escaping as an
+            // untyped NumberFormatException or a bogus height key
             Left(s"the block header height '$heightStr' is not numeric")
           else if (data == null) Left("the block carries no data struct")
           else {
@@ -126,6 +128,7 @@ final class RowCodec {
               }
               Right(Some(out))
             }
+          }
           }
         }
       }
