@@ -21,12 +21,87 @@ object Bench {
       graft.blocks.FixtureSource.combinedRaw(spark, t, 2270370L).count()
       graft.sinks.BlockSinks.streamBlockSchema(spark)
     } catch { case _: Throwable => () }
+    // Host-calibration probe (SCALE.md "bench book"): the sf0.1 sweep is
+    // STRONGLY load-sensitive (identical code has measured 173 s idle vs
+    // 2602 s inside a co-tenant slow phase), and the phase is uniform across
+    // queries — so a fixed, pinned micro-workload run before AND after the
+    // sweep turns any loaded run into readable evidence: dilation =
+    // probe_time / pinned_idle_time, normalized_total = total / dilation.
+    // Two probes, because the phase steals two different resources:
+    //   spin    = pure CPU slices (codegen'd xxhash64 over range, 32-way, no
+    //             shuffle, no I/O);
+    //   shuffle = memory/shuffle bandwidth (full-data repartition by hash —
+    //             NOT a partial-agg groupBy, which would shrink the exchange
+    //             to the key count and measure CPU again).
+    // Sizes are pinned; the idle costs below were measured on this host at
+    // 1-min load < 0.5 (see SCALE.md) and must be re-pinned if the probe
+    // workload ever changes. Probe failures emit -1 and never fail the bench.
+    val SpinRows = 4000000000L
+    val ShufRows = 24000000L
+    val IdleSpinSec = 1.45 // pinned 2026-08-16, near-idle host (SCALE.md)
+    val IdleShufSec = 1.70
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    def probe(): (Double, Double) = {
+      val spin = try {
+        val t0 = System.nanoTime()
+        spark.range(0L, SpinRows, 1L, 32)
+          .selectExpr("max(xxhash64(id, id + 1L)) as m").collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      val shuf = try {
+        val t0 = System.nanoTime()
+        spark.range(0L, ShufRows, 1L, 32)
+          .selectExpr("id", "xxhash64(id) as h")
+          .repartition(32, org.apache.spark.sql.functions.col("h"))
+          .selectExpr("sum(id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      (spin, shuf)
+    }
+    // full sweeps only: a subset run is the documented ITERATION aid, and
+    // ~10 s of fixed probe cost per cycle would triple a 3-s query's loop
+    // for a dilation number a 1-query subset rarely needs (run the full
+    // bench when calibration matters); probeOn also gates the mid/after
+    // pairs and the emitted dilation below
+    val probeOn = args.isEmpty
+    // warm the probes' own codegen/shuffle paths at 1/100 scale so
+    // probe-before measures steady-state cost like probe-after does (the
+    // first calibration run measured spin_before 2.5× spin_after purely
+    // from first-plan codegen + first-exchange init)
+    if (probeOn) try {
+      spark.range(0L, SpinRows / 100, 1L, 32)
+        .selectExpr("max(xxhash64(id, id + 1L)) as m").collect()
+      spark.range(0L, ShufRows / 100, 1L, 32)
+        .selectExpr("id", "xxhash64(id) as h")
+        .repartition(32, org.apache.spark.sql.functions.col("h"))
+        .selectExpr("sum(id)").collect()
+    } catch { case _: Throwable => () }
+    val load1mStart = loadAvg
+    val (spinBefore, shufBefore) = if (probeOn) probe() else (-1.0, -1.0)
     // baseline cache set = the shared fixture relations warmed above; any
     // persist() created INSIDE a query (dd2/dd4/dd10/pipe1/sim7 build sides)
     // is freed after that query so storage memory doesn't accumulate dead
     // cache across the ~85-query sweep (matters most on contended hosts)
     val keep = spark.sparkContext.getPersistentRDDs.keySet
+    // per-query START offsets (sec since sweep start) ride along in the full
+    // JSON: the first probed run showed a phase can begin MID-sweep
+    // (probe-before 1.7 s vs probe-after 8.6 s), and offsets let a reader
+    // localize exactly which queries ran inside it instead of discarding
+    // the whole run
+    val sweepT0 = System.nanoTime()
+    val starts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // one mid-sweep probe pair triples the phase-detection resolution; -1
+    // until the midpoint passes (subset runs may be a single query)
+    var spinMid = -1.0
+    var shufMid = -1.0
+    val mid = if (probeOn) selected.size / 2 else 0
+    var qIndex = 0
     val results = selected.map { case (name, fn) =>
+      if (qIndex == mid && mid > 0) { val (s, h) = probe(); spinMid = s; shufMid = h }
+      qIndex += 1
+      starts(name) = (System.nanoTime() - sweepT0) / 1e9
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -130,8 +205,44 @@ object Bench {
           s""""baseline_backfill_blocks_per_sec":30,"baseline_block_interval_sec":6}"""
       } catch { case _: Throwable => "" }
     }
+    val (spinAfter, shufAfter) = if (probeOn) probe() else (-1.0, -1.0)
+    val load1mEnd = loadAvg
+    // dilation = geomean of the per-probe before/after means vs the pinned
+    // idle costs; ~1.0 on an idle host, ~matching the query-median ratio
+    // inside a slow phase. Emitted alongside the raw times so a reader can
+    // re-derive it (or spot a phase that started mid-sweep via before≠after).
+    def meanPos(xs: Double*): Double = {
+      val ok = xs.filter(_ > 0)
+      if (ok.isEmpty) -1.0 else ok.sum / ok.size
+    }
+    val spinMean = meanPos(spinBefore, spinMid, spinAfter)
+    val shufMean = meanPos(shufBefore, shufMid, shufAfter)
+    val dilation =
+      if (spinMean > 0 && shufMean > 0 && IdleSpinSec > 0 && IdleShufSec > 0)
+        math.sqrt((spinMean / IdleSpinSec) * (shufMean / IdleShufSec))
+      else -1.0
+    val normalizedTotal = if (dilation > 0) total / dilation else -1.0
+    // provenance (r13 ADVICE): the commit under measurement, if the runner
+    // exports it — `SPARK_GRAFT_COMMIT=$(git rev-parse --short HEAD)` — so a
+    // snapshot file can never be mistaken for a measurement of another tree.
+    // Sanitized to a bare hex id (+ optional "-dirty"/"+suffix" markers in
+    // [-+._a-zA-Z0-9]): an env value carrying a quote or control char would
+    // otherwise corrupt the JSON line and null the driver's tail parse.
+    val commit = sys.env.get("SPARK_GRAFT_COMMIT")
+      .filter(_.matches("[-+._a-zA-Z0-9]{1,64}")).getOrElse("unset")
+    val probeJson =
+      s""","commit":"$commit","load_1m_start":$load1mStart,""" +
+        s""""load_1m_end":$load1mEnd,"probe":{"spin_before_sec":$spinBefore,""" +
+        s""""spin_mid_sec":$spinMid,"spin_after_sec":$spinAfter,""" +
+        s""""shuffle_before_sec":$shufBefore,"shuffle_mid_sec":$shufMid,""" +
+        s""""shuffle_after_sec":$shufAfter,"idle_spin_sec":$IdleSpinSec,""" +
+        s""""idle_shuffle_sec":$IdleShufSec,"host_dilation":$dilation,""" +
+        s""""normalized_total_sec":$normalizedTotal}"""
+    val startsJson = starts.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$streaming}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_starts":$startsJson,"sf":"$sfDir"$streaming$probeJson}"""
     println(full)
     // The driver snapshots only the TAIL of stdout and json-parses it; the
     // full per-query line above overflows that buffer at 200+ queries
@@ -152,7 +263,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"queries":$top,""" +
-      s""""full_queries_file":"$snapPath"$streaming}""")
+      s""""full_queries_file":"$snapPath"$streaming$probeJson}""")
     spark.stop()
   }
 }

@@ -57,12 +57,22 @@ final class RowCodec {
     * planned height this is the same permanent-gap hazard as absence),
     * `Right(None)` = the row was legitimately dropped by the pushed-down
     * minNumTxs skip-empty predicate. VALIDATION RUNS BEFORE THE FILTER:
-    * a half-written payload (no header, non-numeric height, no data
-    * struct) must be Left even under a num_txs pushdown — classifying it
+    * a half-written payload (no header, non-numeric height) must be
+    * Left even under a num_txs pushdown — classifying it
     * as "filtered" would silently drop a planned height, the exact gap
-    * the reader's presence contract exists to close. The one legitimate
-    * empty-block shape is `data` PRESENT with `txs` null/empty (what a
-    * real node serializes). A missing/unreadable RESULTS payload stays
+    * the reader's presence contract exists to close. The legitimate
+    * empty-block shapes are `txs` null/empty AND `data` itself
+    * null/absent: the reference models `data` as nullable and counts
+    * `data == null` as zero txs (`StreamBlockImplT.kt:33`
+    * `block.data?.txs?.size ?: 0`, `StreamBlock.kt:14` `?: true`), so a
+    * node generation that omits `data` for empty blocks must yield a
+    * numTxs=0 row, not burn the ladder and fail the task on every empty
+    * height. This cannot mask truncation: a truncated body is invalid
+    * JSON and fails the parse outright (Left above); a payload that
+    * parses clean with an intact, numeric-height header but no `data` is
+    * a serializer shape, not a half-written block — the corruption arms
+    * (no result, no block, no header, bad height) all sit on fields a
+    * block cannot legitimately lack. A missing/unreadable RESULTS payload stays
     * best-effort either way (null event columns, the documented
     * left-join parity) — only the block itself is load-bearing;
     * `resultsJson` is by-name so the caller's (single, lazy) results
@@ -95,10 +105,9 @@ final class RowCodec {
             // keeps it on the reader's ladder instead of escaping as an
             // untyped NumberFormatException or a bogus height key
             Left(s"the block header height '$heightStr' is not numeric")
-          else if (data == null) Left("the block carries no data struct")
           else {
             val height = heightOpt.get
-            val txs = data.getArray(0)
+            val txs = if (data == null) null else data.getArray(0)
             val numTxs = if (txs == null) 0 else txs.numElements()
             if (numTxs < minNumTxs) Right(None)
             else {

@@ -90,6 +90,14 @@ trait StubChainNode {
       val c = budget.get(h)
       c != null && c.getAndUpdate(n => math.max(0, n - 1)) > 0
     }
+    /** Heights whose budget is still positive — lets a page-serving stub
+      * find its armed targets in a body without consuming anything.
+      */
+    def armed: Set[Long] = {
+      val out = Set.newBuilder[Long]
+      budget.forEach { (h, c) => if (c.get() > 0) out += h }
+      out.result()
+    }
   }
 
   // ---- hideBlocks: advertised-but-unserved heights (lagging replica) ----
@@ -122,21 +130,56 @@ trait StubChainNode {
   protected final def blockCorruptNow(h: Long): Boolean =
     corruptBudget.consume(h)
 
+  // ---- corruptMetaEntries: page entries missing their num_txs ------------
+
+  /** A `/blockchain` page whose entry for height `h` lacks a readable
+    * `num_txs` models a replica serving a corrupt page — the meta-path twin
+    * of [[corruptBlocks]]: the codec must SKIP the entry (never trust a
+    * missing count as an authoritative 0, which under a num_txs pushdown
+    * records the height as covered-and-filtered — a silent drop), and the
+    * reader's coverage backstop must then re-cover the height via `/block`.
+    * HTTP-stub only: the gRPC wire has no paged meta RPC.
+    */
+  private val corruptMetaBudget = new HeightBudget
+  def corruptMetaEntry(h: Long, times: Int): Unit =
+    corruptMetaBudget.arm(h, times)
+  /** Armed corrupt-meta heights (budget still positive), for page surgery. */
+  protected final def corruptMetaArmed: Set[Long] = corruptMetaBudget.armed
+  /** Decrement-and-test `h`'s corrupt-meta budget; true = corrupt it. */
+  protected final def metaEntryCorruptNow(h: Long): Boolean =
+    corruptMetaBudget.consume(h)
+
   // ---- proof-hook counters ----------------------------------------------
 
   private val requests = new AtomicInteger(0)
   def requestCount: Int = requests.get()
   protected final def countRequest(): Unit = { requests.incrementAndGet(); () }
 
-  // Block-results fetches served (those that reached the RPC, i.e. not
-  // absorbed by failNext) — lets a spec assert the results RPC was really
-  // paid (or really elided) PER ENDPOINT, instead of diffing total request
-  // counts, which couples the assertion to the exact planning-RPC sequence
-  // of both runs (AQE re-plans have already broken one such exact-delta).
+  // Block-results proof hooks, per endpoint (instead of diffing total
+  // request counts, which couples a spec to the exact planning-RPC
+  // sequence of both runs — AQE re-plans have already broken one such
+  // exact-delta). TWO counters because specs assert two different claims
+  // (r13 ADVICE made the distinction load-bearing: the golden fixture set
+  // itself mixes present and absent results — 2270417/2270420 have a
+  // block template but NO block_results — so "asked" and "answered"
+  // genuinely differ by 2 over the full window):
+  //   resultsRequested = the reader ISSUED the RPC and the stub routed it
+  //     (counted at receipt, 404/NOT_FOUND included — but NOT requests
+  //     absorbed by a failNext 503/UNAVAILABLE, which return before the
+  //     count on both wires) — what the st12/st13 full-mode gates
+  //     need: proof the results-elision did NOT engage;
+  //   resultsServes = the RPC was answered WITH a payload (counted
+  //     beside the 200/OK send) — what the elision/batch-authority specs
+  //     need: proof the wire really paid (or really skipped) the data.
   private val resultsRequests = new AtomicInteger(0)
-  def resultsServes: Int = resultsRequests.get()
+  private val resultsServed = new AtomicInteger(0)
+  def resultsRequested: Int = resultsRequests.get()
+  def resultsServes: Int = resultsServed.get()
   protected final def countResultsRequest(): Unit = {
     resultsRequests.incrementAndGet(); ()
+  }
+  protected final def countResultsServe(): Unit = {
+    resultsServed.incrementAndGet(); ()
   }
 
   // Per-chain-height block serve counts: lets gate queries PROVE which

@@ -161,7 +161,12 @@ final class StubGrpcServer(dir: String,
         val h = TendermintGrpcCodec.decodeHeightRequest(GrpcWire.unframe(requestBody))
         countResultsRequest()
         encoded(s"$dir/block_results/${srcHeight(h)}.json", encodeResults) match {
-          case Some(b) => (GrpcWire.OK, "", Some(b))
+          case Some(b) =>
+            // the SERVE count sits beside the OK answer, in lockstep with
+            // the HTTP stub: resultsServes means answered-with-payload on
+            // every wire (r13 ADVICE), resultsRequested means asked
+            countResultsServe()
+            (GrpcWire.OK, "", Some(b))
           case None => (GrpcWire.NOT_FOUND, s"height $h is not available", None)
         }
       case other => (GrpcWire.UNIMPLEMENTED, s"unknown method $other", None)

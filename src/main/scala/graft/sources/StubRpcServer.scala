@@ -75,6 +75,31 @@ final class StubRpcServer(dir: String,
       graft.blocks.FixtureSource.substitute(raw, vs)
     })
 
+  /** Apply any armed corrupt-meta faults to a resolved `/blockchain` page:
+    * the target height's entry keeps its header (so the entry still parses
+    * and carries its height) but loses its `num_txs` key — the
+    * missing-count shape the codec must SKIP rather than trust as 0. Text
+    * surgery on the served body (never the memoized template): find the
+    * entry via its unique header `"height": "h"`, then break the NEXT
+    * `num_txs` key after it (template order is block_id/size/header/
+    * num_txs, so the next key is this entry's own). Budget is consumed
+    * only when the page actually carries the height.
+    */
+  private def corruptMetaApplied(body: String): String = {
+    val armedNow = corruptMetaArmed
+    if (armedNow.isEmpty) body
+    else armedNow.foldLeft(body) { (b, h) =>
+      val at = b.indexOf(s""""height": "$h"""")
+      if (at < 0) b
+      else {
+        val key = b.indexOf("\"num_txs\"", at)
+        if (key < 0 || !metaEntryCorruptNow(h)) b
+        else b.substring(0, key) + "\"num_txs_unreadable\"" +
+          b.substring(key + "\"num_txs\"".length)
+      }
+    }
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     countRequest()
     if (transientDue()) {
@@ -117,8 +142,13 @@ final class StubRpcServer(dir: String,
                 """{"jsonrpc":"2.0","id":-1,"result":{"block_id":{"hash":"00"}}}""")
             else {
               val p = Paths.get(s"$dir/$sub/${srcHeight(h)}.json")
-              if (Files.exists(p)) send(ex, 200, resolved(p.toString, Map.empty))
-              else send(ex, 404,
+              if (Files.exists(p)) {
+                // the SERVE count sits beside the 200, not at receipt: a
+                // 404'd results request is not a serve (r13 ADVICE — and
+                // the golden window really does 404 two results heights)
+                if (sub == "block_results") countResultsServe()
+                send(ex, 200, resolved(p.toString, Map.empty))
+              } else send(ex, 404,
                 s"""{"jsonrpc":"2.0","id":-1,"error":{"code":-32603,"message":"height $h is not available"}}""")
             }
           case None => send(ex, 400, """{"error":"height required"}""")
@@ -147,7 +177,8 @@ final class StubRpcServer(dir: String,
                   }.toSeq.sortBy(-_._1).headOption.map(_._2)
               }
             page match {
-              case Some(p) => send(ex, 200, resolved(p.toString, Map.empty))
+              case Some(p) =>
+                send(ex, 200, corruptMetaApplied(resolved(p.toString, Map.empty)))
               case None => send(ex, 404,
                 """{"jsonrpc":"2.0","id":-1,"error":{"code":-32603,"message":"no such page"}}""")
             }

@@ -47,11 +47,24 @@ class BlockFeedSpec extends AnyFunSuite {
       allOrdinals, 0).isLeft, "a non-numeric height must be Left, not NFE")
     assert(codec.rawRowChecked("{ not json at all", None, historical = true,
       allOrdinals, 0).isLeft, "garbage bytes must be Left, not an exception")
-    // validation runs BEFORE the skip-empty filter: a half-written block
-    // (no data struct) under minNumTxs=1 must be Left (the ladder), never
-    // Right(None) ("legitimately filtered" — a silent drop); same for a
-    // missing header. And a corrupt payload must not force the results
-    // fetch (by-name resultsJson + the reader's lazy single fetch).
+    // non-object roots (r13 ADVICE): parseOne's recovery catches exactly
+    // BadRecordException — if a future Spark surfaces a root-level scalar
+    // or array through a different exception type, these pins catch the
+    // escape before it becomes an untyped task crash
+    assert(codec.rawRowChecked("42", None, historical = true,
+      allOrdinals, 0).isLeft, "a scalar root must be Left, not a crash")
+    assert(codec.rawRowChecked("[]", None, historical = true,
+      allOrdinals, 0).isLeft, "an array root must be Left, not a crash")
+    // `data` null/absent is the LEGITIMATE empty-block shape, not
+    // corruption (r13 ADVICE; the reference counts data==null as zero txs —
+    // `StreamBlockImplT.kt:33`, `StreamBlock.kt:14`): under minNumTxs=1 it
+    // is Right(None) (filtered), at minNumTxs=0 a numTxs=0 row — never the
+    // ladder, which would permanently fail every empty height of a node
+    // generation that omits `data`. Truncation cannot reach this shape: a
+    // truncated body is invalid JSON and fails the parse outright. A
+    // missing HEADER stays corrupt (no block lacks one), and a corrupt
+    // payload must not force the results fetch (by-name resultsJson + the
+    // reader's lazy single fetch).
     val noData =
       """{"jsonrpc":"2.0","id":-1,"result":{"block_id":{"hash":"00"},
         |"block":{"header":{"chain_id":"x","height":"5",
@@ -59,7 +72,16 @@ class BlockFeedSpec extends AnyFunSuite {
     var resultsForced = 0
     def countedResults: Option[String] = { resultsForced += 1; None }
     assert(codec.rawRowChecked(noData, countedResults, historical = true,
-      allOrdinals, 1).isLeft, "a block without data must be Left under pushdown")
+      allOrdinals, 1) === Right(None),
+      "data==null under pushdown is the filtered empty shape, not the ladder")
+    // (plain None here: a PRODUCED row legitimately forces the results
+    // fetch, so this call must not share the corrupt-arm counter below)
+    codec.rawRowChecked(noData, None, historical = true,
+      allOrdinals, 0) match {
+      case Right(Some(row)) => assert(row.getInt(3) === 0,
+        "data==null at minNumTxs=0 must yield a numTxs=0 row")
+      case other => fail(s"expected a numTxs=0 row for data==null, got $other")
+    }
     val noHeader =
       """{"jsonrpc":"2.0","id":-1,"result":{"block_id":{"hash":"00"},
         |"block":{"data":{"txs":[]}}}}""".stripMargin

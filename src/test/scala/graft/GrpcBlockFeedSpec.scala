@@ -80,6 +80,36 @@ class GrpcBlockFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("asked vs answered: the results counters split over the mixed golden fixtures") {
+    // r14 (r13 ADVICE): resultsServes used to count REQUESTS, and the
+    // golden window itself mixes present and absent results — heights
+    // 2270417/2270420 carry a block template but no block_results — so
+    // "asked" and "answered" genuinely differ by 2 over the full window.
+    // One drain pins both semantics at once: the event projection forces
+    // the 2-RPC full mode (100 asks — the st12/st13 gate claim), the wire
+    // answers 98 with payloads (the serve count the elision specs read),
+    // and the two unanswered heights degrade to null event columns (the
+    // documented left-join parity) instead of dropping or failing.
+    withStub { stub =>
+      // collect(), not count(): count prunes the event column away and the
+      // elision (rightly) skips every results ask — the pin needs the
+      // projection actually materialized
+      val rows = spark.read.format("blockfeed")
+        .option("path", stub.base)
+        .option("from", "2270370").option("to", "2270469").load()
+        .select("height", "begin_block_events")
+        .collect()
+      assert(rows.length === 100)
+      assert(stub.resultsRequested === 100,
+        "full mode must ask the results service once per planned height")
+      assert(stub.resultsServes === 98,
+        "only answered-with-payload requests may count as serves")
+      val absent = rows.filter(r => Set(2270417L, 2270420L)(r.getLong(0)))
+      assert(absent.length === 2 && absent.forall(_.isNullAt(1)),
+        "absent results must degrade to null event columns, not drop rows")
+    }
+  }
+
   test("a bare grpc:// URI defaults to the v038 layout (the only real-node shape)") {
     // every real node serving the BlockResultsService is ≥0.38, so a user
     // pointing the connector at one WITHOUT a ?results option must get the

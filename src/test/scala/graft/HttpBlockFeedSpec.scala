@@ -185,6 +185,36 @@ class HttpBlockFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("a corrupt meta-page entry is re-covered via the /block backstop — zero dropped rows") {
+    // r14 (r13 VERDICT task #4): the codec-level pin says a num_txs-less
+    // page entry is SKIPPED, never trusted as an authoritative 0 — this is
+    // the end-to-end arm on the HTTP wire. Under a num_txs pushdown on the
+    // META path, pre-94ad3ef metaRows parsed the broken entry as num_txs=0,
+    // recorded the height covered-and-filtered, and the height silently
+    // vanished from the result; now the skipped entry leaves a coverage
+    // gap the reader's /block backstop must re-fetch. 2270408 is the one
+    // height with txs (num_txs=4) in its page, so the drop would be real.
+    def txHeights(stub: StubRpcServer): Set[Long] = {
+      val df = spark.read.format("blockfeed")
+        .option("path", stub.base).option("retryBaseWaitMs", "5")
+        .option("from", "2270390").option("to", "2270409")
+        .load().select("height", "num_txs")
+        .filter(col("num_txs") > 0)
+      assert(df.queryExecution.executedPlan.toString.contains("mode=meta"),
+        "the projection must take the meta-page path for the pin to bite")
+      df.collect().map(_.getLong(0)).toSet
+    }
+    val clean = withStub(txHeights)
+    assert(clean.contains(2270408L), "fixture precondition: 2270408 has txs")
+    withStub { stub =>
+      stub.corruptMetaEntry(2270408L, Int.MaxValue)
+      assert(txHeights(stub) === clean,
+        "a corrupt page entry must cost a backstop RPC, never a dropped row")
+      assert(stub.blockServesIn(2270408L, 2270408L) >= 1,
+        "the re-covered height must have come over /block, not the page")
+    }
+  }
+
   test("ws mode clamps a below-floor `from` to the node's retained window") {
     // r12 review: the dense-range arithmetic advance is only sound ABOVE
     // the pruning node's earliest_block_height — from=1 (the default)
