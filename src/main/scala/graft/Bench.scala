@@ -32,18 +32,33 @@ object Bench {
     //             shuffle, no I/O);
     //   shuffle = memory/shuffle bandwidth (full-data repartition by hash —
     //             NOT a partial-agg groupBy, which would shrink the exchange
-    //             to the key count and measure CPU again).
+    //             to the key count and measure CPU again);
+    //   latency = scheduler/driver round-trip (median of 31 trivial 32-task
+    //             jobs) — the r14 attempt-2 run proved the phase has a
+    //             second signature the throughput probes CANNOT see: spin/
+    //             shuffle read ~1.1× idle while every sub-second query ran
+    //             ~1.9× and tiny-job medians read ~190 ms vs a healthy
+    //             ~10-40 ms. The sf0.1 inventory's median query is
+    //             LATENCY-bound (many short stages, driver round-trips per
+    //             micro-batch), so this axis usually binds.
     // Sizes are pinned; the idle costs below were measured on this host at
     // 1-min load < 0.5 (see SCALE.md) and must be re-pinned if the probe
     // workload ever changes. Probe failures emit -1 and never fail the bench.
     val SpinRows = 4000000000L
     val ShufRows = 24000000L
+    val LatJobs = 31
     val IdleSpinSec = 1.45 // pinned 2026-08-16, near-idle host (SCALE.md)
     val IdleShufSec = 1.70
+    // NOT yet pinned (-1 disables the latency axis in host_dilation): the
+    // probe was authored INSIDE a latency phase reading ~190 ms medians;
+    // pin from the first run whose query median sits ~1.0× vs the idle
+    // snapshot (expected ~10-40 ms), then re-enable — a phase-inflated pin
+    // would normalize every future loaded run against a sick baseline.
+    val IdleLatMs = -1.0
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
-    def probe(): (Double, Double) = {
+    def probe(): (Double, Double, Double) = {
       val spin = try {
         val t0 = System.nanoTime()
         spark.range(0L, SpinRows, 1L, 32)
@@ -58,7 +73,15 @@ object Bench {
           .selectExpr("sum(id)").collect()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
-      (spin, shuf)
+      val lat = try {
+        val ts = (1 to LatJobs).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(0L, 64L, 1L, 32).selectExpr("count(1)").collect()
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        ts(LatJobs / 2) // median, robust to a straggling GC pause
+      } catch { case _: Throwable => -1.0 }
+      (spin, shuf, lat)
     }
     // full sweeps only: a subset run is the documented ITERATION aid, and
     // ~10 s of fixed probe cost per cycle would triple a 3-s query's loop
@@ -77,9 +100,13 @@ object Bench {
         .selectExpr("id", "xxhash64(id) as h")
         .repartition(32, org.apache.spark.sql.functions.col("h"))
         .selectExpr("sum(id)").collect()
+      (1 to 8).foreach { _ =>
+        spark.range(0L, 64L, 1L, 32).selectExpr("count(1)").collect()
+      }
     } catch { case _: Throwable => () }
     val load1mStart = loadAvg
-    val (spinBefore, shufBefore) = if (probeOn) probe() else (-1.0, -1.0)
+    val (spinBefore, shufBefore, latBefore) =
+      if (probeOn) probe() else (-1.0, -1.0, -1.0)
     // baseline cache set = the shared fixture relations warmed above; any
     // persist() created INSIDE a query (dd2/dd4/dd10/pipe1/sim7 build sides)
     // is freed after that query so storage memory doesn't accumulate dead
@@ -96,10 +123,13 @@ object Bench {
     // until the midpoint passes (subset runs may be a single query)
     var spinMid = -1.0
     var shufMid = -1.0
+    var latMid = -1.0
     val mid = if (probeOn) selected.size / 2 else 0
     var qIndex = 0
     val results = selected.map { case (name, fn) =>
-      if (qIndex == mid && mid > 0) { val (s, h) = probe(); spinMid = s; shufMid = h }
+      if (qIndex == mid && mid > 0) {
+        val (s, h, l) = probe(); spinMid = s; shufMid = h; latMid = l
+      }
       qIndex += 1
       starts(name) = (System.nanoTime() - sweepT0) / 1e9
       val t0 = System.nanoTime()
@@ -205,7 +235,8 @@ object Bench {
           s""""baseline_backfill_blocks_per_sec":30,"baseline_block_interval_sec":6}"""
       } catch { case _: Throwable => "" }
     }
-    val (spinAfter, shufAfter) = if (probeOn) probe() else (-1.0, -1.0)
+    val (spinAfter, shufAfter, latAfter) =
+      if (probeOn) probe() else (-1.0, -1.0, -1.0)
     val load1mEnd = loadAvg
     // dilation = geomean of the per-probe before/after means vs the pinned
     // idle costs; ~1.0 on an idle host, ~matching the query-median ratio
@@ -217,10 +248,21 @@ object Bench {
     }
     val spinMean = meanPos(spinBefore, spinMid, spinAfter)
     val shufMean = meanPos(shufBefore, shufMid, shufAfter)
-    val dilation =
+    val latMean = meanPos(latBefore, latMid, latAfter)
+    val throughputDilation =
       if (spinMean > 0 && shufMean > 0 && IdleSpinSec > 0 && IdleShufSec > 0)
         math.sqrt((spinMean / IdleSpinSec) * (shufMean / IdleShufSec))
       else -1.0
+    val latencyRatio =
+      if (latMean > 0 && IdleLatMs > 0) latMean / IdleLatMs else -1.0
+    // host_dilation = the BINDING axis, conservatively: sub-second queries
+    // bind on round-trip latency, shuffle-heavy ones on bandwidth — a run
+    // is only as healthy as its worst axis (attempt 1 bound on bandwidth
+    // at throughput 2.0×; attempt 2 bound on latency with throughput 1.1×)
+    val dilation =
+      if (throughputDilation > 0 && latencyRatio > 0)
+        math.max(throughputDilation, latencyRatio)
+      else throughputDilation
     val normalizedTotal = if (dilation > 0) total / dilation else -1.0
     // provenance (r13 ADVICE): the commit under measurement, if the runner
     // exports it — `SPARK_GRAFT_COMMIT=$(git rev-parse --short HEAD)` — so a
@@ -235,8 +277,12 @@ object Bench {
         s""""load_1m_end":$load1mEnd,"probe":{"spin_before_sec":$spinBefore,""" +
         s""""spin_mid_sec":$spinMid,"spin_after_sec":$spinAfter,""" +
         s""""shuffle_before_sec":$shufBefore,"shuffle_mid_sec":$shufMid,""" +
-        s""""shuffle_after_sec":$shufAfter,"idle_spin_sec":$IdleSpinSec,""" +
-        s""""idle_shuffle_sec":$IdleShufSec,"host_dilation":$dilation,""" +
+        s""""shuffle_after_sec":$shufAfter,""" +
+        s""""latency_before_ms":$latBefore,"latency_mid_ms":$latMid,""" +
+        s""""latency_after_ms":$latAfter,"idle_spin_sec":$IdleSpinSec,""" +
+        s""""idle_shuffle_sec":$IdleShufSec,"idle_latency_ms":$IdleLatMs,""" +
+        s""""throughput_dilation":$throughputDilation,""" +
+        s""""latency_ratio":$latencyRatio,"host_dilation":$dilation,""" +
         s""""normalized_total_sec":$normalizedTotal}"""
     val startsJson = starts.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
