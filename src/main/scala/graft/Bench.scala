@@ -23,87 +23,23 @@ object Bench {
     } catch { case _: Throwable => () }
     // Host-calibration probe (SCALE.md "bench book"): the sf0.1 sweep is
     // STRONGLY load-sensitive (identical code has measured 173 s idle vs
-    // 2602 s inside a co-tenant slow phase), and the phase is uniform across
-    // queries — so a fixed, pinned micro-workload run before AND after the
-    // sweep turns any loaded run into readable evidence: dilation =
-    // probe_time / pinned_idle_time, normalized_total = total / dilation.
-    // Two probes, because the phase steals two different resources:
-    //   spin    = pure CPU slices (codegen'd xxhash64 over range, 32-way, no
-    //             shuffle, no I/O);
-    //   shuffle = memory/shuffle bandwidth (full-data repartition by hash —
-    //             NOT a partial-agg groupBy, which would shrink the exchange
-    //             to the key count and measure CPU again);
-    //   latency = scheduler/driver round-trip (median of 31 trivial 32-task
-    //             jobs) — the r14 attempt-2 run proved the phase has a
-    //             second signature the throughput probes CANNOT see: spin/
-    //             shuffle read ~1.1× idle while every sub-second query ran
-    //             ~1.9× and tiny-job medians read ~190 ms vs a healthy
-    //             ~10-40 ms. The sf0.1 inventory's median query is
-    //             LATENCY-bound (many short stages, driver round-trips per
-    //             micro-batch), so this axis usually binds.
-    // Sizes are pinned; the idle costs below were measured on this host at
-    // 1-min load < 0.5 (see SCALE.md) and must be re-pinned if the probe
-    // workload ever changes. Probe failures emit -1 and never fail the bench.
-    val SpinRows = 4000000000L
-    val ShufRows = 24000000L
-    val LatJobs = 31
-    val IdleSpinSec = 1.45 // pinned 2026-08-16, near-idle host (SCALE.md)
-    val IdleShufSec = 1.70
-    // NOT yet pinned (-1 disables the latency axis in host_dilation): the
-    // probe was authored INSIDE a latency phase reading ~190 ms medians;
-    // pin from the first run whose query median sits ~1.0× vs the idle
-    // snapshot (expected ~10-40 ms), then re-enable — a phase-inflated pin
-    // would normalize every future loaded run against a sick baseline.
-    val IdleLatMs = -1.0
-    def loadAvg: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
-    def probe(): (Double, Double, Double) = {
-      val spin = try {
-        val t0 = System.nanoTime()
-        spark.range(0L, SpinRows, 1L, 32)
-          .selectExpr("max(xxhash64(id, id + 1L)) as m").collect()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
-      val shuf = try {
-        val t0 = System.nanoTime()
-        spark.range(0L, ShufRows, 1L, 32)
-          .selectExpr("id", "xxhash64(id) as h")
-          .repartition(32, org.apache.spark.sql.functions.col("h"))
-          .selectExpr("sum(id)").collect()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
-      val lat = try {
-        val ts = (1 to LatJobs).map { _ =>
-          val t0 = System.nanoTime()
-          spark.range(0L, 64L, 1L, 32).selectExpr("count(1)").collect()
-          (System.nanoTime() - t0) / 1e6
-        }.sorted
-        ts(LatJobs / 2) // median, robust to a straggling GC pause
-      } catch { case _: Throwable => -1.0 }
-      (spin, shuf, lat)
-    }
+    // 2602 s inside a co-tenant slow phase) — a fixed, pinned micro-workload
+    // run before, mid-sweep and after turns any loaded run into readable
+    // evidence: dilation = probe_time / pinned_idle_time, normalized_total
+    // = total / dilation. The three axes, their rationale and the pinned
+    // idle costs live in [[Probes]] — ONE definition shared with the
+    // standalone HostProbe quiet-check so the two stay comparable.
+    // Probe failures emit -1 and never fail the bench.
+    import graft.{Probes => P}
+    def loadAvg: Double = P.loadAvg
+    def probe(): (Double, Double, Double) = P.all(spark)
     // full sweeps only: a subset run is the documented ITERATION aid, and
     // ~10 s of fixed probe cost per cycle would triple a 3-s query's loop
     // for a dilation number a 1-query subset rarely needs (run the full
     // bench when calibration matters); probeOn also gates the mid/after
     // pairs and the emitted dilation below
     val probeOn = args.isEmpty
-    // warm the probes' own codegen/shuffle paths at 1/100 scale so
-    // probe-before measures steady-state cost like probe-after does (the
-    // first calibration run measured spin_before 2.5× spin_after purely
-    // from first-plan codegen + first-exchange init)
-    if (probeOn) try {
-      spark.range(0L, SpinRows / 100, 1L, 32)
-        .selectExpr("max(xxhash64(id, id + 1L)) as m").collect()
-      spark.range(0L, ShufRows / 100, 1L, 32)
-        .selectExpr("id", "xxhash64(id) as h")
-        .repartition(32, org.apache.spark.sql.functions.col("h"))
-        .selectExpr("sum(id)").collect()
-      (1 to 8).foreach { _ =>
-        spark.range(0L, 64L, 1L, 32).selectExpr("count(1)").collect()
-      }
-    } catch { case _: Throwable => () }
+    if (probeOn) P.warm(spark)
     val load1mStart = loadAvg
     val (spinBefore, shufBefore, latBefore) =
       if (probeOn) probe() else (-1.0, -1.0, -1.0)
@@ -250,19 +186,19 @@ object Bench {
     val shufMean = meanPos(shufBefore, shufMid, shufAfter)
     val latMean = meanPos(latBefore, latMid, latAfter)
     val throughputDilation =
-      if (spinMean > 0 && shufMean > 0 && IdleSpinSec > 0 && IdleShufSec > 0)
-        math.sqrt((spinMean / IdleSpinSec) * (shufMean / IdleShufSec))
+      if (spinMean > 0 && shufMean > 0 && P.IdleSpinSec > 0 && P.IdleShufSec > 0)
+        math.sqrt((spinMean / P.IdleSpinSec) * (shufMean / P.IdleShufSec))
       else -1.0
     val latencyRatio =
-      if (latMean > 0 && IdleLatMs > 0) latMean / IdleLatMs else -1.0
-    // host_dilation = the BINDING axis, conservatively: sub-second queries
-    // bind on round-trip latency, shuffle-heavy ones on bandwidth — a run
-    // is only as healthy as its worst axis (attempt 1 bound on bandwidth
-    // at throughput 2.0×; attempt 2 bound on latency with throughput 1.1×)
-    val dilation =
-      if (throughputDilation > 0 && latencyRatio > 0)
-        math.max(throughputDilation, latencyRatio)
-      else throughputDilation
+      if (latMean > 0 && P.IdleLatMs > 0) latMean / P.IdleLatMs else -1.0
+    // host_dilation = the BINDING axis among whichever measured: sub-second
+    // queries bind on round-trip latency, shuffle-heavy ones on bandwidth —
+    // a run is only as healthy as its worst axis (attempt 1 bound on
+    // bandwidth at throughput 2.0×; attempt 2 bound on latency with
+    // throughput 1.1×). max over the POSITIVE axes, so a transient probe
+    // failure on one axis never discards a valid reading on the other.
+    val axes = Seq(throughputDilation, latencyRatio).filter(_ > 0)
+    val dilation = if (axes.nonEmpty) axes.max else -1.0
     val normalizedTotal = if (dilation > 0) total / dilation else -1.0
     // provenance (r13 ADVICE): the commit under measurement, if the runner
     // exports it — `SPARK_GRAFT_COMMIT=$(git rev-parse --short HEAD)` — so a
@@ -279,8 +215,8 @@ object Bench {
         s""""shuffle_before_sec":$shufBefore,"shuffle_mid_sec":$shufMid,""" +
         s""""shuffle_after_sec":$shufAfter,""" +
         s""""latency_before_ms":$latBefore,"latency_mid_ms":$latMid,""" +
-        s""""latency_after_ms":$latAfter,"idle_spin_sec":$IdleSpinSec,""" +
-        s""""idle_shuffle_sec":$IdleShufSec,"idle_latency_ms":$IdleLatMs,""" +
+        s""""latency_after_ms":$latAfter,"idle_spin_sec":${P.IdleSpinSec},""" +
+        s""""idle_shuffle_sec":${P.IdleShufSec},"idle_latency_ms":${P.IdleLatMs},""" +
         s""""throughput_dilation":$throughputDilation,""" +
         s""""latency_ratio":$latencyRatio,"host_dilation":$dilation,""" +
         s""""normalized_total_sec":$normalizedTotal}"""
