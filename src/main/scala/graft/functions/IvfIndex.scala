@@ -1,19 +1,18 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF coarse quantizer learned with Lloyd iterations — DataFrame plans for
   * everything corpus-sized (no RDDs, no randomness):
   *
   *   - init: centroids = the first k vectors by `vec_id` (deterministic);
-  *   - assign: corpus ⨯ broadcast(centroids) → cosine → rank-1 cell per
-  *     vector (k rows per vector; one small (vec_id)-shuffle for the top-1
-  *     window — never a corpus-wide exchange). Centroid coordinates are
+  *   - assign: ONE codegen'd projection — the k-way argmin unrolled over
+  *     centroid literals (see [[assign]]) — no row explosion, no exchange,
+  *     no sort anywhere in the O(n·k) hot loop. Centroid coordinates are
   *     RE-QUANTIZED to the same 1e4 integer scale as the vectors so the
   *     inner product runs through the codegen'd [[TextHash.dotQ]] — no
-  *     interpreted HOF lambdas in the O(n·k) hot loop;
+  *     interpreted HOF lambdas;
   *   - update: `posexplode` the assigned vectors, per-(cell, dim) exact
   *     integer sums over the quantized coordinates → means. Sums of longs
   *     are exact ⇒ centroids are bit-deterministic across runs and
@@ -29,16 +28,36 @@ object IvfIndex {
 
   /** Nearest-centroid assignment: adds `cell` to vectors carrying
     * (vec_id, qv, qnorm). `centroids`: (cell, cq: array<bigint>, cnorm).
+    *
+    * r14 shape (guide §2.4 "remove shuffles outright"): the model is
+    * KB-scale driver state (k ≤ 8 centroids — the same scale
+    * [[materialize]] already collects every Lloyd step), so the argmin
+    * unrolls into ONE codegen'd projection — k [[TextHash.dotQ]] terms
+    * against centroid array literals folded through `greatest(struct(cos,
+    * -cell))` — instead of the r9–r13 crossJoin(broadcast) → n·k rows →
+    * corpus-wide (vec_id)-exchange → sort → rank-1 filter. Assignment is
+    * now genuinely shuffle-free at any corpus size, and each Lloyd
+    * iteration drops its row explosion and its exchange. Tie-breaking is
+    * bit-identical: `greatest` and the old `ORDER BY _cos DESC, cell`
+    * both use Spark's total ordering on doubles (NaN greatest), and the
+    * negated cell makes the struct max prefer the smallest cell on ties.
     */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("_cos",
-        TextHash.dotQ(col("qv"), col("cq")).cast("double") /
-          (col("qnorm") * col("cnorm")))
-    val rk = row_number().over(
-      Window.partitionBy(col("vec_id")).orderBy(col("_cos").desc, col("cell")))
-    scored.withColumn("_rk", rk).filter(col("_rk") === 1)
-      .drop("_rk", "_cos", "cq", "cnorm")
+    val cents = centroids.select(
+        col("cell").cast("int"), col("cq"),
+        col("cnorm").cast("double")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "IvfIndex.assign: empty centroid model")
+    val scored = cents.map { case (cell, cq, cnorm) =>
+      struct(
+        (TextHash.dotQ(col("qv"), typedLit(cq)).cast("double") /
+          (col("qnorm") * lit(cnorm))).as("c"),
+        lit(-cell).as("negCell"))
+    }
+    val best =
+      if (scored.length == 1) scored.head else greatest(scored: _*)
+    vectors.withColumn("cell", -best.getField("negCell"))
   }
 
   private def withNorms(centroids: DataFrame): DataFrame =

@@ -19,10 +19,9 @@ import org.apache.spark.sql.functions._
   *   - one `posexplode` projection turns the corpus into (vec_id, sub, sqv)
   *     rows, so ALL m codebooks train in the same jobs — no per-subspace
   *     driver loop;
-  *   - assignment is argmin-L2 via `min_by` over exact integer
-  *     ‖c‖² − 2⟨x,c⟩ (the ‖x‖² term is constant per argmin group), a
-  *     partially-aggregable shape with map-side combine — no window over
-  *     the corpus;
+  *   - assignment is argmin-L2 over exact integer ‖c‖² − 2⟨x,c⟩ (the ‖x‖²
+  *     term is constant per argmin group), unrolled into one shuffle-free
+  *     codegen'd projection over codebook literals (see [[assign]]);
   *   - codebook update = exact long sums per (sub, cell, dim), means
   *     rounded back to the same 1e4 integer scale (L2 needs centroids and
   *     vectors on ONE scale — unlike the cosine-only [[IvfIndex]], which
@@ -48,19 +47,44 @@ object PqIndex {
 
   /** Nearest centroid per (vec_id, sub) by exact integer L2 argmin;
     * `centroids`: (sub, cell, cq). Keeps `sqv` on the output row (needed by
-    * the update step) — it is constant within each argmin group, so riding
-    * it through `min_by` is free.
+    * the update step).
+    *
+    * r14 shape (the [[IvfIndex.assign]] rewrite): the codebook is KB-scale
+    * driver state (m·ks rows — the same scale [[materialize]] already
+    * collects every Lloyd step), so the argmin unrolls into ONE codegen'd
+    * projection — per subspace, `least(struct(‖c‖² − 2⟨x,c⟩, cell))` over
+    * its ks centroid literals, dispatched by a `when` chain on `sub` —
+    * instead of the r9–r13 broadcast join (ks× row multiplication) +
+    * (vec_id, sub)-exchange + min_by aggregate. Exact integer distances
+    * and the (d2, cell) lexicographic tie-break are unchanged, so codes
+    * are bit-identical; assignment is now shuffle-free.
     */
-  def assign(subvecs: DataFrame, centroids: DataFrame): DataFrame =
-    subvecs.join(broadcast(centroids), "sub")
-      .withColumn("_d2",
-        TextHash.dotQ(col("cq"), col("cq")) -
-          lit(2L) * TextHash.dotQ(col("sqv"), col("cq")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(struct(col("cell"), col("sqv")),
-        struct(col("_d2"), col("cell"))).as("_a"))
-      .select(col("vec_id"), col("sub"),
-        col("_a.cell").as("cell"), col("_a.sqv").as("sqv"))
+  def assign(subvecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val bySub = centroids.select(
+        col("sub").cast("int"), col("cell").cast("int"), col("cq"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .groupBy(_._1)
+    require(bySub.nonEmpty, "PqIndex.assign: empty codebook")
+    val choice = bySub.toSeq.sortBy(_._1).map { case (sub, cs) =>
+      val structs = cs.sortBy(_._2).map { case (_, cell, cq) =>
+        // ‖c‖² is a pure literal — computed exactly in driver long math
+        val cqdot = cq.iterator.map(x => x * x).sum
+        struct(
+          (lit(cqdot) - lit(2L) * TextHash.dotQ(col("sqv"), typedLit(cq)))
+            .as("d"),
+          lit(cell).as("cell"))
+      }
+      val best =
+        if (structs.length == 1) structs.head else least(structs.toSeq: _*)
+      (sub, best.getField("cell"))
+    }
+    val cellExpr = choice.foldRight(lit(null).cast("int")) {
+      case ((sub, cell), acc) => when(col("sub") === sub, cell).otherwise(acc)
+    }
+    subvecs.select(col("vec_id"), col("sub"),
+      cellExpr.as("cell"), col("sqv"))
+  }
 
   private def materialize(spark: SparkSession, centroids: DataFrame): DataFrame = {
     val cols = centroids.select("sub", "cell", "cq")

@@ -295,13 +295,20 @@ object Dedup extends QueryPack {
     "pipe1_clean_corpus",
     (s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      // stage 1: exact dedup
-      val keepers = d.groupBy(sha2(col("text"), 256).as("h"))
-        .agg(min(col("doc_id")).as("keeper_id"))
+      // stage 1: exact dedup — r14 (guide §2.4, the dd8 rewrite): the
+      // keeper is min(doc_id) over the hash partition, so read it off a
+      // window (exactly the oracle's own formulation below) instead of
+      // aggregate + join-back — one hash(h) exchange instead of two plus a
+      // join, and `d` is no longer consumed twice.
       val flagged = d
         .withColumn("h", sha2(col("text"), 256))
-        .join(keepers, "h")
+        .withColumn("keeper_id",
+          min(col("doc_id")).over(Window.partitionBy(col("h"))))
         .withColumn("is_exact_dup", col("doc_id") =!= col("keeper_id"))
+        // flagged feeds stage 2 (keeper tokenize) AND stage 3 (quality
+        // gate): persist so the scan + hash window run once per query —
+        // otherwise the corpus text bytes cross the h-exchange twice
+        .persist()
       // stage 2: LSH near-dup among exact keepers (dd4 pipeline)
       val bands = flagged.filter(!col("is_exact_dup"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -392,8 +399,11 @@ object Dedup extends QueryPack {
         .filter(col("sig_agreement") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
       val cc = graft.operators.ConnectedComponents.run(edges, "doc_a", "doc_b")
-      val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, "component")
+      // r14 (guide §2.4, the tx16 pattern): cluster size as a count window
+      // over the component key instead of aggregate + join-back — one
+      // exchange on the node-sized labels instead of two plus a join.
+      cc.withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("component"))))
         .select(col("vertex").as("doc_id"), col("component").as("cluster_id"),
           col("cluster_size"))
     },
@@ -433,12 +443,14 @@ object Dedup extends QueryPack {
       val cc = dedupClusters.run(s, dir)
       val lens = docs(s, dir).select(col("doc_id"), length(col("text")).as("n"))
       val sized = cc.join(lens, "doc_id")
-      val rk = row_number().over(
-        Window.partitionBy(col("cluster_id"))
-          .orderBy(col("n").desc, col("doc_id")))
-      val keepers = sized.withColumn("rk", rk).filter(col("rk") === 1)
-        .select(col("cluster_id"), col("doc_id").as("keeper_id"))
-      sized.join(keepers, "cluster_id")
+      // r14: the keeper is the FIRST row of each cluster under the election
+      // order, so read it off with first() over the ordered window instead
+      // of electing via row_number + filter + join-back — the join (and the
+      // second pass over `sized` feeding its probe side) disappears; one
+      // cluster-keyed exchange remains.
+      val keeperW = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n").desc, col("doc_id"))
+      sized.withColumn("keeper_id", first(col("doc_id")).over(keeperW))
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           col("keeper_id"), (col("doc_id") === col("keeper_id")).as("is_keeper"))
     },
@@ -650,8 +662,14 @@ object Dedup extends QueryPack {
       val joined = (2 to K).foldLeft(slice(col("t"), lit(1), n)) { (acc, j) =>
         zip_with(acc, slice(col("t"), lit(j), n), (a, b) => concat_ws(" ", a, b))
       }
+      // r14: the window-fingerprint relation feeds BOTH the repeat
+      // aggregate and the hit join — persist it so the tokenize +
+      // K-way zip_with + polyHash pipeline (the expensive part) runs once
+      // per corpus pass instead of twice. Rows are (doc_id, pos, fp) —
+      // ~20 bytes each, token-count-bounded, disk-spillable.
       val w = toks.select(col("doc_id"),
         posexplode(transform(joined, x => polyHash(x))).as(Seq("pos", "fp")))
+        .persist()
       val rep = w.groupBy(col("fp"))
         .agg(count_distinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("fp"))
@@ -820,8 +838,10 @@ object Dedup extends QueryPack {
         .filter(col("cosine") >= 0.3)
         .select(col("src"), col("dst"))
       val cc = graft.operators.ConnectedComponents.run(edges, "src", "dst")
-      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, "component")
+      // r14: count window over the component key (see dd7) — drops the
+      // aggregate + join-back pair for one node-sized exchange.
+      cc.withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("component"))))
         .select(col("vertex").as("vec_id"), col("component").as("cluster_id"),
           col("cluster_size"))
     },
@@ -880,8 +900,14 @@ object Dedup extends QueryPack {
       }
       val w = toks.select(col("doc_id"),
         posexplode(transform(joined, x => polyHash(x))).as(Seq("pos", "fp")))
-      val keepers = w.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-      val scrub = w.join(keepers, "fp")
+      // r14 (guide §2.4, the dd8/pipe1 rewrite): the canonical occurrence is
+      // min(doc_id) over the fp partition — a window reads it off each row
+      // directly, so the aggregate + join-back pair AND the second run of
+      // the fingerprint pipeline feeding the join's probe side both vanish
+      // (one fp-keyed exchange total).
+      val scrub = w
+        .withColumn("keeper", min(col("doc_id")).over(
+          Window.partitionBy(col("fp"))))
         .filter(col("doc_id") > col("keeper"))
         .select(col("doc_id"), col("pos"))
       val grp = col("pos") - row_number().over(

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GQuery, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity resolution / record linkage — the canonical "same real-world thing,
@@ -111,8 +112,11 @@ object EntityResolution extends QueryPack {
     (s, dir) => {
       val pairs = candidatePairs.run(s, dir)
       val cc = graft.operators.ConnectedComponents.run(pairs, "name_a", "name_b")
-      val sizes = cc.groupBy("component").agg(count(lit(1)).as("n_variants"))
-      cc.join(sizes, "component")
+      // r14: variant count as a count window over the component key (the
+      // dd7 rewrite) — one node-sized exchange instead of aggregate +
+      // join-back.
+      cc.withColumn("n_variants",
+          count(lit(1)).over(Window.partitionBy(col("component"))))
         .select(col("vertex").as("name"), col("component").as("entity_id"),
           col("n_variants"))
     },

@@ -458,14 +458,22 @@ object Relational extends QueryPack {
     * LATE (> 90 days after the order date) on multi-supplier orders where
     * every OTHER supplier shipped on time — i.e. an EXISTS and a NOT
     * EXISTS both correlated against the same fact table the outer row
-    * comes from. Expressed as the join forms Catalyst decorrelates those
-    * subqueries into anyway: the fact collapses to distinct
-    * (order, supplier, late) participation rows first (fact-sized →
-    * participation-sized), then one semi-join (some other supplier
-    * exists) and one anti-join (no other LATE supplier exists), both
-    * hash joins on the uniform order key with the supplier-inequality as
-    * a residual filter — never a per-row re-scan of lineitem. The
-    * supplier dimension broadcasts; top-20 is TakeOrderedAndProject.
+    * comes from.
+    *
+    * r14 shape (guide §2.4/§3.3): both correlated subqueries are
+    * PER-ORDER set predicates, so instead of decorrelating them into a
+    * semi-join + an anti-join against the participation relation (the
+    * r9–r13 shape: distinct → repartition → persist → 2 shuffled-hash
+    * joins), fold the whole candidate test into one order-keyed
+    * aggregation chain — per (order, supplier) any-late, then per order
+    * (n suppliers, n late suppliers, the sole late supplier); a
+    * candidate order is exactly `n_late = 1 AND n_supp >= 2`. Every
+    * stage of the chain is a hash aggregate with MAP-SIDE partials, so
+    * each of its exchanges moves participation-sized (then order-sized)
+    * rows, never fact rows — and the persist, both join builds, and the
+    * 3× cache scan of the r13 shape all disappear (measured plan:
+    * 22 → 10 Exchange, 4 → 0 ShuffledHashJoin; PlanSpec pins the shape).
+    * The supplier dimension broadcasts; top-20 is TakeOrderedAndProject.
     */
   val q14SoleLate = GQuery(
     "q14_sole_late_supplier",
@@ -475,28 +483,18 @@ object Relational extends QueryPack {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > date_add(col("o_orderdate"), 90)).as("late"))
-        .distinct()
-        // cache hash-partitioned on the key all three consumers join on
-        // (the g1 edge-cache shape): the semi and anti joins then consume
-        // the cached partitioning instead of re-exchanging it three times
-        .repartition(col("l_orderkey"))
-        .persist()
-      val lateP = lo.filter(col("late"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-      // no distinct: semi/anti joins are set-semantics on the probe side
-      // already, so deduplicating the build side only adds a shuffle
-      val anyOther = lo
-        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("s2"))
-      val lateOther = lo.filter(col("late"))
-        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("s3"))
-      val cand = lateP
-        .join(anyOther.hint("shuffle_hash"),
-          col("l_orderkey") === col("ok2") &&
-            col("s2") =!= col("l_suppkey"), "left_semi")
-        .join(lateOther.hint("shuffle_hash"),
-          col("l_orderkey") === col("ok3") &&
-            col("s3") =!= col("l_suppkey"), "left_anti")
-      val counts = cand.groupBy(col("l_suppkey"))
+      val perSupp = lo
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("any_late"))
+      val perOrder = perSupp
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_supp"),
+          sum(when(col("any_late"), 1L).otherwise(0L)).as("n_late"),
+          max(when(col("any_late"), col("l_suppkey"))).as("sole_supp"))
+      val counts = perOrder
+        .filter(col("n_late") === 1 && col("n_supp") >= 2)
+        .groupBy(col("sole_supp").as("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
       counts
         .join(broadcast(t(s, dir, "supplier")

@@ -157,11 +157,19 @@ object Sampling extends QueryPack {
         .withColumn("n_tokens", nTok.cast("long"))
         .filter(col("n_tokens") >= 5 &&
           length(col("text")).cast("double") / col("n_tokens").cast("double") <= 15.0)
-      val keepers = base.groupBy(sha2(col("text"), 256).as("h"))
-        .agg(min(col("doc_id")).as("keeper_id"))
+      // r14 (guide §2.4, the dd8/pipe1 rewrite): keeper = min(doc_id) over
+      // the hash partition (the oracle's own window form) — one hash(h)
+      // exchange instead of aggregate + join-back, and `base` (scan +
+      // tokenize gate) runs once instead of twice. `uniq` then feeds BOTH
+      // the decontamination explode and the final anti-join — persist it so
+      // the gated scan + window run once per query, not twice (same
+      // reasoning as pipe4/dd13; disk-spillable, freed by the bench after
+      // each query).
       val uniq = base.withColumn("h", sha2(col("text"), 256))
-        .join(keepers, "h")
+        .withColumn("keeper_id",
+          min(col("doc_id")).over(Window.partitionBy(col("h"))))
         .filter(col("doc_id") === col("keeper_id"))
+        .persist()
       val probes = d.filter(col("doc_id") < 5)
         .select(explode(shinglesK(tokens(col("text")), 4)).as("shingle"))
         .distinct()

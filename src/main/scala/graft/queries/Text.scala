@@ -295,9 +295,18 @@ object Text extends QueryPack {
           (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg"))))
         .as(Seq("p", "v")))
         .select(col("doc_id"), col("v.w1").as("w1"), col("v.bg").as("bigram"))
+      // r14 (guide §2.3 "aggregate before you shuffle"): the left-context
+      // total is a ROLLUP of the bigram counts (n_left = Σ n_bigram over
+      // w1), so derive it from the model-sized `counts` relation instead of
+      // a second full-corpus aggregation of `flat` — one fewer tokenize
+      // pass and one fewer instance-sized exchange. `counts` feeds both
+      // the rollup and the model join → persist the (small) model relation
+      // so the remaining pipeline pass runs once.
       val counts = flat.groupBy(col("w1"), col("bigram"))
         .agg(count(lit(1)).as("n_bigram"))
-      val lefts = flat.groupBy(col("w1")).agg(count(lit(1)).as("n_left"))
+        .persist()
+      val lefts = counts.groupBy(col("w1"))
+        .agg(sum(col("n_bigram")).as("n_left"))
       val model = counts.join(lefts, "w1")
       flat.join(model, Seq("w1", "bigram"))
         .withColumn("inv_p_micro", expr("n_left * 1000000L div n_bigram"))
@@ -1149,9 +1158,15 @@ object Text extends QueryPack {
     (s, dir) => {
       val q = quality.run(s, dir).select(col("doc_id"), col("stopword_ratio"))
       val d = dupNgramRate.run(s, dir).select(col("doc_id"), col("dup_rate"))
+      // r14: `joined` feeds BOTH the decile-boundary histogram and the
+      // final per-decile rollup — without a persist each consumer re-runs
+      // the two full text pipelines (tx2 stopword scan + tx16 shingle
+      // window) behind it. Doc-count-sized rows (4 scalars), so the cache
+      // is corpus-row-bounded, never corpus-byte-bounded.
       val joined = q.join(d, "doc_id")
         .withColumn("r_m",
           floor(col("stopword_ratio") * 100000).cast("long"))
+        .persist()
       val cum = joined.groupBy(col("r_m")).agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(
           Window.orderBy(col("r_m"))

@@ -352,12 +352,18 @@ object Windows extends QueryPack {
     * funnel (a click before any view does not count) every product
     * analytics stack computes.
     *
-    * Plan shape: session ids come from the lag/running-sum idiom (row-level
-    * ids, which `session_window`'s aggregate-only API cannot give); the
-    * three funnel stages are conditional MIN aggregates over the same
-    * (user_id, session_id) key — the exchange is reused across stages, and
-    * every stage's state is one timestamp per session. Gap comparison is
-    * exact integer epoch-ms (no interval semantics drift).
+    * Plan shape (r14, guide §2.4): session ids come from the lag/running-sum
+    * idiom (row-level ids, which `session_window`'s aggregate-only API
+    * cannot give); the three funnel stages are conditional MINs computed as
+    * a CHAIN OF WINDOWS over the session key — each stage's cutoff
+    * (view_ts, then click_ts) is a per-session constant the next stage
+    * reads off its own row, so the whole cascade needs ONE exchange on
+    * hash(user_id) (the session windows' ClusteredDistribution is satisfied
+    * by the user partitioning) and one final aggregate — the r9–r13 shape
+    * re-ran the sessionization three times and re-attached each stage with
+    * a (user, sid)-keyed join, i.e. three corpus passes + five shuffles for
+    * the same rows. Gap comparison is exact integer epoch-ms (no interval
+    * semantics drift).
     */
   val funnel = GQuery(
     "w15_session_funnel",
@@ -372,20 +378,23 @@ object Windows extends QueryPack {
             .otherwise(0L))
         .withColumn("sid", sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val v = base.groupBy(col("user_id"), col("sid"))
+      val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      val staged = base
+        .withColumn("view_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(bySession))
+        .withColumn("click_ts",
+          min(when(col("event_type") === "click" &&
+            col("ts") >= col("view_ts"), col("ts"))).over(bySession))
+        .withColumn("purchase_ts",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("click_ts"), col("ts"))).over(bySession))
+      staged.groupBy(col("user_id"), col("sid"))
         .agg(
           min(col("ts")).as("session_start"),
           count(lit(1)).as("n_events"),
-          min(when(col("event_type") === "view", col("ts"))).as("view_ts"))
-      val c = base.join(v, Seq("user_id", "sid"))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(min(when(col("event_type") === "click" &&
-          col("ts") >= col("view_ts"), col("ts"))).as("click_ts"))
-      val p = base.join(c, Seq("user_id", "sid"))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(min(when(col("event_type") === "purchase" &&
-          col("ts") >= col("click_ts"), col("ts"))).as("purchase_ts"))
-      v.join(c, Seq("user_id", "sid")).join(p, Seq("user_id", "sid"))
+          first(col("view_ts")).as("view_ts"),
+          first(col("click_ts")).as("click_ts"),
+          first(col("purchase_ts")).as("purchase_ts"))
         .select(col("user_id"), col("session_start"), col("n_events"),
           col("view_ts").isNotNull.as("reached_view"),
           col("click_ts").isNotNull.as("reached_click"),

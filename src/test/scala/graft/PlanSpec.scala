@@ -600,13 +600,19 @@ class PlanSpec extends AnyFunSuite {
       s"dd17 degraded to a pairwise join:\n$p")
   }
 
-  test("q14: both correlated quantifiers plan as hash semi/anti joins") {
+  test("q14: the quantifier pair folds into one aggregation chain — no fact joins") {
+    // r14: the semi+anti decorrelation was replaced by per-(order, supplier)
+    // → per-order conditional aggregation (see Relational.q14SoleLate).
+    // Pins: NO join over the fact side at all (the only joins left are the
+    // broadcast supplier dim), the chain is hash aggregates with map-side
+    // partials, and top-20 stays TakeOrderedAndProject.
     val p = plan("q14_sole_late_supplier")
-    assert(p.contains("LeftSemi"), s"EXISTS lost its semi join:\n$p")
-    assert(p.contains("LeftAnti"), s"NOT EXISTS lost its anti join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"),
-      s"correlation degraded to a nested loop:\n$p")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"the aggregation rewrite regressed to decorrelated joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"a fact-side shuffle join crept back in:\n$p")
+    assert(p.contains("partial_"), s"candidate chain lost map-side combine:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 planned a global sort:\n$p")
   }
