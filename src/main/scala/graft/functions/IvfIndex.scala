@@ -48,7 +48,11 @@ object IvfIndex {
         col("cnorm").cast("double")).collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
       .sortBy(_._1)
-    require(cents.nonEmpty, "IvfIndex.assign: empty centroid model")
+    // degenerate-model contract parity with the r9–r13 join shape: an
+    // empty model assigned NO vector a cell (crossJoin with an empty
+    // broadcast side), so an empty result — never a throw, never nulls
+    if (cents.isEmpty)
+      return vectors.withColumn("cell", lit(null).cast("int")).limit(0)
     val scored = cents.map { case (cell, cq, cnorm) =>
       struct(
         (TextHash.dotQ(col("qv"), typedLit(cq)).cast("double") /

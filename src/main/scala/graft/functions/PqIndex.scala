@@ -65,7 +65,6 @@ object PqIndex {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
       .groupBy(_._1)
-    require(bySub.nonEmpty, "PqIndex.assign: empty codebook")
     val choice = bySub.toSeq.sortBy(_._1).map { case (sub, cs) =>
       val structs = cs.sortBy(_._2).map { case (_, cell, cq) =>
         // ‖c‖² is a pure literal — computed exactly in driver long math
@@ -79,10 +78,17 @@ object PqIndex {
         if (structs.length == 1) structs.head else least(structs.toSeq: _*)
       (sub, best.getField("cell"))
     }
+    // contract parity with the r9–r13 inner join on "sub": a sub-vector
+    // whose subspace has no codebook entry was DROPPED (and an empty
+    // codebook assigned nothing) — never kept with a null code. The
+    // when-chain alone would fall through to null, so filter the
+    // unmatched subs out explicitly.
+    val knownSub = bySub.keys.toSeq.sorted
+      .foldRight(lit(false)) { (sub, acc) => (col("sub") === sub) || acc }
     val cellExpr = choice.foldRight(lit(null).cast("int")) {
       case ((sub, cell), acc) => when(col("sub") === sub, cell).otherwise(acc)
     }
-    subvecs.select(col("vec_id"), col("sub"),
+    subvecs.filter(knownSub).select(col("vec_id"), col("sub"),
       cellExpr.as("cell"), col("sqv"))
   }
 

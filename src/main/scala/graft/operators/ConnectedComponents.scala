@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** [[run]]'s output with a `component_size` column — the shared r14
+    * idiom (dd7/dd16/er2): size = count window over the component key, one
+    * node-sized exchange, never aggregate + join-back.
+    */
+  def runWithSize(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      maxRounds: Int = 25): DataFrame =
+    run(edges, src, dst, maxRounds).withColumn("component_size",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+
   /** @param edges undirected edge list (both orientations are derived)
     * @param src   source vertex column (integral id)
     * @param dst   destination vertex column

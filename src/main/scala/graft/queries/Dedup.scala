@@ -398,14 +398,12 @@ object Dedup extends QueryPack {
       val edges = lshCandidates.run(s, dir)
         .filter(col("sig_agreement") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-      val cc = graft.operators.ConnectedComponents.run(edges, "doc_a", "doc_b")
-      // r14 (guide §2.4, the tx16 pattern): cluster size as a count window
-      // over the component key instead of aggregate + join-back — one
-      // exchange on the node-sized labels instead of two plus a join.
-      cc.withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("component"))))
+      // r14 (guide §2.4): cluster size as a count window over the component
+      // key instead of aggregate + join-back — one exchange on the
+      // node-sized labels instead of two plus a join (shared helper).
+      graft.operators.ConnectedComponents.runWithSize(edges, "doc_a", "doc_b")
         .select(col("vertex").as("doc_id"), col("component").as("cluster_id"),
-          col("cluster_size"))
+          col("component_size").as("cluster_size"))
     },
     lshCandidates.oracle.map(dd4Sql => s"""
       ${ccSqlPrefix(dd4Sql)}
@@ -837,13 +835,10 @@ object Dedup extends QueryPack {
             .as("cosine"))
         .filter(col("cosine") >= 0.3)
         .select(col("src"), col("dst"))
-      val cc = graft.operators.ConnectedComponents.run(edges, "src", "dst")
-      // r14: count window over the component key (see dd7) — drops the
-      // aggregate + join-back pair for one node-sized exchange.
-      cc.withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("component"))))
+      // r14: count window over the component key (see dd7's helper note).
+      graft.operators.ConnectedComponents.runWithSize(edges, "src", "dst")
         .select(col("vertex").as("vec_id"), col("component").as("cluster_id"),
-          col("cluster_size"))
+          col("component_size").as("cluster_size"))
     },
     Some(s"""
       WITH RECURSIVE q0 AS (

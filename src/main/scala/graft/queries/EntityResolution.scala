@@ -111,14 +111,11 @@ object EntityResolution extends QueryPack {
     "er2_entity_clusters",
     (s, dir) => {
       val pairs = candidatePairs.run(s, dir)
-      val cc = graft.operators.ConnectedComponents.run(pairs, "name_a", "name_b")
-      // r14: variant count as a count window over the component key (the
-      // dd7 rewrite) — one node-sized exchange instead of aggregate +
-      // join-back.
-      cc.withColumn("n_variants",
-          count(lit(1)).over(Window.partitionBy(col("component"))))
+      // r14: variant count via the shared count-window helper — one
+      // node-sized exchange instead of aggregate + join-back.
+      graft.operators.ConnectedComponents.runWithSize(pairs, "name_a", "name_b")
         .select(col("vertex").as("name"), col("component").as("entity_id"),
-          col("n_variants"))
+          col("component_size").as("n_variants"))
     },
     Some(s"""
       $ccSql

@@ -371,6 +371,13 @@ object Windows extends QueryPack {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val base = ev(s, dir)
+        // NULL-key parity with the oracle (and with the pre-r14 join-back
+        // shape): the oracle's stage joins on user_id, which drops
+        // NULL-user sessions, while a window PARTITION BY groups NULLs
+        // into one partition and would keep them — filter explicitly so
+        // the window rewrite cannot diverge on data that carries NULL ids
+        // (the fixtures don't today; this pins the semantics, not a bug).
+        .filter(col("user_id").isNotNull)
         .withColumn("ms", expr("unix_millis(ts)"))
         .withColumn("new_session",
           when(lag(col("ms"), 1).over(byUser).isNull ||

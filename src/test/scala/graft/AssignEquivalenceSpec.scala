@@ -42,9 +42,12 @@ class AssignEquivalenceSpec extends AnyFunSuite {
 
     assert(got.schema("cell").dataType === ref.schema("cell").dataType,
       "cell dtype drifted from the join-shape original")
-    val g = got.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    val r = ref.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    assert(g.nonEmpty && g === r)
+    val g = got.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val r = ref.collect().map(r => (r.getLong(0), r.getInt(1)))
+    // cardinality first, then set equality — a Set compare alone would
+    // hide a duplicate-row regression (e.g. a lost rank-1 filter)
+    assert(g.length === r.length, "row cardinality drifted")
+    assert(g.nonEmpty && g.toSet === r.toSet)
   }
 
   test("PqIndex.assign ≡ broadcast join + min_by reference (codes, ties, dtype)") {
@@ -65,8 +68,9 @@ class AssignEquivalenceSpec extends AnyFunSuite {
 
     assert(got.schema("cell").dataType === ref.schema("cell").dataType,
       "cell dtype drifted from the join-shape original")
-    val g = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    val r = ref.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    assert(g.nonEmpty && g === r)
+    val g = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val r = ref.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(g.length === r.length, "row cardinality drifted")
+    assert(g.nonEmpty && g.toSet === r.toSet)
   }
 }
