@@ -43,11 +43,15 @@ object Bench {
     val load1mStart = loadAvg
     val (spinBefore, shufBefore, latBefore) =
       if (probeOn) probe() else (-1.0, -1.0, -1.0)
-    // baseline cache set = the shared fixture relations warmed above; any
-    // persist() created INSIDE a query (dd2/dd4/dd10/pipe1/sim7 build sides)
-    // is freed after that query so storage memory doesn't accumulate dead
-    // cache across the ~85-query sweep (matters most on contended hosts)
-    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    // any persist() created INSIDE a query (dd2/dd4/dd10/pipe1/sim7 build
+    // sides) is freed after that query so storage memory doesn't accumulate
+    // across the sweep; the shared per-session fixture relations are kept.
+    // r14: the sweep moved from rdd.unpersist() (which left the
+    // CacheManager REGISTRATION behind, silently turning every later
+    // same-canonical-plan persist into a dead no-op — er3/er4 after er2,
+    // dd8/dd16 after dd7 recomputed their CC edge cache through a dead
+    // InMemoryRelation every round) to GraftCaches.sweepExcept, which
+    // removes registration + blocks together so re-persists work.
     // per-query START offsets (sec since sweep start) ride along in the full
     // JSON: the first probed run showed a phase can begin MID-sweep
     // (probe-before 1.7 s vs probe-after 8.6 s), and offsets let a reader
@@ -71,9 +75,8 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => keep(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      org.apache.spark.sql.GraftCaches.sweepExcept(spark,
+        graft.blocks.FixtureSource.cachedFrames)
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -15,9 +15,9 @@ object Verify {
     // the Bench sweep (r14): several queries persist() an intra-query
     // diamond (dd2/dd13/pipe1/pipe2/pipe4/tx9/sk4/...); across a 223-query
     // single-session dump those caches would otherwise accumulate and force
-    // LRU churn for every later query — free each query's caches once its
-    // dump lands, keeping only the relations warmed before the loop
-    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    // LRU churn for every later query — free each query's caches (blocks
+    // AND CacheManager registration, so later same-plan persists still
+    // work) once its dump lands, keeping the shared fixture relations
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -27,9 +27,8 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => keep(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      org.apache.spark.sql.GraftCaches.sweepExcept(spark,
+        graft.blocks.FixtureSource.cachedFrames)
     }
     // fitted-model dumps: the oracle replays sim5/sim7's post-fit stages in
     // SQL from these relations (written INSIDE each query's dir so the

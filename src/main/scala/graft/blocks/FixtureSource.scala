@@ -62,10 +62,22 @@ object FixtureSource {
   private val rawCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Long, Long, Boolean), DataFrame]
   private def cached(spark: SparkSession, dir: String, from: Long, to: Long,
-                     historical: Boolean)(build: => DataFrame): DataFrame =
-    rawCache.getOrElseUpdate(
+                     historical: Boolean)(build: => DataFrame): DataFrame = {
+    val df = rawCache.getOrElseUpdate(
       (System.identityHashCode(spark), dir, from, to, historical),
       build.persist())
+    // self-heal (r14): a harness cache sweep may have cleared this
+    // relation's CacheManager entry — re-persist the memoized handle so the
+    // next action re-materializes it once instead of every consumer
+    // rebuilding the scan+join uncached forever after
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
+
+  /** The live per-session fixture relations — what a harness cache sweep
+    * must KEEP (every block query shares them). */
+  def cachedFrames: Seq[DataFrame] = rawCache.values.toSeq
 
   /** Full blocks (`/block` + `/block_results` merged per height) →
     * [[BlockSchemas.raw]] rows. `from`/`to` bound the height range (S1

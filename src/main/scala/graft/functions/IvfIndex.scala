@@ -41,6 +41,10 @@ object IvfIndex {
     * bit-identical: `greatest` and the old `ORDER BY _cos DESC, cell`
     * both use Spark's total ordering on doubles (NaN greatest), and the
     * negated cell makes the struct max prefer the smallest cell on ties.
+    *
+    * NB EAGER in `centroids`: the model is collected AT CALL TIME (it is
+    * KB-scale by contract), so the returned plan snapshots the model —
+    * callers must pass a finished model, not a plan they intend to mutate.
     */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(

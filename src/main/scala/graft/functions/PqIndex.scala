@@ -58,6 +58,9 @@ object PqIndex {
     * (vec_id, sub)-exchange + min_by aggregate. Exact integer distances
     * and the (d2, cell) lexicographic tie-break are unchanged, so codes
     * are bit-identical; assignment is now shuffle-free.
+    *
+    * NB EAGER in `centroids` (see [[IvfIndex.assign]]): the codebook is
+    * collected at call time; pass a finished model.
     */
   def assign(subvecs: DataFrame, centroids: DataFrame): DataFrame = {
     val bySub = centroids.select(
@@ -83,8 +86,9 @@ object PqIndex {
     // codebook assigned nothing) — never kept with a null code. The
     // when-chain alone would fall through to null, so filter the
     // unmatched subs out explicitly.
-    val knownSub = bySub.keys.toSeq.sorted
-      .foldRight(lit(false)) { (sub, acc) => (col("sub") === sub) || acc }
+    val knownSub =
+      if (bySub.isEmpty) lit(false)
+      else col("sub").isin(bySub.keys.toSeq.sorted: _*)
     val cellExpr = choice.foldRight(lit(null).cast("int")) {
       case ((sub, cell), acc) => when(col("sub") === sub, cell).otherwise(acc)
     }
