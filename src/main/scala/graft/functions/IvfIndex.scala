@@ -74,13 +74,19 @@ object IvfIndex {
 
   /** Materialize the (tiny) centroid model and rebuild it as a fresh local
     * relation, cutting the Lloyd lineage per iteration.
+    *
+    * r15: a LocalRelation (createDataFrame over the collected rows), not a
+    * parallelize(rows, 1) RDD — the model is consumed by collect()s (every
+    * [[assign]] call) and broadcast builds, and over a LocalRelation both
+    * run driver-local with NO Spark job, where the RDD shape paid one
+    * scheduler round-trip per consumption (measured: several jobs per sim*
+    * query, each a full driver latency on small scale factors).
     */
   private def materialize(spark: SparkSession, centroids: DataFrame): DataFrame = {
-    val rows = centroids.select("cell", "cq").collect().toSeq
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      org.apache.spark.sql.types.StructType(
-        centroids.select("cell", "cq").schema.fields))
+    val cols = centroids.select("cell", "cq")
+    val rows = java.util.Arrays.asList(cols.collect(): _*)
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(cols.schema.fields))
   }
 
   /** `iters` Lloyd steps from the deterministic init; returns the corpus

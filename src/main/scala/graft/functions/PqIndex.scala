@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) for ANN at scale: each vector is split into
@@ -96,11 +96,13 @@ object PqIndex {
       cellExpr.as("cell"), col("sqv"))
   }
 
+  /** LocalRelation, not an RDD (see [[IvfIndex.materialize]]): collects and
+    * broadcast builds over the model then run driver-local, job-free.
+    */
   private def materialize(spark: SparkSession, centroids: DataFrame): DataFrame = {
     val cols = centroids.select("sub", "cell", "cq")
-    val rows = cols.collect().toSeq
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+    val rows = java.util.Arrays.asList(cols.collect(): _*)
+    spark.createDataFrame(rows,
       org.apache.spark.sql.types.StructType(cols.schema.fields))
   }
 
@@ -129,13 +131,79 @@ object PqIndex {
               round(e("s").cast("double") / e("n").cast("double"))
                 .cast("long")).as("cq")))
     }
-    val codes = assign(sv, centroids)
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("cell")))).as("a"))
-      .select(col("vec_id"), transform(col("a"), x => x("cell")).as("codes"))
-    // sv stays cached for the (lazy) encode pass; it is the m·n compact
-    // sub-vector relation, evicted LRU with the session — a real deployment
-    // would instead write `codes` out as the persistent index artifact.
+    // r15: encode via ONE projection over the unexploded vectors instead of
+    // assign(sv) → groupBy(vec_id) → collect_list — same argmin, same
+    // tie-break, bit-identical codes, but no m× row explosion and no
+    // vec_id exchange for the encode pass (the sv cache now only feeds the
+    // Lloyd updates).
+    val codes = encode(vectors, centroids, subDim)
+      .select(col("vec_id"), col("codes"))
     (centroids, codes)
+  }
+
+  /** The corpus encode as ONE codegen'd projection over the UNEXPLODED
+    * vector column (r15; guide §2.4): per codebook subspace (in `sub`
+    * order), argmin-L2 over that subspace's centroid literals with the
+    * exact integer ‖c‖² − 2⟨x_sub, c⟩ distance and (d2, cell) tie-break —
+    * the same arithmetic as [[assign]], so codes are bit-identical to the
+    * explode → assign → groupBy(vec_id) → sorted collect_list path this
+    * replaces (pinned by AssignEquivalenceSpec), without the m× row
+    * explosion or the vec_id exchange. Keeps every input column and adds
+    * `codes` (array<int> over the codebook's subspaces in sorted order —
+    * exactly the old sorted collect_list shape, including when a subspace
+    * is absent from the codebook). Contract parity: empty codebook →
+    * empty result, like the join shape and [[assign]].
+    *
+    * NB EAGER in `centroids` (the [[assign]] contract): collected at call
+    * time; pass a finished model.
+    */
+  def encode(vectors: DataFrame, centroids: DataFrame, subDim: Int): DataFrame = {
+    val bySub = centroids.select(
+        col("sub").cast("int"), col("cell").cast("int"), col("cq"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .groupBy(_._1)
+    if (bySub.isEmpty)
+      return vectors
+        .withColumn("codes", lit(null).cast("array<int>")).limit(0)
+    val codeExprs = bySub.toSeq.sortBy(_._1).map { case (sub, cs) =>
+      // the slice is referenced once per centroid term; codegen's
+      // subexpression elimination computes it once per row
+      val sqv = slice(col("qv"), sub * subDim + 1, subDim)
+      val structs = cs.sortBy(_._2).map { case (_, cell, cq) =>
+        val cqdot = cq.iterator.map(x => x * x).sum // exact driver long math
+        struct(
+          (lit(cqdot) - lit(2L) * TextHash.dotQ(sqv, typedLit(cq))).as("d"),
+          lit(cell).as("cell"))
+      }
+      (if (structs.length == 1) structs.head else least(structs.toSeq: _*))
+        .getField("cell")
+    }
+    vectors.withColumn("codes", array(codeExprs: _*))
+  }
+
+  /** The ADC sum Σ_sub rdots[pos(sub, codes[sub])] as ONE codegen'd
+    * expression (r15; guide §2.4): replaces the posexplode(codes) ×m →
+    * broadcast LUT join → (query, vec) re-aggregation pipeline. `rdots`
+    * must be the per-query LUT folded to an array SORTED BY (sub, code) —
+    * i.e. `transform(array_sort(collect_list(struct(sub, code, rdot))),
+    * x -> x.rdot)` — and `codes` the [[encode]] output; the (sub, code) →
+    * position table comes from the driver-known codebook, so a sparse
+    * codebook (dead cells, missing subspaces) indexes exactly like the
+    * join did. Same integer terms in a different association — long sums
+    * are exact, so the result is bit-identical to join + sum().
+    */
+  def adcLookupSum(centroids: DataFrame, codes: Column, rdots: Column): Column = {
+    val keys = centroids.select(col("sub").cast("int"), col("cell").cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    require(keys.nonEmpty, "adcLookupSum needs a non-empty codebook")
+    val posOf = keys.zipWithIndex
+      .map { case ((sub, code), i) => (sub * 1024 + code) -> i }.toMap
+    val sortedSubs = keys.map(_._1).distinct.sorted
+    sortedSubs.zipWithIndex.map { case (sub, j) =>
+      element_at(rdots,
+        element_at(typedLit(posOf),
+          lit(sub * 1024) + element_at(codes, lit(j + 1))) + 1)
+    }.reduce(_ + _)
   }
 }

@@ -256,9 +256,13 @@ object Similarity extends QueryPack {
     "sim5_knn_ivf_trained",
     (s, dir) => {
       val q = quantized(s, dir)
-      val cells = graft.functions.IvfIndex.fit(
-        s, q.select(col("vec_id"), col("qv")), k = 8, iters = 2)
-      val corpus = q.join(cells.select("vec_id", "cell"), "vec_id")
+      // r15: fit() passes extra columns through its assignment projection,
+      // so feeding (vec_id, qv, norm) yields the assigned corpus DIRECTLY —
+      // the r9–r14 `q ⋈ cells on vec_id` corpus self-join (a corpus-sized
+      // shuffle join re-attaching a column the assignment already carried)
+      // disappears.
+      val corpus = graft.functions.IvfIndex.fit(
+        s, q.select(col("vec_id"), col("qv"), col("norm")), k = 8, iters = 2)
       val queries = corpus.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("cell").as("q_cell"),
           col("qv").as("q_qv"), col("norm").as("q_norm"))
@@ -325,9 +329,10 @@ object Similarity extends QueryPack {
       // probe centroids (previously the model was fitted twice — once via
       // fit() for cells, once via sim5Model for centroids)
       val model = sim5Model(s, dir)
-      val cells = graft.functions.IvfIndex.assignWith(
-        q.select(col("vec_id"), col("qv")), model)
-      val corpus = q.join(cells.select("vec_id", "cell"), "vec_id")
+      // r15: assign directly on (vec_id, qv, norm) — the corpus self-join
+      // that re-attached `cell` is gone (the sim5 rationale)
+      val corpus = graft.functions.IvfIndex.assignWith(
+        q.select(col("vec_id"), col("qv"), col("norm")), model)
       val cents = model
         .withColumn("cnorm", sqrt(dotQ(col("cq"), col("cq")).cast("double")))
       val crk = row_number().over(
@@ -450,36 +455,48 @@ object Similarity extends QueryPack {
     (s, dir) => {
       val M = 4; val SubDim = 16; val Ks = 8; val Pool = 3 * K
       val q = quantized(s, dir)
-      val (codebook, codes) =
+      val (codebook, _) =
         graft.functions.PqIndex.fitEncode(s, q.select("vec_id", "qv"), M, SubDim, Ks, iters = 1)
+      // r15: codes ride the corpus scan as a projection (PqIndex.encode) —
+      // no exploded assign → groupBy(vec_id) pass, and `norm` comes along,
+      // which kills the old adc ⋈ q(norm) corpus self-join too
+      val withCodes = graft.functions.PqIndex.encode(
+        q.select(col("vec_id"), col("norm"), col("qv")), codebook, SubDim)
+        .drop("qv")
       val queries = q.filter(col("vec_id") < NQueries)
-      // per-query LUT: ⟨q_sub, centroid⟩ for every (sub, cell) — m·ks rows/query
+      // per-query LUT: ⟨q_sub, centroid⟩ for every (sub, cell), folded to
+      // ONE (sub, code)-sorted array per query + the query norm — the scan
+      // side then reads its m entries by position (PqIndex.adcLookupSum)
+      // instead of exploding ×m and re-aggregating
       val lut = graft.functions.PqIndex
         .subvectors(queries.select(col("vec_id"), col("qv")), M, SubDim)
         .withColumnRenamed("vec_id", "query_id")
         .join(broadcast(codebook), "sub")
-        .select(col("query_id"), col("sub"), col("cell"),
+        .select(col("query_id"), col("sub"), col("cell").as("code"),
           dotQ(col("sqv"), col("cq")).as("dot"))
+      val lutArr = lut
+        .groupBy(col("query_id"))
+        .agg(array_sort(collect_list(
+          struct(col("sub"), col("code"), col("dot")))).as("a"))
+        .select(col("query_id"), expr("transform(a, x -> x.dot)").as("rdots"))
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("norm").as("q_norm")), "query_id")
       // ADC: approx ⟨q, x⟩ = Σ_sub LUT[sub][code_x[sub]] — scans codes only
-      val adc = codes
-        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cell")))
-        .join(broadcast(lut), Seq("sub", "cell"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum(col("dot")).as("adc"))
+      val adcSum = graft.functions.PqIndex.adcLookupSum(
+        codebook, col("codes"), col("rdots"))
+      val approx = withCodes
+        .crossJoin(broadcast(lutArr))
         .filter(col("vec_id") =!= col("query_id"))
-      val approx = adc
-        .join(q.select(col("vec_id"), col("norm")), "vec_id")
-        .join(broadcast(queries.select(col("vec_id").as("query_id"),
-          col("norm").as("q_norm"))), "query_id")
         .select(col("query_id"), col("vec_id"),
-          (col("adc").cast("double") / (col("norm") * col("q_norm"))).as("approx_cos"))
+          (adcSum.cast("double") / (col("norm") * col("q_norm"))).as("approx_cos"))
       val cand = approx.withColumn("crk", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("approx_cos").desc, col("vec_id"))))
         .filter(col("crk") <= Pool)
-      // exact re-rank of the small pool — the only touch of full vectors
-      val rer = cand
-        .join(q.select(col("vec_id"), col("qv"), col("norm")), "vec_id")
+      // exact re-rank of the small pool — the only touch of full vectors;
+      // the bounded pool broadcasts, the corpus never shuffles
+      val rer = q.select(col("vec_id"), col("qv"), col("norm"))
+        .join(broadcast(cand.select(col("query_id"), col("vec_id"))), "vec_id")
         .join(broadcast(queries.select(col("vec_id").as("query_id"),
           col("qv").as("q_qv"), col("norm").as("q_norm"))), "query_id")
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -935,9 +952,9 @@ object Similarity extends QueryPack {
     (s, dir) => {
       val q = quantized(s, dir)
       val model = sim5Model(s, dir)
-      val cells = graft.functions.IvfIndex.assignWith(
-        q.select(col("vec_id"), col("qv")), model)
-      val corpus = q.join(cells.select("vec_id", "cell"), "vec_id")
+      // r15: assign directly — no corpus self-join (the sim5 rationale)
+      val corpus = graft.functions.IvfIndex.assignWith(
+        q.select(col("vec_id"), col("qv"), col("norm")), model)
       val cents = model
         .withColumn("cnorm", sqrt(dotQ(col("cq"), col("cq")).cast("double")))
       val crk = row_number().over(
@@ -1137,16 +1154,28 @@ object Similarity extends QueryPack {
   def sim17Model(s: SparkSession, dir: String): DataFrame = {
     val coarse = sim5Model(s, dir)
     val q = quantized(s, dir)
-    val cells = graft.functions.IvfIndex.assignWith(
+    // r15: same residual VALUES as before, without the two attachment joins
+    // (assign carries the corpus through; the coarse centroid is a literal
+    // map lookup on the model the assignment already collected)
+    val assigned = graft.functions.IvfIndex.assignWith(
       q.select(col("vec_id"), col("qv")), coarse)
-    val resid = q.join(cells.select("vec_id", "cell"), "vec_id")
-      .join(broadcast(coarse.select(col("cell"), col("cq").as("ccq"))), "cell")
-      .select(col("vec_id"),
-        zip_with(col("qv"), col("ccq"), (a, b) => a - b).as("qv"))
+    val resid = assigned.select(col("vec_id"),
+      zip_with(col("qv"), coarseCcqOf(coarse), (a, b) => a - b).as("qv"))
     val (codebook, _) = graft.functions.PqIndex.fitEncode(
       s, resid, m = 4, subDim = 16, ks = 8, iters = 1)
     coarse.select(lit(-1).as("sub"), col("cell"), col("cq"))
       .unionByName(codebook.select(col("sub"), col("cell"), col("cq")))
+  }
+
+  /** The coarse centroid of a row's `cell`, as a literal-map lookup over
+    * the (KB-scale, already-driver-collected) coarse model — replaces the
+    * broadcast join that attached `ccq` to every corpus row. The model is
+    * a LocalRelation, so the collect here is driver-local (no job).
+    */
+  private def coarseCcqOf(coarse: DataFrame): org.apache.spark.sql.Column = {
+    val m = coarse.select(col("cell").cast("int"), col("cq")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    element_at(typedLit(m), col("cell"))
   }
 
   /** sim17: IVF-PQ — the composition production ANN indexes actually
@@ -1176,18 +1205,26 @@ object Similarity extends QueryPack {
       val M = 4; val SubDim = 16; val Pool = 3 * K; val NProbe = 2
       val q = quantized(s, dir)
       val coarse = sim5Model(s, dir)
-      val cells = graft.functions.IvfIndex.assignWith(
-        q.select(col("vec_id"), col("qv")), coarse)
-      // the assignment join feeds BOTH the residual fit and the ADC scan —
-      // persist so the coarse argmin pass runs once (freed by Bench/driver
-      // after the query like every intra-query build side)
-      val corpus = q.join(cells.select("vec_id", "cell"), "vec_id")
-        .join(broadcast(coarse.select(col("cell"), col("cq").as("ccq"))), "cell")
+      // r15 shape: assignment rides the corpus scan (no self-join), the
+      // coarse centroid is a literal map lookup (no ccq broadcast join),
+      // and the persisted corpus feeds the residual fit, the ADC scan, the
+      // probe/LUT builds AND the re-rank (one base pass for all consumers;
+      // freed by Bench/driver after the query like every intra-query cache)
+      val corpus = graft.functions.IvfIndex.assignWith(
+        q.select(col("vec_id"), col("qv"), col("norm")), coarse)
         .persist()
+      val ccq = coarseCcqOf(coarse)
       val resid = corpus.select(col("vec_id"),
-        zip_with(col("qv"), col("ccq"), (a, b) => a - b).as("qv"))
-      val (codebook, codes) = graft.functions.PqIndex.fitEncode(
+        zip_with(col("qv"), ccq, (a, b) => a - b).as("qv"))
+      val (codebook, _) = graft.functions.PqIndex.fitEncode(
         s, resid, M, SubDim, ks = 8, iters = 1)
+      // codes ride the SAME projection as the residual (PqIndex.encode is
+      // a pure argmin projection) — the r14 `codes ⋈ corpus on vec_id`
+      // self-join is gone
+      val withCodes = graft.functions.PqIndex.encode(
+        corpus.select(col("vec_id"), col("cell"), col("norm"),
+          zip_with(col("qv"), ccq, (a, b) => a - b).as("qv")),
+        codebook, SubDim).drop("qv")
       // probes: each query's 2 nearest coarse cells by cosine, with the
       // coarse dot term ⟨q, c⟩ riding the probe row
       val cents = coarse
@@ -1196,46 +1233,51 @@ object Similarity extends QueryPack {
         Window.partitionBy(col("query_id")).orderBy(
           (dotQ(col("q_qv"), col("cq")) / (col("q_norm") * col("cnorm"))).desc,
           col("cell")))
-      val probes = q.filter(col("vec_id") < NQueries)
+      val qrows = corpus.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
           col("norm").as("q_norm"))
+      val probes = qrows
         .crossJoin(broadcast(cents))
         .withColumn("crk", crk).filter(col("crk") <= NProbe)
         .select(col("query_id"), col("cell"), col("q_norm"),
           dotQ(col("q_qv"), col("cq")).as("cdot"))
-      // residual LUT: ⟨q_sub, cb[sub][code]⟩ for every (query, sub, code)
+      // residual LUT: ⟨q_sub, cb[sub][code]⟩ for every (query, sub, code),
+      // folded to ONE array per query (sorted by (sub, code) — the same
+      // order the driver-known codebook enumerates below), so the ADC scan
+      // reads its 4 entries by position instead of joining ×4 exploded rows
       val lut = graft.functions.PqIndex
-        .subvectors(q.filter(col("vec_id") < NQueries)
+        .subvectors(corpus.filter(col("vec_id") < NQueries)
           .select(col("vec_id"), col("qv")), M, SubDim)
         .withColumnRenamed("vec_id", "query_id")
         .join(broadcast(codebook), "sub")
         .select(col("query_id"), col("sub"), col("cell").as("code"),
           dotQ(col("sqv"), col("cq")).as("rdot"))
+      val lutArr = lut
+        .groupBy(col("query_id"))
+        .agg(array_sort(collect_list(
+          struct(col("sub"), col("code"), col("rdot")))).as("a"))
+        .select(col("query_id"), expr("transform(a, x -> x.rdot)").as("rdots"))
       // candidates = corpus vectors in probed cells (equi join on the
-      // coarse cell); ADC = coarse dot + Σ_sub LUT[code]
-      val adc = codes
-        .join(corpus.select(col("vec_id"), col("cell"), col("norm")), "vec_id")
-        .join(broadcast(probes), Seq("cell"))
+      // coarse cell); ADC = coarse dot + Σ_sub LUT[code] — a pure
+      // projection now (the ×4 posexplode, the LUT join and the
+      // (query, vec) re-aggregation are gone; same exact long sums)
+      val rdotSum = graft.functions.PqIndex.adcLookupSum(
+        codebook, col("codes"), col("rdots"))
+      val adc = withCodes
+        .join(broadcast(probes.join(lutArr, "query_id")), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("norm"), col("q_norm"),
-          col("cdot"), posexplode(col("codes")).as(Seq("sub", "code")))
-        .join(broadcast(lut), Seq("query_id", "sub", "code"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg((first(col("cdot")) + sum(col("rdot"))).as("approx_dot"),
-          first(col("norm")).as("norm"), first(col("q_norm")).as("q_norm"))
         .select(col("query_id"), col("vec_id"),
-          (col("approx_dot").cast("double") / (col("norm") * col("q_norm")))
-            .as("approx_cos"))
+          ((col("cdot") + rdotSum).cast("double")
+            / (col("norm") * col("q_norm"))).as("approx_cos"))
       val pool = adc.withColumn("crk", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("approx_cos").desc, col("vec_id"))))
         .filter(col("crk") <= Pool)
-      // exact re-rank of the bounded pool — the only touch of full vectors
-      val rer = pool
-        .join(q.select(col("vec_id"), col("qv"), col("norm")), "vec_id")
-        .join(broadcast(q.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-            col("norm").as("q_norm"))), "query_id")
+      // exact re-rank of the bounded pool — full vectors come from the
+      // persisted corpus, the bounded pool broadcasts (no corpus shuffle)
+      val rer = corpus.select(col("vec_id"), col("qv"), col("norm"))
+        .join(broadcast(pool.select(col("query_id"), col("vec_id"))), "vec_id")
+        .join(broadcast(qrows), "query_id")
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (dotQ(col("qv"), col("q_qv")) / (col("norm") * col("q_norm")))
             .as("cosine"))

@@ -73,4 +73,41 @@ class AssignEquivalenceSpec extends AnyFunSuite {
     assert(g.length === r.length, "row cardinality drifted")
     assert(g.nonEmpty && g.toSet === r.toSet)
   }
+
+  test("PqIndex.encode ≡ assign → groupBy → sorted collect_list (codes, order, dtype)") {
+    // r15 pin: the one-projection encode over the UNEXPLODED vectors must
+    // reproduce the exploded assign → groupBy(vec_id) → array_sort path
+    // row-for-row, including the array's subspace order
+    val (codebook, _) =
+      PqIndex.fitEncode(spark, quantized, m = 4, subDim = 16, ks = 8, iters = 1)
+    val got = PqIndex.encode(quantized, codebook, subDim = 16)
+      .select("vec_id", "codes")
+
+    // the r14 shape, verbatim
+    val sv = PqIndex.subvectors(quantized, m = 4, subDim = 16)
+    val ref = PqIndex.assign(sv, codebook)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cell")))).as("a"))
+      .select(col("vec_id"), transform(col("a"), x => x("cell")).as("codes"))
+
+    // element type must match exactly; the projection shape is allowed to
+    // TIGHTEN nullability (containsNull false vs the collect_list true) —
+    // no consumer or dumped result carries `codes`, values are what's pinned
+    (got.schema("codes").dataType, ref.schema("codes").dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(g, gn),
+            org.apache.spark.sql.types.ArrayType(r, rn)) =>
+        assert(g === r, "codes element dtype drifted")
+        assert(!gn || rn, "codes nullability widened")
+      case (g, r) => fail(s"codes dtype drifted: $g vs $r")
+    }
+    val g = got.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList))
+    val r = ref.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList))
+    assert(g.length === r.length, "row cardinality drifted")
+    assert(g.nonEmpty && g.toSet === r.toSet)
+
+    // degenerate contract parity: empty codebook → empty result, like the
+    // join shape (an empty broadcast side assigned nothing)
+    val empty = PqIndex.encode(quantized, codebook.limit(0), subDim = 16)
+    assert(empty.count() === 0L)
+  }
 }

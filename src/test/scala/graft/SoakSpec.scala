@@ -73,9 +73,20 @@ class SoakSpec extends AnyFunSuite {
   /** The settle-tolerant poll generalized over any census (thread counts,
     * socket counts): wait for `count` to drop under `bound`; a real
     * per-cycle leak never settles and still fails loudly after the wait.
+    *
+    * r15: deadline widened 20 s → 120 s after the r14 DRIVER test run
+    * failed this suite (365/366) on a host its own probes placed inside a
+    * latency-steal phase (66–127 ms trivial-job medians vs the healthy
+    * 10–40 ms band) while the builder's idle run passed 366/366 — Spark's
+    * asynchronous teardown (broadcast/IO/maintenance pools, post-stop
+    * query machinery) dies on timers and GC that such a phase stretches
+    * well past 20 s. Pure margin: the loop exits the moment the census
+    * drops under `bound`, so an idle run pays nothing, and a REAL
+    * per-cycle leak (~100 threads/sockets across ~100 cycles) never
+    * settles no matter how long the wait.
     */
   private def settled(bound: Int)(count: => Int): Int = {
-    val deadline = System.nanoTime() + 20L * 1000000000L
+    val deadline = System.nanoTime() + 120L * 1000000000L
     var c = count
     while (c > bound && System.nanoTime() < deadline) {
       Thread.sleep(200); c = count
@@ -155,7 +166,12 @@ class SoakSpec extends AnyFunSuite {
             s"[110, $target) window (only saw committed=$committed)"))
         val (endRows, endBytes) = stateProbe
         val endOffsets = offsetFiles
-        val endThreads = settledThreads(midThreads + 8)
+        // +16 slack (was +8): the mid census is a point-in-time read that
+        // can catch a transient dip, and Spark pools (state-store
+        // maintenance, shuffle cleanup) warm up lazily — a loaded-host
+        // census needs headroom. Detection power intact: a per-trigger
+        // thread leak adds ~100 between the probes.
+        val endThreads = settledThreads(midThreads + 16)
 
         // the chain replays the same 100 templates: vocabulary (the 1 h
         // windows of the golden corpus) is fixed, so state must be EXACTLY
@@ -170,7 +186,7 @@ class SoakSpec extends AnyFunSuite {
           s"offset/commit logs grew with the trigger count: $midOffsets → $endOffsets files")
         // 100 triggers between the probes: a per-trigger thread leak would
         // add ~100 here; allow a little slack for lazy Spark pool warm-up
-        assert(endThreads <= midThreads + 8,
+        assert(endThreads <= midThreads + 16,
           s"thread population grew across 100 triggers and never settled: " +
             s"$midThreads → $endThreads")
         // and the soak really flowed data end-to-end the whole way:
@@ -269,8 +285,8 @@ class SoakSpec extends AnyFunSuite {
       assert(selectorThreads <= sel1,
         s"HttpClient selector threads accreted across subscription cycles: " +
           s"$sel1 → $selectorThreads (the shared-client pin)")
-      val t2 = settledThreads(t1 + 8)
-      assert(t2 <= t1 + 8,
+      val t2 = settledThreads(t1 + 16)
+      assert(t2 <= t1 + 16,
         s"thread population grew across 3 ws subscription cycles and never " +
           s"settled: $t1 → $t2")
     } finally ws.stop()
@@ -301,7 +317,7 @@ class SoakSpec extends AnyFunSuite {
       val (g1, t1, s1) = (grpcThreads, liveThreads.size, establishedTo(stub.port))
       drain("soak_grpc_2")
       val (g2, s2) = (grpcThreads, establishedTo(stub.port))
-      val t2 = settledThreads(t1 + 8)
+      val t2 = settledThreads(t1 + 16)
       // the loop threads start LAZILY (a pool connection dials only when a
       // task thread's affinity picks it), so the census may still climb
       // between drains — but it must NEVER exceed the fixed pool size
@@ -315,7 +331,7 @@ class SoakSpec extends AnyFunSuite {
       assert(s1 <= graft.sources.grpc.GrpcWire.PoolSize &&
           s2 <= graft.sources.grpc.GrpcWire.PoolSize,
         s"client sockets to the stub grew past the pool: $s1 → $s2")
-      assert(t2 <= t1 + 8,
+      assert(t2 <= t1 + 16,
         s"thread population grew across a 100-trigger gRPC drain and never " +
           s"settled: $t1 → $t2")
     } finally stub.stop()
